@@ -1,0 +1,63 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed as Spark would in production: full plan runs and
+results are drained (count via noop write semantics), never collected
+to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from data_warehouse_spark.queries.registry import load_all  # noqa: E402
+from data_warehouse_spark.session import get_spark  # noqa: E402
+
+# Headline set: grows as coverage widens. Keep it representative, not
+# exhaustive — parity covers exhaustiveness; bench covers speed.
+HEADLINE = [
+    "w5_sessionize",
+    "e1_trips",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "")) if "sf" in Path(sf_dir).name else -1.0
+    spark = get_spark("bench")
+
+    specs = load_all()
+    names = [n for n in HEADLINE if n in specs]
+    # warm up the JVM/codegen once with the first query at tiny scale
+    try:
+        specs[names[0]].fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in names:
+        t0 = time.time()
+        df = specs[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Table IO: fixture loading, view registration, partitioned writes.
+
+The reference keeps append-only observation logs and a fact table in
+PostgreSQL with B-tree indexes (bike_lambda.py:37-48,
+trips_lambda.py:52-84). Here every table is columnar parquet; selective
+access comes from partition pruning + parquet min-max stats instead of
+indexes, which is the scan strategy that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table; normalizes the events nanosecond timestamp.
+
+    events.parquet stores TIMESTAMP(NANOS) which Spark scans as long
+    (session sets spark.sql.legacy.parquet.nanosAsLong). All fixture
+    values are integral microseconds, so truncating /1000 is lossless
+    and lands on the same microsecond instants DuckDB produces.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Integer division: ns values ~1.7e18 exceed double's 2^53 exact
+        # range, so a float divide would be off by ±1 us.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # keep original column order
+        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register all fixture tables as temp views for spark.sql queries."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def write_partitioned(df: DataFrame, path: str, ts_col: str | None = None,
+                      mode: str = "overwrite") -> None:
+    """Write a log/fact table partitioned by date.
+
+    Mirrors the reference's incremental access pattern (24h sliding
+    window scans, trips_lambda.py:106,218-221): a `WHERE ts >= X`
+    predicate prunes to the matching date partitions, so daily
+    reprocessing touches O(1 day) of data regardless of total size.
+    """
+    writer = df
+    if ts_col is not None:
+        writer = df.withColumn("dt", F.to_date(F.col(ts_col)))
+        writer.write.mode(mode).partitionBy("dt").parquet(path)
+    else:
+        writer.write.mode(mode).parquet(path)

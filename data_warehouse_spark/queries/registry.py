@@ -1,0 +1,71 @@
+"""Query registry: SURVEY.md §2 operator IDs -> (spark_fn, oracle_sql).
+
+Every implemented operator registers here; ``__spark_entry__.py``
+exposes the registry to the driver. Invariants enforced by design:
+
+  - spark_fn(spark, sf_dir) -> DataFrame, built only from fixture
+    parquet under sf_dir.
+  - oracle is DuckDB-runnable ANSI SQL over the same tables (views are
+    pre-registered by the driver), or None for rows-only checks.
+  - Column names and float rounding match exactly between the two
+    (drivers compare order-insensitive value hashes per column name).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str                      # SURVEY §2 ID, lowercase (e.g. "w5_sessionize")
+    fn: SparkFn
+    oracle: str | None = None      # DuckDB SQL; None -> rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+# Modules that register queries on import (appended to as coverage grows).
+_QUERY_MODULES = [
+    "data_warehouse_spark.queries.sessions",
+    "data_warehouse_spark.queries.relational",
+    "data_warehouse_spark.queries.joins",
+    "data_warehouse_spark.queries.windows",
+    "data_warehouse_spark.queries.scalars",
+    "data_warehouse_spark.queries.warehouse",
+    "data_warehouse_spark.queries.streaming_batch",
+    "data_warehouse_spark.queries.llm_text",
+    "data_warehouse_spark.queries.llm_vector",
+]
+
+
+def register(name: str, oracle: str | None = None, doc: str = "",
+             tags: tuple[str, ...] = ()) -> Callable[[SparkFn], SparkFn]:
+    def deco(fn: SparkFn) -> SparkFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query id: {name}")
+        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle,
+                                  doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (idempotent) and return the registry."""
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Allow partial builds while modules are still being written,
+            # but only swallow the module-itself-missing case.
+            if mod not in str(e):
+                raise
+    return QUERIES

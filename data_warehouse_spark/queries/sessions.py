@@ -1,0 +1,180 @@
+"""Flagship sessionization queries (SURVEY §2.5 W5, §3 E1).
+
+The reference's core computation is trip reconstruction over a GPS
+snapshot log (trips_lambda.py:94-164). The fixtures have no bike table;
+per FIXTURES.md §C the `events` table plays the log role
+(user_id≈bike_id, ts≈timestamp), with deterministic pseudo-coordinates
+derived from numeric columns so the haversine path is exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_spark.functions.geo import haversine_km, haversine_km_sql
+from data_warehouse_spark.io import load_table
+from data_warehouse_spark.operators.sessionize import sessionize
+from data_warehouse_spark.queries.registry import register
+
+GAP_SECONDS = 14400  # 4 h; events fixture has ~7.5 h median inter-event gap
+
+
+@register(
+    "w5_sessionize",
+    oracle=f"""
+WITH lagged AS (
+    SELECT user_id, ts, value, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR (epoch_us(ts) - epoch_us(prev_ts)) > CAST({GAP_SECONDS} AS BIGINT) * 1000000
+                   THEN 1 ELSE 0 END AS is_break
+    FROM lagged
+), ids AS (
+    SELECT *, CAST(SUM(is_break) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_sec
+FROM ids
+GROUP BY user_id, session_id
+HAVING COUNT(*) >= 2
+""",
+    doc="W5: gap-based sessionization (lag -> break flag -> running "
+        "session id -> per-session agg). Reference: trips_lambda.py:95-163.",
+    tags=("window", "flagship"),
+)
+def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, key="user_id", ts="ts", gap_seconds=GAP_SECONDS,
+                      value="value", order_tiebreak="event_id", min_events=2)
+
+
+_E1_LAT = "value % 90"                              # deterministic pseudo-coords
+_E1_LON = "(event_id % 36000) / 100.0 - 180.0"
+
+
+@register(
+    "e1_trips",
+    oracle=f"""
+WITH trip_data AS (
+    SELECT user_id AS bike_id, event_type, ts,
+           {_E1_LAT} AS lat, {_E1_LON} AS lon,
+           lag(ts)  OVER w AS prev_time,
+           lag({_E1_LAT}) OVER w AS prev_lat,
+           lag({_E1_LON}) OVER w AS prev_lon
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+trip_segments AS (
+    SELECT bike_id, event_type,
+           ts AS end_time, prev_time AS start_time,
+           prev_lat AS start_lat, prev_lon AS start_lon,
+           lat AS end_lat, lon AS end_lon,
+           (epoch_us(ts) - epoch_us(prev_time)) AS seg_us,
+           {haversine_km_sql('prev_lat', 'prev_lon', 'lat', 'lon')} AS distance_km
+    FROM trip_data
+    WHERE prev_time IS NOT NULL
+      AND (epoch_us(ts) - epoch_us(prev_time)) / 1000000.0 BETWEEN 60 AND 3600
+      AND (prev_lat != lat OR prev_lon != lon)
+),
+trip_aggregates AS (
+    SELECT bike_id,
+           MIN(event_type) AS provider_id,
+           MIN(start_time) AS trip_start, MAX(end_time) AS trip_end,
+           MIN(start_lat) AS start_lat, MIN(start_lon) AS start_lon,
+           MAX(end_lat) AS end_lat, MAX(end_lon) AS end_lon,
+           CAST(SUM(seg_us) AS BIGINT) / 60000000.0 AS total_duration,
+           ROUND(SUM(distance_km), 6) AS total_distance,
+           COUNT(*) AS segment_count
+    FROM trip_segments
+    GROUP BY bike_id
+)
+SELECT ROUND(start_lat, 6) AS start_lat, ROUND(start_lon, 6) AS start_lon,
+       ROUND(end_lat, 6) AS end_lat, ROUND(end_lon, 6) AS end_lon,
+       bike_id, provider_id, trip_start, trip_end,
+       total_duration, total_distance, segment_count
+FROM trip_aggregates
+WHERE total_duration >= 1 AND total_duration <= 60
+  AND total_distance > 0 AND segment_count >= 2
+ORDER BY trip_start
+""",
+    doc="E1: the reference's full trip-reconstruction ETL query "
+        "(trips_lambda.py:94-164) re-expressed as one DataFrame chain: "
+        "scan -> lag window -> gap/movement filter -> haversine -> "
+        "group-agg -> validity filter -> sort. Deviation: provider_id is "
+        "MIN(event_type) per bike (the fixture's event_type is not "
+        "functionally dependent on user_id as provider_id was on bike_id); "
+        "timestamps stay UTC (tz conversion covered by f1_timezone).",
+    tags=("flagship", "etl"),
+)
+def e1_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    lat = (F.col("value") % 90).alias("lat")
+    lon = ((F.col("event_id") % 36000) / 100.0 - 180.0).alias("lon")
+
+    w = Window.partitionBy("bike_id").orderBy("ts", "event_id")
+    trip_data = events.select(
+        F.col("user_id").alias("bike_id"), "event_type", "ts", "event_id", lat, lon,
+    ).withColumns({
+        "prev_time": F.lag("ts").over(w),
+        "prev_lat": F.lag("lat").over(w),
+        "prev_lon": F.lag("lon").over(w),
+    })
+
+    gap_sec = (F.unix_micros("ts") - F.unix_micros("prev_time")) / 1_000_000.0
+    trip_segments = (
+        trip_data
+        .filter(F.col("prev_time").isNotNull()
+                & gap_sec.between(60, 3600)
+                & ((F.col("prev_lat") != F.col("lat"))
+                   | (F.col("prev_lon") != F.col("lon"))))
+        .select(
+            "bike_id", "event_type",
+            F.col("ts").alias("end_time"), F.col("prev_time").alias("start_time"),
+            F.col("prev_lat").alias("start_lat"), F.col("prev_lon").alias("start_lon"),
+            F.col("lat").alias("end_lat"), F.col("lon").alias("end_lon"),
+            # keep durations in integer microseconds until after the SUM:
+            # integer addition is order-independent, so the aggregate is
+            # bit-exact across engines and shuffle orders (a float sum
+            # then round() can straddle a decimal rounding boundary).
+            (F.unix_micros("ts") - F.unix_micros("prev_time")).alias("seg_us"),
+            haversine_km(F.col("prev_lat"), F.col("prev_lon"),
+                         F.col("lat"), F.col("lon")).alias("distance_km"),
+        )
+    )
+
+    trip_aggregates = trip_segments.groupBy("bike_id").agg(
+        F.min("event_type").alias("provider_id"),
+        F.min("start_time").alias("trip_start"),
+        F.max("end_time").alias("trip_end"),
+        F.min("start_lat").alias("start_lat"),
+        F.min("start_lon").alias("start_lon"),
+        F.max("end_lat").alias("end_lat"),
+        F.max("end_lon").alias("end_lon"),
+        (F.sum("seg_us") / F.lit(60000000.0)).alias("total_duration"),
+        F.round(F.sum("distance_km"), 6).alias("total_distance"),
+        F.count(F.lit(1)).alias("segment_count"),
+    )
+
+    return (
+        trip_aggregates
+        .filter((F.col("total_duration") >= 1) & (F.col("total_duration") <= 60)
+                & (F.col("total_distance") > 0) & (F.col("segment_count") >= 2))
+        .select(
+            F.round("start_lat", 6).alias("start_lat"),
+            F.round("start_lon", 6).alias("start_lon"),
+            F.round("end_lat", 6).alias("end_lat"),
+            F.round("end_lon", 6).alias("end_lon"),
+            "bike_id", "provider_id", "trip_start", "trip_end",
+            "total_duration", "total_distance", "segment_count",
+        )
+        .orderBy("trip_start")
+    )

@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode runs ``local[$SPARK_GRAFT_CPUS]`` (single JVM); on a real
+cluster the same settings hold except parallelism-related ones, which
+scale with the cluster (see ``cluster_notes`` below).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Sized for the local[32] test harness; on a 1000-executor cluster,
+# shuffle.partitions should be ~2-3x total cores (AQE coalesces down),
+# e.g. spark.sql.shuffle.partitions=8000 with adaptive enabled.
+LOCAL_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    return f"local[{cpus}]" if cpus else "local[*]"
+
+
+def get_spark(app_name: str = "data_warehouse_spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    Design choices (all hold at 100 TB):
+      - AQE on: runtime coalescing of shuffle partitions, skew-join
+        splitting, and dynamic join-strategy demotion replace manual
+        partition-count tuning per query.
+      - Session timezone pinned UTC: the reference stores UTC and
+        converts at the edge (trips_lambda.py:99,102); pinning avoids
+        engine-dependent local-time drift and matches the DuckDB oracle.
+      - Arrow enabled: every pandas_udf / toPandas crosses the
+        JVM<->Python boundary in columnar batches.
+      - nanosAsLong: the events fixture carries parquet TIMESTAMP(NANOS)
+        which Spark has no native type for; we scan it as long and
+        convert to microsecond timestamps in the loader (lossless here,
+        and the conversion is a cheap codegen'd projection).
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or default_master())
+        .config("spark.sql.shuffle.partitions", str(LOCAL_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Small-file local runs: don't over-split 60k-row parquet files.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+# Cluster-scale notes (100 TB design):
+#  - fact/log tables are written partitioned by date (see io.write_table):
+#    incremental 24h re-scans (reference trips_lambda.py:106,221) become
+#    partition pruning instead of index scans.
+#  - spark.sql.shuffle.partitions scales with cores; AQE coalesces.
+#  - broadcast threshold left at default 10 MB; dimension tables (region,
+#    nation, supplier at TPC-H shape) stay broadcastable at any SF since
+#    dims grow ~log of fact size; explicit broadcast() hints are used in
+#    the query layer where dimension-ness is known statically.
+#  - no collect()-based logic anywhere in the engine: every operator is a
+#    DataFrame -> DataFrame transform.

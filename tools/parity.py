@@ -1,0 +1,125 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle at a given
+sf dir, then compares row count, column-name sets, and values
+(order-insensitive, column-name-sorted — the driver's described hash
+semantics). Floats are compared exactly after the queries' own
+round(…, 6) discipline, with a tolerance fallback reported separately
+so near-misses are visible before the real gate runs.
+
+Usage:
+    python tools/parity.py [--sf /root/testdata/sf0.01] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from data_warehouse_spark.io import TABLES  # noqa: E402
+from data_warehouse_spark.queries.registry import load_all  # noqa: E402
+from data_warehouse_spark.session import get_spark  # noqa: E402
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize for order-insensitive compare: sort cols by name,
+    normalize dtypes, sort rows."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            s = s.map(lambda v: float(v) if hasattr(v, "as_tuple") else v)  # Decimal
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = s.astype("datetime64[us]")
+        out[c] = s
+    df = pd.DataFrame(out)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> tuple[bool, str]:
+    if len(spark_df) != len(duck_df):
+        return False, f"row count {len(spark_df)} != {len(duck_df)}"
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return False, f"columns {sorted(spark_df.columns)} != {sorted(duck_df.columns)}"
+    a, b = _canon(spark_df), _canon(duck_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = pd.to_numeric(av, errors="coerce").astype(float)
+            bv = pd.to_numeric(bv, errors="coerce").astype(float)
+            na_mismatch = (av.isna() != bv.isna()).any()
+            diff = (av.fillna(0) - bv.fillna(0)).abs().max()
+            if na_mismatch or (diff and diff > 0):
+                exact = not na_mismatch and bool((av.fillna(1.23e300) == bv.fillna(1.23e300)).all())
+                if not exact:
+                    rel_ok = not na_mismatch and bool(
+                        ((av.fillna(0) - bv.fillna(0)).abs()
+                         <= 1e-9 * (1 + bv.fillna(0).abs())).all())
+                    tag = "NEAR(<=1e-9 rel)" if rel_ok else f"maxdiff={diff}"
+                    return False, f"float col '{c}' not bit-equal: {tag}"
+        else:
+            if not av.equals(bv):
+                neq = (av != bv) & ~(av.isna() & bv.isna())
+                i = int(neq.idxmax()) if neq.any() else 0
+                return False, f"col '{c}' differs, e.g. row {i}: {av[i]!r} != {bv[i]!r}"
+    return True, "ok"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    specs = load_all()
+    names = args.queries or sorted(specs)
+    spark = get_spark("parity")
+    con = duck_connection(args.sf)
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        spec = specs[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, args.sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name:28s} spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"ROWS  {name:28s} rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            ddf = con.sql(spec.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name:28s} duckdb error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        ok, msg = compare(sdf, ddf)
+        status = "PASS" if ok else "FAIL"
+        print(f"{status}  {name:28s} rows={len(sdf)} {msg if not ok else ''} [{time.time()-t0:.1f}s]")
+        n_pass += ok
+        n_fail += not ok
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
