@@ -1,0 +1,93 @@
+"""Text-analysis column expressions for training-data pipelines
+(SURVEY §2.12 X5/X6 + the text-analysis mandate): language ID, quality
+scoring, token counting, fingerprinting.
+
+Everything is built-in expressions (codegen'd, no UDFs). Heuristics are
+deliberately simple and deterministic so the DuckDB oracle can mirror
+them exactly; the structure (not the model quality) is the engine
+capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny stopword marker sets per language — the n-gram-heuristic skeleton
+# of a langid model. Deterministic and SQL-mirrorable.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+}
+
+
+def word_tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_count(text: Column) -> Column:
+    return F.size(word_tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish token estimate: word pieces split on non-alphanumerics
+    plus a 4-chars-per-token tail heuristic for long words —
+    deterministic, expression-only."""
+    words = word_tokens(text)
+    return F.aggregate(
+        words, F.lit(0),
+        lambda acc, w: acc + 1 + F.floor(F.length(w) / 4).cast("int"))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation (quality signal)."""
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
+    return punct / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = word_tokens(text)
+    markers = LANG_MARKERS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Marker-hit count for one language."""
+    toks = word_tokens(text)
+    return F.size(F.filter(toks, lambda t: t.isin(LANG_MARKERS[lang])))
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax of marker hits (ties -> priority
+    en > de > fr; 'und' = undetermined when no marker hits)."""
+    en, de, fr = (lang_score(text, lang) for lang in ("en", "de", "fr"))
+    return (F.when((en >= de) & (en >= fr) & (en > 0), "en")
+            .when((de >= fr) & (de > 0), "de")
+            .when(fr > 0, "fr")
+            .otherwise("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length sweet-spot + low punctuation
+    + stopword presence. Mirrors the shape of published heuristic
+    quality filters (length/punct/stopword ratios)."""
+    n_chars = char_count(text)
+    length_ok = F.when((n_chars >= 100) & (n_chars <= 5000), 1.0).otherwise(0.5)
+    punct_ok = F.when(punct_ratio(text) <= 0.1, 1.0).otherwise(0.5)
+    stop_ok = F.when(stopword_ratio(text) >= 0.01, 1.0).otherwise(0.5)
+    return (length_ok * punct_ok * stop_ok).alias("quality")
+
+
+def rolling_fingerprint(text: Column, window: int = 8) -> Column:
+    """Document fingerprint: min of xxhash64 over character n-gram
+    windows (a winnowing-style rolling-hash signature)."""
+    n = F.greatest(F.length(text) - (window - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    grams = F.transform(idx, lambda i: F.xxhash64(F.substr(text, i, F.lit(window))))
+    return F.array_min(grams)

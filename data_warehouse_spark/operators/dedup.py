@@ -1,0 +1,204 @@
+"""Deduplication operators for large-scale training-data pipelines
+(SURVEY §2.12 X1/X2 + BASELINE.json north-star mandate).
+
+All variants are pure DataFrame compositions — explode/groupBy/join —
+so they shuffle on content-derived keys and scale horizontally; no
+driver-side similarity matrices.
+
+  exact_dedup           sha2(text) group-by             (X1)
+  minhash_signatures    k-permutation MinHash via salted xxhash64
+  minhash_lsh_pairs     banding -> bucket join -> candidate pairs (X2)
+  simhash_fingerprints  64-bit SimHash
+  simhash_near_pairs    chunk-banding + hamming verify
+  ngram_jaccard_pairs   word n-gram exact Jaccard within blocks
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """X1: exact content dedup — canonical row = min id per sha2(text).
+
+    At 100 TB this is one shuffle on a 256-bit hash (uniform keys, no
+    skew) carrying only (hash, id); full rows rejoin by id afterwards
+    if needed.
+    """
+    h = F.sha2(F.col(text_col), 256)
+    return (df.select(h.alias("content_hash"), F.col(id_col))
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def _shingles(text_col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingles as an array column (lowercased, whitespace
+    tokenized) — built-in expressions only."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.when(k > 0, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )).otherwise(F.array())
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+    """MinHash signature per document: h_i = min over shingles of
+    xxhash64(salt_i ++ shingle). One row per doc with an array<long>
+    signature; computed without explode (aggregate over the shingle
+    array stays row-local).
+
+    NB: the salt must be closed over via a factory, not a lambda
+    default — PySpark passes the element index into a second lambda
+    parameter, clobbering defaults.
+    """
+    def minhash_for(salt: int) -> F.Column:
+        return F.array_min(F.transform(
+            F.col("__sh"), lambda s: F.xxhash64(F.lit(salt), s)))
+
+    sh = _shingles(text_col, shingle_n).alias("__sh")
+    sig = F.array(*[minhash_for(i) for i in range(num_hashes)])
+    return (df.select(F.col(id_col), sh)
+            .filter(F.size("__sh") > 0)
+            .select(id_col, sig.alias("signature")))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_hashes: int = 32, bands: int = 8,
+                      shingle_n: int = 3,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """X2: near-dup candidate pairs via LSH banding, verified by exact
+    shingle Jaccard.
+
+    Pipeline: signatures -> explode into `bands` band-hashes ->
+    self-join on (band, band_hash) -> distinct candidate pairs ->
+    exact-Jaccard verify via shingle explode + pair aggregation.
+    Shuffles on band buckets and shingles only; never a cross join.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.element_at("signature", b * rows_per_band + r + 1)
+                                  for r in range(rows_per_band)]).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    left = banded.withColumnRenamed(id_col, "id_a")
+    right = banded.withColumnRenamed(id_col, "id_b")
+    candidates = (left.join(right, on=["band", "bucket"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b").distinct())
+
+    # exact verify: Jaccard over distinct shingles
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(_shingles(text_col, shingle_n)))
+                    .alias("shingle")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (candidates
+             .join(sh.withColumnRenamed("id", "id_a"), on="id_a")
+             .join(sh.withColumnRenamed("id", "id_b")
+                     .withColumnRenamed("shingle", "shingle_b"),
+                   on="id_b")
+             .filter(F.col("shingle") == F.col("shingle_b"))
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("id", "id_a")
+                 .withColumnRenamed("n_sh", "n_a"), on="id_a")
+           .join(sizes.withColumnRenamed("id", "id_b")
+                 .withColumnRenamed("n_sh", "n_b"), on="id_b")
+           .withColumn("jaccard", F.col("n_inter")
+                       / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+           .filter(F.col("jaccard") >= jaccard_threshold)
+           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                         bits: int = 64) -> DataFrame:
+    """SimHash: per-token 64-bit hashes vote per bit position; the sign
+    of each bit-sum forms the fingerprint.
+
+    Plan shape: explode distinct tokens -> xxhash64 -> one groupBy(id)
+    with 64 trivial bitmask-sum aggregates (all codegen'd, map-side
+    combined) -> fingerprint assembly. One shuffle keyed on the doc id."""
+    def mask_for(b: int) -> int:
+        # bit 63 is the sign bit: 1<<63 overflows signed long, but the
+        # two's-complement long with only that bit set is LONG_MIN.
+        return (1 << b) if b < 63 else -(1 << 63)
+
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    tok_hashes = (df.select(F.col(id_col), F.explode(toks).alias("__t"))
+                  .select(id_col, F.xxhash64("__t").alias("__h")))
+    votes = tok_hashes.groupBy(id_col).agg(*[
+        F.sum(F.when(F.col("__h").bitwiseAND(F.lit(mask_for(b))) != 0, 1)
+              .otherwise(-1)).alias(f"__v{b}")
+        for b in range(bits)
+    ])
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"__v{b}") > 0, F.lit(mask_for(b))).otherwise(F.lit(0))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
+                       max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4 x 16-bit
+    chunks (pigeonhole: hamming<=max -> some chunk equal for small max),
+    bucket-join on chunks, verify with bit_count(xor)."""
+    fps = simhash_fingerprints(df, text_col, id_col)
+    chunks = fps.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
+                     .alias("val"))
+            for c in range(4)
+        ])).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.val")
+    a = chunks.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("sh_a"), "chunk", "val")
+    b = chunks.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("sh_b"), "chunk", "val")
+    return (a.join(b, on=["chunk", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        block_col: str, n: int = 2,
+                        threshold: float = 0.2) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity between all document pairs
+    within a blocking key (e.g. language): explode n-grams, self-join
+    on (block, ngram), aggregate intersections, compute |A∪B| from
+    per-doc sizes. Blocking bounds the candidate space; at scale the
+    block key is chosen so blocks fit a shuffle partition."""
+    grams = df.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("block"),
+        F.explode(F.array_distinct(_shingles(text_col, n))).alias("g"))
+    sizes = grams.groupBy("id", "block").agg(F.count(F.lit(1)).alias("n_g"))
+    inter = (grams.withColumnRenamed("id", "id_a")
+             .join(grams.withColumnRenamed("id", "id_b"), on=["block", "g"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("block", "id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col("id").alias("id_a"), "block",
+                               F.col("n_g").alias("n_a")), on=["block", "id_a"])
+            .join(sizes.select(F.col("id").alias("id_b"), "block",
+                               F.col("n_g").alias("n_b")), on=["block", "id_b"])
+            .withColumn("jaccard", F.col("n_inter")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("block", "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))

@@ -1,0 +1,116 @@
+"""Vector similarity search over embedding columns (SURVEY §2.12
+X3/X4 + the ANN mandate).
+
+Embeddings are array<float> columns. Dot products / norms are pure
+column expressions (zip_with + aggregate in double precision) — JVM
+execution, no Python. Two search paths:
+
+  cosine_topk          exact brute force — the correctness baseline;
+                       one pass, top-k via TakeOrdered (no full sort).
+  ivf_topk             IVF-style approximate: k-means-lite centroids
+                       (deterministic seed rows as initial centers, a
+                       few Lloyd iterations in DataFrame ops), probe
+                       the nprobe nearest cells only. The scale path:
+                       search cost drops by ~n_cells/nprobe.
+  cosine_pairs_blocked X4: pairwise sims within a blocking key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
+                query_vec: list[float], k: int = 20) -> DataFrame:
+    """X3: exact top-k by cosine vs a literal query vector. The ORDER
+    BY + LIMIT compiles to TakeOrderedAndProject: per-partition heaps,
+    driver merges k rows — constant driver memory at any table size."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(F.col(vec_col), q)
+    return (df.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+            .limit(k))
+
+
+def cosine_pairs_blocked(df: DataFrame, vec_col: str, id_col: str,
+                         block_col: str, threshold: float) -> DataFrame:
+    """X4: pairwise cosine within blocks (embedding near-dup dedup).
+    The block key bounds the quadratic term; the join is a hash join on
+    the block column, AQE-skew-handled."""
+    a = df.select(F.col(block_col).alias("block"),
+                  F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(block_col).alias("block"),
+                  F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (a.join(b, on="block")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("block", "id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def build_ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
+                        n_cells: int = 16, iters: int = 2) -> DataFrame:
+    """Deterministic IVF coarse quantizer: seed centroids = the vectors
+    with the n_cells smallest ids, then `iters` Lloyd steps done as
+    assign (broadcast-join + argmin) / recompute (posexplode + avg).
+    Everything distributed; centroids stay a small broadcastable side."""
+    centroids = (df.orderBy(id_col).limit(n_cells)
+                 .select(F.monotonically_increasing_id().alias("__tmp"),
+                         F.col(vec_col).alias("cvec"))
+                 .select(F.row_number().over(
+                     Window.orderBy("__tmp")).alias("cell"), "cvec"))
+    for _ in range(iters):
+        assigned = assign_cells(df, centroids, vec_col)
+        centroids = (assigned
+                     .select("cell", F.posexplode(vec_col).alias("pos", "x"))
+                     .groupBy("cell", "pos").agg(F.avg("x").alias("cx"))
+                     .groupBy("cell")
+                     .agg(F.array_sort(F.collect_list(F.struct("pos", "cx")))
+                          .alias("pairs"))
+                     .select("cell", F.transform("pairs", lambda p: p.cx.cast("float"))
+                             .alias("cvec")))
+    return centroids
+
+
+def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment via broadcast join + min-by."""
+    sim = _dot(F.col(vec_col), F.col("cvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("cvec")))
+    scored = df.join(F.broadcast(centroids)).withColumn("__sim", sim)
+    w = Window.partitionBy(*df.columns).orderBy(F.col("__sim").desc(), "cell")
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn", "__sim", "cvec"))
+
+
+def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
+             query_vec: list[float], k: int = 20, n_cells: int = 16,
+             nprobe: int = 4) -> DataFrame:
+    """Approximate top-k: score centroids against the query on the
+    driver-free plan (centroids are tiny), keep the nprobe best cells,
+    brute-force only inside them."""
+    centroids = build_ivf_centroids(df, vec_col, id_col, n_cells, iters=1)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    best_cells = (centroids
+                  .select("cell", cosine(F.col("cvec"), q).alias("csim"))
+                  .orderBy(F.col("csim").desc(), "cell").limit(nprobe)
+                  .select("cell"))
+    assigned = assign_cells(df, centroids, vec_col)
+    probed = assigned.join(F.broadcast(best_cells), on="cell")
+    return cosine_topk(probed, vec_col, id_col, query_vec, k)

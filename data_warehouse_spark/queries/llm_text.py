@@ -1,0 +1,310 @@
+"""[ext] LLM-training-data text operators (SURVEY §2.12 X1/X2/X5/X6/X7
+plus the dedup / text-analysis / multimodal mandate) over the
+`documents` fixture.
+
+Oracle-checkable wherever the computation is expressible in portable
+SQL; hash-based ops (MinHash/SimHash/fingerprints use xxhash64, which
+DuckDB lacks) are rows-only with pytest invariants instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_spark.functions.text import (
+    lang_id, punct_ratio, quality_score, rolling_fingerprint,
+    token_count_bpe_ish, word_count,
+)
+from data_warehouse_spark.io import load_table
+from data_warehouse_spark.operators.dedup import (
+    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs,
+)
+from data_warehouse_spark.queries.registry import register
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "x1_exact_dedup",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)
+SELECT sha256(text) AS content_hash,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM corpus GROUP BY sha256(text)
+""",
+    doc="X1: exact dedup by content hash. Every 5th doc re-arrives "
+        "under a new id (the fixture corpus is dup-free); the dedup "
+        "collapses them to the original. sha2 grouping shuffles "
+        "uniform 256-bit keys — no skew at any corpus size.",
+    tags=("ext", "dedup"),
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000)
+    corpus = docs.unionByName(dups)
+    return exact_dedup(corpus, text_col="text", id_col="doc_id")
+
+
+@register(
+    "x2_minhash_lsh",
+    oracle=None,  # xxhash64-based banding not portable -> rows-only
+    doc="X2: MinHash+LSH near-dup candidate pairs, exact-Jaccard "
+        "verified (operators/dedup.py). 32 hashes x 8 bands, 3-word "
+        "shingles, Jaccard >= 0.5. Only bucket-join shuffles — never a "
+        "cross join; scales to web-corpus size.",
+    tags=("ext", "dedup"),
+)
+def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, text_col="text", id_col="doc_id",
+                             num_hashes=32, bands=8, jaccard_threshold=0.5)
+
+
+@register(
+    "x2b_simhash",
+    oracle=None,
+    doc="X2b: SimHash near-dup pairs (64-bit fingerprints, 16-bit chunk "
+        "banding, hamming <= 4).",
+    tags=("ext", "dedup"),
+)
+def x2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, text_col="text", id_col="doc_id",
+                              max_hamming=4)
+
+
+@register(
+    "x2c_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id AS id, lang AS block, {_TOKS} AS l FROM documents
+), grams AS (
+    SELECT id, block,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(l) - 1, 0) + 1),
+               i -> l[i] || ' ' || l[i + 1]))) AS g
+    FROM toks
+), sizes AS (
+    SELECT id, block, COUNT(*) AS n_g FROM grams GROUP BY id, block
+), inter AS (
+    SELECT a.block, a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+    FROM grams a JOIN grams b ON a.block = b.block AND a.g = b.g AND a.id < b.id
+    GROUP BY a.block, a.id, b.id
+)
+SELECT i.block, i.id_a, i.id_b,
+       ROUND(n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.id AND i.block = sa.block
+JOIN sizes sb ON i.id_b = sb.id AND i.block = sb.block
+WHERE n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter) >= 0.1
+""",
+    doc="X2c: exact word-bigram Jaccard near-dup pairs within language "
+        "blocks — the brute-exact cousin of X2, oracle-checkable since "
+        "no hashing is involved.",
+    tags=("ext", "dedup"),
+)
+def x2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id",
+                               block_col="lang", n=2, threshold=0.1)
+
+
+@register(
+    "x5_text_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_measured,
+       CAST(len({_TOKS}) AS INT) AS n_words,
+       CAST(list_sum(list_transform({_TOKS},
+            w -> 1 + floor(length(w) / 4))) AS BIGINT) AS n_tokens_est,
+       length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+         * 1.0 / greatest(length(text), 1) AS punct_ratio
+FROM documents
+""",
+    doc="X5: per-document text statistics — char/word counts, BPE-ish "
+        "token estimate, punctuation ratio (functions/text.py). All "
+        "expression-level, codegen'd, no UDFs.",
+    tags=("ext", "text"),
+)
+def x5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_measured"),
+        word_count(t).alias("n_words"),
+        token_count_bpe_ish(t).cast("long").alias("n_tokens_est"),
+        punct_ratio(t).alias("punct_ratio"),
+    )
+
+
+@register(
+    "x5b_lang_id",
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, lang,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> t IN ('the', 'and', 'of'))) AS en_hits,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> t IN ('der', 'und', 'die'))) AS de_hits,
+           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               t -> t IN ('le', 'et', 'les'))) AS fr_hits
+    FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+            WHEN fr_hits > 0 THEN 'fr'
+            ELSE 'und' END AS predicted_lang
+FROM scored
+""",
+    doc="X5b: n-gram-heuristic language ID (stopword-marker argmax, "
+        "functions/text.py:lang_id) vs the labeled lang column.",
+    tags=("ext", "text"),
+)
+def x5b_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@register(
+    "x5c_quality_score",
+    oracle="""
+SELECT doc_id,
+       (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.5 END)
+     * (CASE WHEN length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+                  * 1.0 / greatest(length(text), 1) <= 0.1 THEN 1.0 ELSE 0.5 END)
+     * (CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                  t -> t IN ('the', 'and', 'of')))
+                  * 1.0 / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1)
+                  >= 0.01 THEN 1.0 ELSE 0.5 END) AS quality
+FROM documents
+""",
+    doc="X5c: heuristic quality score (length sweet-spot x punctuation "
+        "x stopword presence — the published-heuristic shape).",
+    tags=("ext", "text"),
+)
+def x5c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "x5d_fingerprint",
+    oracle=None,  # xxhash64 rolling hash not portable
+    doc="X5d: winnowing-style document fingerprint — min xxhash64 over "
+        "8-char windows (functions/text.py:rolling_fingerprint).",
+    tags=("ext", "text"),
+)
+def x5d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "x6_token_freq",
+    oracle=f"""
+SELECT tok, COUNT(*) AS n
+FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 100
+""",
+    doc="X6: tokenization + corpus token frequency (explode -> "
+        "count -> top-k). The explode shuffle carries (token, 1) pairs "
+        "pre-combined map-side.",
+    tags=("ext", "text"),
+)
+def x6_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"))
+    return (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "tok").limit(100))
+
+
+@register(
+    "x7_tfidf",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), n AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT doc_id, term,
+       ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+ORDER BY tfidf DESC, doc_id, term
+LIMIT 100
+""",
+    doc="X7: TF-IDF keyword extraction as a pure SQL/DataFrame "
+        "pipeline: explode -> tf agg -> df agg -> broadcast-join "
+        "(term dictionary is small) -> score. Threshold keeps the "
+        "high-signal terms.",
+    tags=("ext", "text"),
+)
+def x7_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row dim, broadcast
+    score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    return (tf.join(F.broadcast(dfreq), on="term").crossJoin(F.broadcast(n))
+            .select("doc_id", "term", F.round(score, 6).alias("tfidf"))
+            .orderBy(F.col("tfidf").desc(), "doc_id", "term").limit(100))
+
+
+@register(
+    "mm1_multimodal_stub",
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(strlen(text) // 1024 + 1 AS INT) AS n_frames
+FROM documents
+""",
+    doc="MM1 [ext]: multimodal binary-column plumbing. The text is "
+        "encoded to an opaque binary column (standing in for image/"
+        "audio payloads), shipped through mapInPandas in Arrow batches, "
+        "and 'decoded' by a stub extractor (real decode needs codec "
+        "libs absent here — the Spark-side schema/partitioning/batch "
+        "plumbing is the tested part). n_frames mimics frame sampling: "
+        "one frame per KiB.",
+    tags=("ext", "multimodal"),
+)
+def mm1_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_blob = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+
+    def decode_stub(batches):
+        for pdf in batches:
+            # Stand-in for image/audio decode + frame sampling: the real
+            # implementation would decode `blob` with a codec lib here.
+            n_bytes = pdf["blob"].map(len)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int64"),
+                "n_frames": (n_bytes // 1024 + 1).astype("int32"),
+            })
+
+    return with_blob.mapInPandas(
+        decode_stub, schema="doc_id long, n_bytes long, n_frames int")

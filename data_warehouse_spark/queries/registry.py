@@ -42,6 +42,7 @@ _QUERY_MODULES = [
     "data_warehouse_spark.queries.scalars",
     "data_warehouse_spark.queries.warehouse",
     "data_warehouse_spark.queries.streaming_batch",
+    "data_warehouse_spark.queries.udfs",
     "data_warehouse_spark.queries.llm_text",
     "data_warehouse_spark.queries.llm_vector",
 ]

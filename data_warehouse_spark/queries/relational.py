@@ -1,0 +1,430 @@
+"""Core relational operators: scans, predicates, aggregations, sorts,
+set ops (SURVEY §2.1, §2.2, §2.4, §2.6, §2.7).
+
+Each query is the Spark-idiomatic expression of a capability attested
+in the reference (citations per query) or required category parity
+([cap]). Filters/projections are written to push down to the parquet
+scan; aggregations rely on Catalyst's partial+final hash aggregation
+(map-side combine), so the shuffle carries pre-aggregated rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_spark.io import load_table
+from data_warehouse_spark.queries.registry import register
+from data_warehouse_spark.queries.util import (
+    cents, cents_sql, money_avg, money_avg_sql, money_sum, money_sum_sql,
+)
+
+# ---------------------------------------------------------------------------
+# §2.1 scans
+
+
+@register(
+    "s1_scan_filter",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+""",
+    doc="S1: time-range scan of the observation log — the reference's "
+        "incremental extract (trips_lambda.py:105-106). The predicate "
+        "pushes down to the parquet scan (PushedFilters) and, on a "
+        "date-partitioned production layout, prunes partitions.",
+    tags=("scan",),
+)
+def s1_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "s7_scan_full",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    doc="S7: plain parquet table scan with column pruning (ReadSchema "
+        "carries only the projected columns).",
+    tags=("scan",),
+)
+def s7_scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / predicates
+
+
+@register(
+    "p1_project",
+    oracle="""
+SELECT l_orderkey AS okey, l_linenumber AS line_no, l_returnflag AS rflag,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+""",
+    doc="P1: projection with rename + computed column (reference: "
+        "`local_time as end_time` etc., trips_lambda.py:109-117). "
+        "net_price is deterministic per-row IEEE math -> no rounding "
+        "needed (parity_notes rule 2).",
+    tags=("project",),
+)
+def p1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_returnflag").alias("rflag"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+@register(
+    "p2_range_predicate",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+""",
+    doc="P2: half-open timestamp range (trips_lambda.py:106,218-221).",
+    tags=("filter",),
+)
+def p2_range_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+
+
+@register(
+    "p3_between_computed",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_extendedprice * (1 - l_discount) BETWEEN 1000 AND 2000
+""",
+    doc="P3: BETWEEN on a computed value (gap-seconds BETWEEN 60 AND "
+        "3600, trips_lambda.py:128). Product of doubles is engine-"
+        "identical, so the predicate boundary is stable.",
+    tags=("filter",),
+)
+def p3_between_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.filter(net.between(1000, 2000)).select(
+        "l_orderkey", "l_linenumber", net.alias("net_price"))
+
+
+@register(
+    "p5_or_inequality",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderstatus != 'F' OR o_totalprice > 200000
+""",
+    doc="P5: disjunctive inequality predicate (movement filter "
+        "`prev_lat != lat OR prev_lon != lon`, trips_lambda.py:129).",
+    tags=("filter",),
+)
+def p5_or_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") != "F") | (F.col("o_totalprice") > 200000)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "p6_having",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders, {sum_price} AS sum_price
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+""".format(sum_price=money_sum_sql("o_totalprice")),
+    doc="P6: post-aggregation filter (duration/distance/segment HAVING, "
+        "trips_lambda.py:160-162).",
+    tags=("filter", "agg"),
+)
+def p6_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             money_sum("o_totalprice").alias("sum_price"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+
+
+@register(
+    "a1_q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {money_sum_sql('l_quantity')} AS sum_qty,
+       {money_sum_sql('l_extendedprice')} AS sum_base_price,
+       CAST(SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})) AS BIGINT) / 10000.0 AS sum_disc_price,
+       CAST(SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')}) * (100 + {cents_sql('l_tax')})) AS BIGINT) / 1000000.0 AS sum_charge,
+       {money_avg_sql('l_quantity')} AS avg_qty,
+       {money_avg_sql('l_extendedprice')} AS avg_price,
+       {money_avg_sql('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="A1+A2: the reference's multi-aggregate GROUP BY shape "
+        "(trips_lambda.py:131-145) at TPC-H Q1 structure. All money "
+        "aggregates run in exact integer domain (parity_notes rule 1): "
+        "order-independent, overflow-safe to ~1e7x this scale, and the "
+        "shuffle carries partial aggregates only.",
+    tags=("agg", "headline"),
+)
+def a1_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    tax_c = cents("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_c)) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / F.lit(1000000.0)).alias("sum_charge"),
+            money_avg("l_quantity").alias("avg_qty"),
+            money_avg("l_extendedprice").alias("avg_price"),
+            money_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a2_count_by_key",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    doc="A2: COUNT(*) per group (segment_count, trips_lambda.py:143).",
+    tags=("agg",),
+)
+def a2_count_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "a3_global_agg",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+       {money_sum_sql('l_quantity')} AS total_qty,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""",
+    doc="A3+A4: keyless global aggregate (row-count logging, "
+        "trips_lambda.py:177) with exact COUNT DISTINCT.",
+    tags=("agg",),
+)
+def a3_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        money_sum("l_quantity").alias("total_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "a4_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="A4: DISTINCT projection (dedup contract, trips_lambda.py:74).",
+    tags=("agg",),
+)
+def a4_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "a5_rollup",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {money_sum_sql('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="A5: ROLLUP grouping sets ([cap]; city-by-day reporting implied "
+        "by the reference's dashboards, README.md:81-83).",
+    tags=("agg",),
+)
+def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "a6_stats",
+    oracle=f"""
+SELECT c_mktsegment,
+       {money_avg_sql('c_acctbal')} AS avg_bal,
+       ROUND(CASE WHEN COUNT(*) > 1 THEN sqrt(
+           (CAST(SUM({cents_sql('c_acctbal')} * {cents_sql('c_acctbal')}) AS BIGINT) / 10000.0
+            - (CAST(SUM({cents_sql('c_acctbal')}) AS BIGINT) / 100.0)
+              * (CAST(SUM({cents_sql('c_acctbal')}) AS BIGINT) / 100.0) / COUNT(*))
+           / (COUNT(*) - 1)) END, 6) AS std_bal,
+       ROUND(CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE), 6) AS median_bal,
+       COUNT(*) AS n
+FROM customer
+GROUP BY c_mktsegment
+""",
+    doc="A6: avg/stddev/median stats ([cap]; notebook describe()-style "
+        "exploration). stddev is spelled out over exact integer sums in "
+        "both engines so internal algorithm differences (Welford vs "
+        "naive) can't leak (parity_notes rule 5).",
+    tags=("agg",),
+)
+def a6_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bal_c = cents("c_acctbal")
+    n = F.count(F.lit(1))
+    sum_c = F.sum(bal_c).cast("double")
+    sumsq = F.sum(bal_c * bal_c).cast("double")
+    var = (sumsq / 10000.0 - (sum_c / 100.0) * (sum_c / 100.0) / n) / (n - 1)
+    return cust.groupBy("c_mktsegment").agg(
+        money_avg("c_acctbal").alias("avg_bal"),
+        F.round(F.when(n > 1, F.sqrt(var)), 6).alias("std_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("median_bal"),
+        n.alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sort / limit
+
+
+@register(
+    "o1_global_sort",
+    oracle="""
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+ORDER BY o_orderdate, o_orderkey
+""",
+    doc="O1: global sort (ORDER BY trip_start, trips_lambda.py:163). "
+        "Spark plans a range-partitioned sort: sample -> range exchange "
+        "-> per-partition sort, no single-node bottleneck.",
+    tags=("sort",),
+)
+def o1_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    ).orderBy("o_orderdate", "o_orderkey")
+
+
+@register(
+    "o2_topk",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    doc="O2: top-k ([cap]). Spark executes as TakeOrderedAndProject "
+        "(per-partition heap + driver merge of k rows), never a full "
+        "sort. Tiebreak on o_orderkey keeps the result deterministic.",
+    tags=("sort",),
+)
+def o2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+
+
+@register(
+    "set1_union_all",
+    oracle="""
+SELECT c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+UNION ALL
+SELECT s_nationkey AS nationkey, s_acctbal AS acctbal FROM supplier
+""",
+    doc="SET1: UNION ALL via unionByName (the reference's two-source "
+        "merge J8 is the python analogue, weather_lambda.py:129-144).",
+    tags=("set",),
+)
+def set1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("acctbal"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("acctbal"))
+    return cust.unionByName(supp)
+
+
+@register(
+    "set2_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    doc="SET2: distinct union.",
+    tags=("set",),
+)
+def set2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return cust.union(supp).distinct()
+
+
+@register(
+    "set3_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+    doc="SET3: INTERSECT (distinct semantics).",
+    tags=("set",),
+)
+def set3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@register(
+    "set4_except",
+    oracle="""
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000
+""",
+    doc="SET4: EXCEPT (distinct semantics) — high-balance customers "
+        "without a large order.",
+    tags=("set",),
+)
+def set4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_acctbal") > 9000) \
+        .select(F.col("c_custkey").alias("custkey"))
+    big = load_table(spark, sf_dir, "orders") \
+        .filter(F.col("o_totalprice") > 250000) \
+        .select(F.col("o_custkey").alias("custkey"))
+    return cust.subtract(big)

@@ -1,0 +1,121 @@
+"""Streaming operators checked through their batch-equivalent plans
+(SURVEY §2.10 ST1-ST4). The *same* windowing expressions run in
+streaming mode in streaming/jobs.py (pytest-driven); here they run in
+batch so the DuckDB oracle can hash-check window semantics exactly.
+st1 runs a genuine Structured Streaming job synchronously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_spark.io import load_table
+from data_warehouse_spark.queries.registry import register
+from data_warehouse_spark.streaming.jobs import read_events_stream, start_memory_sink
+
+
+@register(
+    "st1_stream_source",
+    oracle=None,  # streaming execution -> rows-only
+    doc="ST1: streaming file source (the Lambda poll loop, "
+        "bike_lambda.py:52-59) driven to completion with AvailableNow; "
+        "returns per-type counts computed by a real streaming query.",
+    tags=("streaming",),
+)
+def st1_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(spark, sf_dir)
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = start_memory_sink(counts, "st1_counts", "complete")
+    q.awaitTermination()
+    return spark.sql("SELECT event_type, n FROM st1_counts")
+
+
+@register(
+    "st2_tumbling_window",
+    oracle="""
+SELECT date_trunc('day', ts) AS win_start,
+       date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
+       event_type, COUNT(*) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+    doc="ST2: tumbling 1-day window aggregate — the reference's daily "
+        "batch window (trips_lambda.py:218-221). Same F.window expr "
+        "runs streaming in streaming/jobs.py:tumbling_counts.",
+    tags=("streaming", "window"),
+)
+def st2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 day")
+    return (ev.groupBy(win.alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "event_type", "n", "sum_value"))
+
+
+@register(
+    "st3_sliding_window",
+    oracle="""
+SELECT to_timestamp(21600 * (epoch_us(ts) // 1000000 // 21600) - off.i * 21600)::TIMESTAMP AS win_start,
+       to_timestamp(21600 * (epoch_us(ts) // 1000000 // 21600) - off.i * 21600 + 86400)::TIMESTAMP AS win_end,
+       user_id, COUNT(*) AS n
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS off(i)
+GROUP BY 1, 2, 3
+""",
+    doc="ST3: sliding window (24h size, 6h slide) — the reference's "
+        "overlapping 24h re-scan (trips_lambda.py:218-221). Oracle "
+        "expands each event into its 4 overlapping windows explicitly.",
+    tags=("streaming", "window"),
+)
+def st3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "24 hours", "6 hours")
+    return (ev.groupBy(win.alias("win"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"), "user_id", "n"))
+
+
+@register(
+    "st4_session_window",
+    oracle="""
+WITH lagged AS (
+    SELECT user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+), flagged AS (
+    SELECT *, CASE WHEN prev_ts IS NULL
+                     OR (epoch_us(ts) - epoch_us(prev_ts)) >= 14400000000
+                   THEN 1 ELSE 0 END AS is_break
+    FROM lagged
+), ids AS (
+    SELECT *, SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT MIN(ts) AS sess_start,
+       MAX(ts) + INTERVAL 4 HOUR AS sess_end,
+       user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM ids GROUP BY user_id, sid
+""",
+    doc="ST4: session_window batch form (streaming form: "
+        "streaming/jobs.py:session_aggs). Spark closes a session when "
+        "the gap >= the 4h threshold (window end is exclusive), hence "
+        "the >= break in the oracle — vs W5's strict >; both semantics "
+        "are offered. Session end = last event + gap per Spark's "
+        "definition.",
+    tags=("streaming", "window"),
+)
+def st4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "4 hours").alias("sess"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_value"))
+            .select(F.col("sess.start").alias("sess_start"),
+                    F.col("sess.end").alias("sess_end"),
+                    "user_id", "n_events", "sum_value"))

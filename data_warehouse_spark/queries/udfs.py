@@ -1,0 +1,156 @@
+"""UDF/UDAF/UDTF surface (SURVEY §2.11 UDF1-UDF4) + spatial join J9.
+
+Policy (SURVEY §2.11): built-in expressions first — every UDF here
+demonstrates the escape hatch on a computation whose oracle twin is
+still expressible, so the plumbing itself is hash-verified.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from data_warehouse_spark.io import load_table
+from data_warehouse_spark.operators.spatial import grid_spatial_join
+from data_warehouse_spark.queries.registry import register
+from data_warehouse_spark.queries.util import money_sum_sql
+
+
+@register(
+    "udf1_row_scalar",
+    oracle="""
+SELECT o_orderkey, 'key=' || CAST(o_orderkey AS VARCHAR) AS tagged
+FROM orders WHERE o_orderkey < 2000
+""",
+    doc="UDF1: row-at-a-time Python UDF — the documented escape hatch "
+        "(and why it's last resort: per-row serde, no codegen). Kept "
+        "tiny and filtered.",
+    tags=("udf",),
+)
+def udf1_row_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = F.udf(lambda k: f"key={k}", "string")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return orders.select("o_orderkey", tag("o_orderkey").alias("tagged"))
+
+
+@register(
+    "udf2_pandas_scalar",
+    oracle="""
+SELECT p_partkey, reverse(p_name) AS name_rev, length(p_name) * 2 AS dlen
+FROM part
+""",
+    doc="UDF2: vectorized pandas_udf (Arrow batches) — the preferred "
+        "Python path, ~10-100x over UDF1.",
+    tags=("udf",),
+)
+def udf2_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("string")
+    def rev(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: x[::-1])
+
+    @pandas_udf("int")
+    def dlen(s: pd.Series) -> pd.Series:
+        return (s.str.len() * 2).astype("int32")
+
+    part = load_table(spark, sf_dir, "part")
+    return part.select("p_partkey", rev("p_name").alias("name_rev"),
+                       dlen("p_name").alias("dlen"))
+
+
+@register(
+    "udf3_grouped_pandas",
+    oracle=f"""
+SELECT l_returnflag, {money_sum_sql('l_quantity')} AS qty_total, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="UDF3: applyInPandas grouped-map (UDAF-equivalent). The group "
+        "sum runs in integer cents inside pandas, matching the exact-"
+        "integer oracle (parity_notes rule 1).",
+    tags=("udf",),
+)
+def udf3_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["l_quantity"] * 100).round().astype("int64")
+        return pd.DataFrame({
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "qty_total": [cents.sum() / 100.0],
+            "n": [len(pdf)],
+        })
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return li.groupBy("l_returnflag").applyInPandas(
+        agg, schema="l_returnflag string, qty_total double, n long")
+
+
+@register(
+    "udf4_udtf_words",
+    oracle="""
+SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+FROM documents WHERE doc_id < 50
+""",
+    doc="UDF4: table-function surface — one input row to many output "
+        "rows via mapInPandas (the engine's UDTF path; explode covers "
+        "the built-in case).",
+    tags=("udf",),
+)
+def udf4_udtf_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+
+    def split_words(batches):
+        import re
+        for pdf in batches:
+            out_ids, out_words = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for w in re.split(r"\s+", text.strip().lower()):
+                    out_ids.append(doc_id)
+                    out_words.append(w)
+            yield pd.DataFrame({"doc_id": out_ids, "word": out_words})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        split_words, schema="doc_id long, word string")
+
+
+@register(
+    "j9_spatial_join",
+    oracle="""
+WITH pts AS (
+    SELECT event_id, value % 90 AS lat, (event_id % 36000) / 100.0 - 180.0 AS lon
+    FROM events
+), boxes AS (
+    SELECT r_regionkey AS region_id,
+           r_regionkey * 18.0 AS lat_min, r_regionkey * 18.0 + 17.0 AS lat_max,
+           r_regionkey * 70.0 - 180.0 AS lon_min,
+           r_regionkey * 70.0 - 110.0 AS lon_max
+    FROM region
+)
+SELECT p.event_id, b.region_id
+FROM pts p JOIN boxes b
+  ON p.lat BETWEEN b.lat_min AND b.lat_max
+ AND p.lon BETWEEN b.lon_min AND b.lon_max
+""",
+    doc="J9: spatial point-in-region join ([declared] README.md:12,16; "
+        "enrichment columns trips_lambda.py:65-66). Grid-cell bucketing "
+        "+ equi-join + exact containment test (operators/spatial.py) — "
+        "never a nested-loop over all (point, region) pairs. Boxes are "
+        "deterministic functions of the region dim; exact polygon "
+        "testing is a documented UDF stub (no GIS lib here).",
+    tags=("join", "spatial"),
+)
+def j9_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (F.col("value") % 90).alias("lat"),
+        ((F.col("event_id") % 36000) / 100.0 - 180.0).alias("lon"))
+    region = load_table(spark, sf_dir, "region")
+    boxes = region.select(
+        F.col("r_regionkey").alias("region_id"),
+        (F.col("r_regionkey") * 18.0).alias("lat_min"),
+        (F.col("r_regionkey") * 18.0 + 17.0).alias("lat_max"),
+        (F.col("r_regionkey") * 70.0 - 180.0).alias("lon_min"),
+        (F.col("r_regionkey") * 70.0 - 110.0).alias("lon_max"))
+    joined = grid_spatial_join(pts, boxes, cell_deg=5.0)
+    return joined.select("event_id", "region_id")

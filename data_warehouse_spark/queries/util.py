@@ -1,0 +1,43 @@
+"""Shared helpers for oracle-parity queries (see parity_notes.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cents(col: str | Column, scale: int = 100) -> Column:
+    """Fixed-decimal double -> exact scaled integer (Spark side).
+
+    l_quantity/l_extendedprice/l_discount/l_tax etc. carry <=2 true
+    decimals; x*100 is within 1e-10 of an integer, so HALF_UP rounding
+    recovers it exactly in every engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale).cast("long")
+
+
+def cents_sql(col: str, scale: int = 100) -> str:
+    """DuckDB twin of :func:`cents`."""
+    return f"CAST(ROUND(({col})*{scale}) AS BIGINT)"
+
+
+def money_sum(col: str | Column, scale: int = 100) -> Column:
+    """Exact SUM of a fixed-decimal column: integer-domain sum, one
+    final division (order-independent, bit-identical across engines)."""
+    return F.sum(cents(col, scale)) / F.lit(float(scale))
+
+
+def money_sum_sql(col: str, scale: int = 100) -> str:
+    return f"CAST(SUM({cents_sql(col, scale)}) AS BIGINT) / {float(scale)}"
+
+
+def money_avg(col: str | Column, scale: int = 100) -> Column:
+    """Exact-sum-based AVG: sum in integer domain, divide by scale then
+    count (the same expression tree the SQL twin uses)."""
+    return F.sum(cents(col, scale)).cast("double") / F.lit(float(scale)) / F.count(F.lit(1))
+
+
+def money_avg_sql(col: str, scale: int = 100) -> str:
+    return (f"CAST(CAST(SUM({cents_sql(col, scale)}) AS BIGINT) AS DOUBLE)"
+            f" / {float(scale)} / COUNT(*)")

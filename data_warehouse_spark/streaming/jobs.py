@@ -1,0 +1,107 @@
+"""Structured Streaming equivalents of the reference's periodic jobs
+(SURVEY §2.10 ST1-ST7).
+
+The reference is "a streaming system in slow motion": Lambda polls GBFS
+snapshots (bike_lambda.py:52-59), a daily schedule gate
+(weather_lambda.py:110), and a sliding 24h re-scan + upsert
+(trips_lambda.py:218-221,186-196). Here the cadence is the trigger;
+the logic is the same DataFrame plan as batch.
+
+All jobs read the `events` fixture as a file stream and write to a
+memory/parquet sink; tests drive them synchronously with
+Trigger.AvailableNow + awaitTermination.
+
+Late data: the reference *updates* late-arriving trips in place (U1
+upsert). Structured Streaming offers two modes, both provided:
+  - watermarked session/window aggs (late rows beyond the watermark are
+    dropped — bounded state, the 100 TB default), and
+  - foreach_batch_upsert (micro-batch MERGE into the sink — exact
+    reference semantics, state bounded by the sink not the stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from data_warehouse_spark.operators.merge import upsert
+
+EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string, value double, props string")
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files: int = 1) -> DataFrame:
+    """ST1: streaming file source over the events log (the reference's
+    poll loop). maxFilesPerTrigger=1 emulates snapshot-at-a-time arrival."""
+    raw = (spark.readStream.format("parquet")
+           .schema("event_id long, ts long, user_id long, "
+                   "event_type string, value double, props string")
+           .option("maxFilesPerTrigger", max_files)
+           # file stream sources take a directory; the glob filter picks
+           # out the events log from the fixture dir
+           .option("pathGlobFilter", "events.parquet")
+           .load(f"{sf_dir}/"))
+    # fixture ts is TIMESTAMP(NANOS) -> long scan; convert as in io.py
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 day",
+                    watermark: str = "1 hour") -> DataFrame:
+    """ST2 (+ST5): tumbling-window aggregate with watermark — the daily
+    batch window (trips_lambda.py:218-221) as a stream."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", size).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")))
+
+
+def sliding_counts(events: DataFrame, size: str = "24 hours",
+                   slide: str = "6 hours", watermark: str = "1 hour") -> DataFrame:
+    """ST3: sliding-window aggregate (24h window recomputed periodically)."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", size, slide).alias("win"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def session_aggs(events: DataFrame, gap: str = "4 hours",
+                 watermark: str = "1 hour") -> DataFrame:
+    """ST4: session-window aggregation — streaming W5."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value")))
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST6: stateful streaming dedup on the log's PK (bike_lambda.py:46);
+    watermark bounds the dedup state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["user_id", "ts"])
+
+
+def start_memory_sink(df: DataFrame, name: str, output_mode: str) -> StreamingQuery:
+    """Drive a streaming plan to completion against an in-memory table."""
+    return (df.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode).trigger(availableNow=True).start())
+
+
+def run_foreach_batch_upsert(spark: SparkSession, events: DataFrame,
+                             target_path: str, keys: list[str]) -> StreamingQuery:
+    """ST7: micro-batch upsert sink — the reference's ON CONFLICT load
+    (trips_lambda.py:180-206) per micro-batch via foreachBatch."""
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark_ = batch.sparkSession
+        try:
+            old = spark_.read.parquet(target_path)
+            merged = upsert(old, batch, keys=keys)
+        except Exception:  # first batch: target doesn't exist yet
+            merged = batch
+        # Plain overwrite for the fixture-scale sink; at scale this is a
+        # dynamic partition overwrite keyed by date (operators/merge.py).
+        merged.write.mode("overwrite").parquet(target_path + "_stage")
+        spark_.read.parquet(target_path + "_stage").write.mode("overwrite") \
+            .parquet(target_path)
+
+    return (events.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", target_path + "_ckpt")
+            .trigger(availableNow=True).start())

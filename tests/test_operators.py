@@ -1,0 +1,89 @@
+"""Unit/property tests for composite operators (merge, dedup, joins,
+similarity) — the reference's semantic-validity checks re-expressed as
+asserts (SURVEY §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_warehouse_spark.io import load_table
+from data_warehouse_spark.operators.dedup import (
+    exact_dedup, minhash_lsh_pairs, simhash_near_pairs,
+)
+from data_warehouse_spark.operators.joins import asof_join
+from data_warehouse_spark.operators.merge import upsert
+from data_warehouse_spark.operators.similarity import cosine_topk, ivf_topk
+
+
+def test_upsert_semantics_and_idempotency(spark):
+    old = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    new = spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="C")])
+    once = upsert(old, new, ["k"])
+    assert {(r.k, r.v) for r in once.collect()} == {(1, "a"), (2, "B"), (3, "C")}
+    twice = upsert(once, new, ["k"])
+    assert {(r.k, r.v) for r in twice.collect()} == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_asof_join_picks_nearest_preceding(spark):
+    import datetime as dt
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [Row(k=1, ts=t(10)), Row(k=1, ts=t(30)), Row(k=2, ts=t(5))])
+    right = spark.createDataFrame(
+        [Row(k=1, rts=t(8), w=1.0), Row(k=1, rts=t(25), w=2.0),
+         Row(k=2, rts=t(7), w=9.0)])
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    value_cols=["rts", "w"])
+    got = {(r.k, r.ts.minute): (r.w, r.rts.minute if r.rts else None)
+           for r in out.collect()}
+    assert got[(1, 10)] == (1.0, 8)
+    assert got[(1, 30)] == (2.0, 25)
+    assert got[(2, 5)] is not None and got[(2, 5)][1] is None or got[(2, 5)] == (None, None)
+
+
+def test_exact_dedup_collapses_copies(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, text="hello world"), Row(id=2, text="hello world"),
+         Row(id=3, text="different")])
+    out = {r.canonical_id: r.n_copies
+           for r in exact_dedup(df, "text", "id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_planted_near_dup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    # plant a near-dup: doc 0's text with one word appended
+    planted = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    pairs = minhash_lsh_pairs(corpus, "text", "doc_id",
+                              jaccard_threshold=0.5).collect()
+    assert any({p.id_a, p.id_b} == {0, 9000} for p in pairs)
+    for p in pairs:
+        assert p.jaccard >= 0.5
+
+
+def test_simhash_planted_dup_hamming_zero(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    exact_copy = docs.filter(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text")
+    corpus = docs.select("doc_id", "text").unionByName(exact_copy)
+    pairs = simhash_near_pairs(corpus, "text", "doc_id", max_hamming=3).collect()
+    match = [p for p in pairs if {p.id_a, p.id_b} == {1, 9001}]
+    assert match and match[0].hamming == 0
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    exact = [r.vec_id for r in
+             cosine_topk(emb, "embedding", "vec_id", q, k=10).collect()]
+    approx = [r.vec_id for r in
+              ivf_topk(emb, "embedding", "vec_id", q, k=10,
+                       n_cells=8, nprobe=4).collect()]
+    # the query vector itself must be found, and recall should be decent
+    assert 0 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

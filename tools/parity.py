@@ -47,6 +47,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             s = s.map(lambda v: float(v) if hasattr(v, "as_tuple") else v)  # Decimal
         if pd.api.types.is_datetime64_any_dtype(s):
             s = s.astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(s):
+            s = s.astype("int64")  # engines differ on int width (len(), rank())
+        elif s.dtype == "float32":
+            s = s.astype("float64")
         out[c] = s
     df = pd.DataFrame(out)
     return df.sort_values(by=list(df.columns), ignore_index=True)
