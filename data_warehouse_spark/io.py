@@ -40,6 +40,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scan_events_range(spark: SparkSession, sf_dir: str,
+                      start_utc: str, end_utc: str) -> DataFrame:
+    """Time-range scan of the events log with working predicate pushdown.
+
+    The ns->us conversion wraps ts in an expression, which parquet
+    filter pushdown can't see through — a naive filter-after-convert
+    scans every row group. Since the conversion is monotonic, the range
+    predicate is applied in the *raw nanosecond long domain* first
+    (PushedFilters reaches the scan, row groups prune), then converted.
+    On a production layout this composes with dt-partition pruning.
+    """
+    import datetime as dt
+
+    def ns(ts: str) -> int:
+        d = dt.datetime.fromisoformat(ts).replace(tzinfo=dt.timezone.utc)
+        return int(d.timestamp() * 1_000_000) * 1000
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.filter((F.col("ts") >= F.lit(ns(start_utc)))
+                         & (F.col("ts") < F.lit(ns(end_utc))))
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return raw.filter((F.col("ts") >= F.lit(start_utc).cast("timestamp"))
+                      & (F.col("ts") < F.lit(end_utc).cast("timestamp")))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

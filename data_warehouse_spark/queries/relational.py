@@ -31,17 +31,18 @@ FROM events
 WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
 """,
     doc="S1: time-range scan of the observation log — the reference's "
-        "incremental extract (trips_lambda.py:105-106). The predicate "
-        "pushes down to the parquet scan (PushedFilters) and, on a "
-        "date-partitioned production layout, prunes partitions.",
+        "incremental extract (trips_lambda.py:105-106). Uses "
+        "io.scan_events_range so the predicate pushes down to the "
+        "parquet scan in the raw ns domain (the ns->us conversion would "
+        "otherwise defeat pushdown); on a date-partitioned production "
+        "layout this composes with partition pruning.",
     tags=("scan",),
 )
 def s1_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.filter(
-        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
-    ).select("event_id", "ts", "user_id", "event_type", "value")
+    from data_warehouse_spark.io import scan_events_range
+    ev = scan_events_range(spark, sf_dir,
+                           "2024-01-10 00:00:00", "2024-01-12 00:00:00")
+    return ev.select("event_id", "ts", "user_id", "event_type", "value")
 
 
 @register(
