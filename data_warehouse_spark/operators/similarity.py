@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_warehouse_spark.io import spread_for_compute
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -54,11 +56,18 @@ def cosine_pairs_blocked(df: DataFrame, vec_col: str, id_col: str,
     """X4: pairwise cosine within blocks (embedding near-dup dedup).
     The block key bounds the quadratic term; the join is a hash join on
     the block column, AQE-skew-handled."""
-    a = df.select(F.col(block_col).alias("block"),
-                  F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(block_col).alias("block"),
-                  F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    # Norms are hoisted to one evaluation per ROW before the join; the
+    # per-PAIR expression is only the dot product. dot/(na*nb) is the
+    # same IEEE arithmetic either way, so oracle parity is unaffected,
+    # but the interpreted higher-order-function work per pair drops ~3x.
+    df = spread_for_compute(df)
+    sided = df.select(F.col(block_col).alias("block"), F.col(id_col),
+                      F.col(vec_col), _norm(F.col(vec_col)).alias("nrm"))
+    a = sided.select("block", F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("va"), F.col("nrm").alias("na"))
+    b = sided.select("block", F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (a.join(b, on="block")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("block", "id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
@@ -77,7 +86,7 @@ def build_ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
                  .select(F.row_number().over(
                      Window.orderBy("__tmp")).alias("cell"), "cvec"))
     for _ in range(iters):
-        assigned = assign_cells(df, centroids, vec_col)
+        assigned = assign_cells(df, centroids, vec_col, id_col)
         centroids = (assigned
                      .select("cell", F.posexplode(vec_col).alias("pos", "x"))
                      .groupBy("cell", "pos").agg(F.avg("x").alias("cx"))
@@ -89,12 +98,17 @@ def build_ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
     return centroids
 
 
-def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str) -> DataFrame:
-    """Nearest-centroid assignment via broadcast join + min-by."""
+def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str,
+                 id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid assignment via broadcast join + per-id argmax.
+
+    The window partitions on the row id, never on the embedding array —
+    an array-keyed shuffle would hash/compare 64 floats per row for no
+    selectivity gain."""
     sim = _dot(F.col(vec_col), F.col("cvec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("cvec")))
     scored = df.join(F.broadcast(centroids)).withColumn("__sim", sim)
-    w = Window.partitionBy(*df.columns).orderBy(F.col("__sim").desc(), "cell")
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), "cell")
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn", "__sim", "cvec"))
 
@@ -111,6 +125,6 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
                   .select("cell", cosine(F.col("cvec"), q).alias("csim"))
                   .orderBy(F.col("csim").desc(), "cell").limit(nprobe)
                   .select("cell"))
-    assigned = assign_cells(df, centroids, vec_col)
+    assigned = assign_cells(df, centroids, vec_col, id_col)
     probed = assigned.join(F.broadcast(best_cells), on="cell")
     return cosine_topk(probed, vec_col, id_col, query_vec, k)
