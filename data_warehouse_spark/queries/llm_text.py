@@ -308,3 +308,63 @@ def mm1_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return with_blob.mapInPandas(
         decode_stub, schema="doc_id long, n_bytes long, n_frames int")
+
+
+@register(
+    "mm2_image_resize",
+    oracle="""
+WITH decoded AS (
+    SELECT doc_id,
+           CAST(strlen(text) % 1920 + 16 AS INT) AS width,
+           CAST(strlen(text) % 1080 + 16 AS INT) AS height
+    FROM documents
+)
+SELECT doc_id, width, height,
+       CASE WHEN GREATEST(width, height) > 512
+            THEN CAST(FLOOR(width * 512 / GREATEST(width, height)) AS INT)
+            ELSE width END AS out_w,
+       CASE WHEN GREATEST(width, height) > 512
+            THEN CAST(FLOOR(height * 512 / GREATEST(width, height)) AS INT)
+            ELSE height END AS out_h
+FROM decoded
+""",
+    doc="MM2 [ext]: image decode + aspect-preserving resize planning. "
+        "Decode runs as an Arrow-batched mapInPandas stage (stub codec: "
+        "dims derived from payload size — swap for PIL and nothing else "
+        "moves); the resize math is pure column expressions so it stays "
+        "JVM-side and composable. The oracle replays the deterministic "
+        "stub arithmetic.",
+    tags=("ext", "multimodal"),
+)
+def mm2_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.multimodal import (
+        attach_blob, decode_images, resize_plan,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_images(attach_blob(docs))
+    return resize_plan(decoded, max_side=512).orderBy("doc_id")
+
+
+@register(
+    "mm3_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST(u.gs AS BIGINT) AS frame_idx,
+       CAST(u.gs * 1024 AS BIGINT) AS byte_offset
+FROM documents,
+     UNNEST(range(0, CAST(FLOOR(strlen(text) / 1024.0) AS BIGINT) + 1)) AS u(gs)
+""",
+    doc="MM3 [ext]: frame sampling — metadata-driven UDTF explode (one "
+        "row per sampled frame per payload), the video/audio analogue "
+        "of tokenization. Frame extraction itself would be a second "
+        "mapInPandas over (blob, byte_offset); the index table stays "
+        "JVM-side.",
+    tags=("ext", "multimodal"),
+)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.multimodal import attach_blob, sample_frames
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_blob(docs), frame_every_bytes=1024)
+    return frames.select("doc_id",
+                         F.col("frame_idx").cast("long").alias("frame_idx"),
+                         F.col("byte_offset").cast("long").alias("byte_offset"))

@@ -7,16 +7,17 @@ plain query, so the driver can hash-compare materialized semantics.
 
 from __future__ import annotations
 
-import json
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.operators.merge import dedup_latest, upsert
 from data_warehouse_spark.queries.registry import register
+from data_warehouse_spark.sources.rest_json import (
+    fetch_air_quality, gbfs_sample_frame, parse_gbfs,
+)
 
 # ---------------------------------------------------------------------------
 # U1: upsert. Scenario: "old" = orders before 1998, "new" = orders from
@@ -93,33 +94,6 @@ def u2_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sources / sinks
 
 
-_GBFS_SAMPLE = {
-    "data": {"bikes": [
-        {"bike_id": "b1", "lat": 47.37, "lon": 8.54, "is_reserved": False,
-         "is_disabled": False, "provider_id": "p1"},
-        {"bike_id": "b2", "lat": 46.95, "lon": 7.45, "is_reserved": True,
-         "is_disabled": False, "provider_id": "p1"},
-        {"bike_id": "b3", "lat": 46.20, "lon": 6.14, "is_reserved": False,
-         "is_disabled": True, "provider_id": "p2"},
-    ]},
-    "last_updated": 1700000000,
-}
-
-_GBFS_SCHEMA = T.StructType([
-    T.StructField("data", T.StructType([
-        T.StructField("bikes", T.ArrayType(T.StructType([
-            T.StructField("bike_id", T.StringType()),
-            T.StructField("lat", T.DoubleType()),
-            T.StructField("lon", T.DoubleType()),
-            T.StructField("is_reserved", T.BooleanType()),
-            T.StructField("is_disabled", T.BooleanType()),
-            T.StructField("provider_id", T.StringType()),
-        ]))),
-    ])),
-    T.StructField("last_updated", T.LongType()),
-])
-
-
 @register(
     "s2_rest_json_source",
     oracle=None,  # payload is engine-embedded, not a fixture table -> rows-only
@@ -131,21 +105,7 @@ _GBFS_SCHEMA = T.StructType([
     tags=("source",),
 )
 def s2_rest_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    payload = json.dumps(_GBFS_SAMPLE)
-    raw = spark.createDataFrame([(payload,)], ["body"])
-    parsed = raw.select(F.from_json("body", _GBFS_SCHEMA).alias("j"))
-    bikes = parsed.select(
-        F.explode("j.data.bikes").alias("b"),
-        F.timestamp_seconds(F.col("j.last_updated")).alias("observed_at"),
-    )
-    return bikes.select(
-        F.col("b.bike_id").alias("bike_id"),
-        F.col("b.provider_id").alias("provider_id"),
-        F.col("b.lat").alias("lat"), F.col("b.lon").alias("lon"),
-        F.col("b.is_reserved").alias("is_reserved"),
-        F.col("b.is_disabled").alias("is_disabled"),
-        "observed_at",
-    )
+    return parse_gbfs(gbfs_sample_frame(spark))
 
 
 @register(
@@ -161,33 +121,11 @@ def s2_rest_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source",),
 )
 def s3_parallel_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
     cities = spark.createDataFrame(
         [("Zurich",), ("Bern",), ("Geneva",), ("Basel",), ("Lausanne",), ("Lugano",)],
         ["city"],
-    ).repartition(3)
-
-    def fetch(batches):
-        for pdf in batches:
-            # stub of the WAQI GET + nested extraction (iaqi.t.v etc.)
-            rows = []
-            for city in pdf["city"]:
-                fake = {"aqi": len(city) * 7, "iaqi": {"t": {"v": len(city) * 1.5},
-                                                       "h": {"v": 50},
-                                                       "pm25": {"v": len(city) * 3}}}
-                rows.append({
-                    "city": city,
-                    "aqi": fake["aqi"],
-                    "temperature": fake["iaqi"]["t"]["v"],
-                    "humidity": fake["iaqi"]["h"]["v"],
-                    "pm25": fake["iaqi"]["pm25"]["v"],
-                })
-            yield pd.DataFrame(rows)
-
-    schema = ("city string, aqi int, temperature double, "
-              "humidity int, pm25 int")
-    return cities.mapInPandas(fetch, schema=schema)
+    )
+    return fetch_air_quality(cities, parallelism=3)
 
 
 @register(

@@ -1,0 +1,87 @@
+"""Sources library + multimodal plumbing tests (SURVEY §2.1 S2/S3,
+[ext] multimodal mandate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_warehouse_spark.operators.multimodal import (
+    attach_blob, decode_images, resize_plan, sample_frames,
+)
+from data_warehouse_spark.sources.jdbc import (
+    connection_options, partitioned_read_options,
+)
+from data_warehouse_spark.sources.rest_json import (
+    fetch_air_quality, gbfs_sample_frame, parse_gbfs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parse_gbfs_shreds_nested_payload(spark):
+    out = parse_gbfs(gbfs_sample_frame(spark)).collect()
+    assert len(out) == 3
+    byid = {r.bike_id: r for r in out}
+    assert byid["b2"].is_reserved is True
+    assert byid["b3"].is_disabled is True
+    assert byid["b1"].lat == 47.37
+    # observation-time stamping (bike_lambda.py:62)
+    assert all(r.observed_at is not None for r in out)
+
+
+def test_fetch_air_quality_per_unit_error_isolation(spark):
+    cities = spark.createDataFrame(
+        [("Zurich",), ("BAD",), ("Bern",)], ["city"])
+
+    def fetch(city):
+        if city == "BAD":
+            raise RuntimeError("api down")
+        return {"aqi": 1, "iaqi": {"t": {"v": 2.0}, "h": {"v": 3},
+                                   "pm25": {"v": 4}}}
+
+    rows = fetch_air_quality(cities, fetch=fetch).collect()
+    # the failed key is skipped, the batch survives (air_lambda.py:62-64)
+    assert sorted(r.city for r in rows) == ["Bern", "Zurich"]
+
+
+def test_jdbc_partitioned_read_options():
+    conn = connection_options("db.example", "warehouse", "u", "p")
+    assert conn["url"].startswith("jdbc:postgresql://db.example:5432/warehouse")
+    assert "connectTimeout=300" in conn["url"]  # trips_lambda.py:22
+    opts = partitioned_read_options(
+        conn, "bike_status", "timestamp",
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00", num_partitions=16)
+    assert opts["numPartitions"] == "16"
+    assert opts["partitionColumn"] == "timestamp"
+    assert opts["dbtable"] == "bike_status"
+
+
+def test_resize_plan_preserves_aspect_and_bounds(spark):
+    from data_warehouse_spark.io import load_table
+    docs = load_table(spark, SF, "documents")
+    planned = resize_plan(decode_images(attach_blob(docs)), max_side=512)
+    bad_bounds = planned.filter(
+        (F.col("out_w") > 512) | (F.col("out_h") > 512)
+        | (F.col("out_w") < 1) | (F.col("out_h") < 1)).count()
+    assert bad_bounds == 0
+    # aspect ratio preserved within 1-pixel floor error
+    drift = planned.filter(
+        (F.greatest("width", "height") > 512)
+        & (F.abs(F.col("out_w") / F.col("out_h")
+                 - F.col("width") / F.col("height")) > 0.05)).count()
+    assert drift == 0
+
+
+def test_sample_frames_count_matches_metadata(spark):
+    from data_warehouse_spark.io import load_table
+    docs = load_table(spark, SF, "documents")
+    blobs = attach_blob(docs)
+    frames = sample_frames(blobs, frame_every_bytes=1024)
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("byte_offset").alias("max_off"))
+    joined = per_doc.join(blobs.select("doc_id", "n_bytes"), "doc_id")
+    wrong = joined.filter(
+        (F.col("n_frames") != (F.col("n_bytes") / 1024).cast("int") + 1)
+        | (F.col("max_off") >= F.col("n_bytes") + 1024)).count()
+    assert wrong == 0
