@@ -119,3 +119,101 @@ def st4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("sess.start").alias("sess_start"),
                     F.col("sess.end").alias("sess_end"),
                     "user_id", "n_events", "sum_value"))
+
+
+def _stage_one_file(df, root: str, staged: str, name: str) -> None:
+    import os
+    tmp = f"{root}/{name}_t"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(f"{tmp}/{part}", f"{staged}/{name}.parquet")
+
+
+@register(
+    "st5_watermark_late_drop",
+    oracle=None,  # streaming watermark semantics -> rows-only (+ pytest)
+    doc="ST5: watermark / late-data handling as two REAL streaming runs "
+        "sharing a checkpoint — the reference's daily re-run cadence "
+        "(trips_lambda.py:218-221). Run 1 processes on-time data and "
+        "persists its watermark; run 2 sees a late file arrive and "
+        "drops every row older than the restored watermark "
+        "(numRowsDroppedByWatermark > 0; asserted in pytest). Bounded "
+        "state at 100 TB; exact update-in-place reference semantics = "
+        "st7's foreachBatch upsert.",
+    tags=("streaming",),
+)
+def st5_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="dws_late_")
+    staged, ckpt, outp = f"{root}/in", f"{root}/ckpt", f"{root}/out"
+    os.makedirs(staged)
+    ev = load_table(spark, sf_dir, "events")
+
+    def run_once() -> None:
+        stream = (spark.readStream.format("parquet")
+                  .schema("event_id long, ts timestamp, user_id long, "
+                          "event_type string, value double, props string")
+                  .load(staged))
+        agg = (stream.withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .select(F.col("win.start").alias("win_start"),
+                       "event_type", "n"))
+        q = (agg.writeStream.format("parquet").option("path", outp)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    on_time = ev.filter(F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+    late = ev.filter(F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp"))
+    _stage_one_file(on_time, root, staged, "a_ontime")
+    run_once()                       # watermark advances past 2024-01-05
+    _stage_one_file(late, root, staged, "b_late")
+    run_once()                       # late rows dropped by restored watermark
+    return spark.read.parquet(outp)
+
+
+@register(
+    "st6_stream_dedup",
+    oracle=None,  # stateful streaming -> rows-only (+ pytest vs batch)
+    doc="ST6: stateful streaming dedup on the log PK (bike_lambda.py:46 "
+        "PK(bike_id,timestamp) rejection) — dropDuplicates over a "
+        "watermarked stream; the watermark bounds the dedup state at "
+        "100 TB. Output = per-type surviving-row counts.",
+    tags=("streaming",),
+)
+def st6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.streaming.jobs import dedup_stream
+    stream = read_events_stream(spark, sf_dir)
+    deduped = dedup_stream(stream)
+    counts = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = start_memory_sink(counts, "st6_out", "complete")
+    q.awaitTermination()
+    return spark.sql("SELECT event_type, n FROM st6_out")
+
+
+@register(
+    "st7_foreach_upsert",
+    oracle=None,  # foreachBatch side effects -> rows-only (+ pytest)
+    doc="ST7: foreachBatch micro-batch upsert sink — the reference's "
+        "ON CONFLICT DO UPDATE load (trips_lambda.py:180-206) with "
+        "exact update-in-place semantics, per micro-batch. Returns the "
+        "final merged table state (per-user latest value).",
+    tags=("streaming", "upsert"),
+)
+def st7_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_warehouse_spark.streaming.jobs import run_foreach_batch_upsert
+    target = tempfile.mkdtemp(prefix="dws_st7_") + "/t"
+    stream = read_events_stream(spark, sf_dir)
+    latest = stream.select("user_id", "event_type", "ts", "value")
+    q = run_foreach_batch_upsert(spark, latest, target,
+                                 keys=["user_id", "event_type", "ts"])
+    q.awaitTermination()
+    back = spark.read.parquet(target)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"))

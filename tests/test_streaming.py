@@ -65,3 +65,32 @@ def test_st7_foreach_batch_upsert(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     written = spark.read.parquet(target + "/t")
     assert written.count() == ev.dropDuplicates(["user_id", "ts"]).count()
+
+
+def test_st5_watermark_drops_late_file(spark, sf_dir):
+    """ST5: a second micro-batch of rows older than the watermark must
+    not appear in the append-mode windowed output, and the finalized
+    windows must match the batch aggregate of the on-time subset."""
+    from data_warehouse_spark.queries.registry import load_all
+
+    out = {(r["win_start"], r["event_type"]): r["n"]
+           for r in load_all()["st5_watermark_late_drop"].fn(spark, sf_dir).collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    split = "2024-01-08 00:00:00"
+    on_time = ev.filter(F.col("ts") >= F.lit(split).cast("timestamp"))
+    batch = {(r["s"], r["event_type"]): r["n"]
+             for r in (on_time.groupBy(F.window("ts", "1 day").alias("win"),
+                                       "event_type")
+                       .agg(F.count(F.lit(1)).alias("n"))
+                       .select(F.col("win.start").alias("s"),
+                               "event_type", "n")).collect()}
+
+    # nothing from the late period (before 2024-01-05) leaks into output:
+    # run 2's late file was dropped by the checkpoint-restored watermark
+    late_windows = [k for k in out if str(k[0]) < "2024-01-05"]
+    assert late_windows == []
+    # every emitted (finalized) window agrees exactly with the batch
+    # aggregate over on-time rows — late rows changed nothing
+    for k, n in out.items():
+        assert batch.get(k) == n, (k, n, batch.get(k))
