@@ -13,74 +13,65 @@ from __future__ import annotations
 
 import pytest
 
+from data_warehouse_spark.plans import (
+    assert_no_cartesian, codegen_text, count_exchanges, executed_plan,
+    has_broadcast_join, has_partial_aggregation, pushed_filters,
+    read_schema, uses_take_ordered,
+)
 from data_warehouse_spark.queries.registry import load_all
 
 SF = "/root/testdata/sf0.001"
 
 
-def plan_of(spark, name: str) -> str:
-    df = load_all()[name].fn(spark, SF)
-    return df._jdf.queryExecution().executedPlan().toString()
+def q(spark, name: str):
+    return load_all()[name].fn(spark, SF)
 
 
 def test_s1_filter_pushdown(spark):
     # the range predicate must reach the scan in the raw ns domain
     # (io.scan_events_range) — not be stranded above the conversion
-    plan = plan_of(spark, "s1_scan_filter")
-    scan_line = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
-    assert "GreaterThanOrEqual(ts" in scan_line
+    assert "GreaterThanOrEqual(ts" in pushed_filters(q(spark, "s1_scan_filter"))
 
 
 def test_p1_column_pruning(spark):
-    df = load_all()["p1_project"].fn(spark, SF)
-    scan_line = [ln for ln in df._jdf.queryExecution().executedPlan().toString()
-                 .splitlines() if "ReadSchema" in ln][0]
-    # only the 4 referenced columns are read, not all 11
-    assert "l_shipdate" not in scan_line
-    assert "l_extendedprice" in scan_line
+    schema = read_schema(q(spark, "p1_project"))
+    # only the referenced columns are read, not all 11
+    assert "l_shipdate" not in schema
+    assert "l_extendedprice" in schema
 
 
 def test_j2_broadcasts_dimension(spark):
-    assert "BroadcastHashJoin" in plan_of(spark, "j2_broadcast_join")
+    assert has_broadcast_join(q(spark, "j2_broadcast_join"))
 
 
 def test_j5_range_join_is_hash_not_bnl(spark):
-    plan = plan_of(spark, "j5_range_join")
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    assert_no_cartesian(q(spark, "j5_range_join"))
 
 
 def test_o2_topk_uses_take_ordered(spark):
-    assert "TakeOrderedAndProject" in plan_of(spark, "o2_topk")
+    assert uses_take_ordered(q(spark, "o2_topk"))
 
 
 def test_a1_has_partial_aggregation(spark):
-    # partial+final hash aggregate => map-side combine before shuffle
-    plan = plan_of(spark, "a1_q1_pricing_summary")
-    assert "partial_sum" in plan and plan.count("HashAggregate") >= 2
+    assert has_partial_aggregation(q(spark, "a1_q1_pricing_summary"))
 
 
 def test_a1_whole_stage_codegen(spark):
     # the hot agg expressions must compile into a codegen stage; the
     # adaptive pre-final plan hides '*(' markers, so use codegen explain
-    df = load_all()["a1_q1_pricing_summary"].fn(spark, SF)
-    codegen = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "codegen")
-    assert "WholeStageCodegen" in codegen
+    assert "WholeStageCodegen" in codegen_text(q(spark, "a1_q1_pricing_summary"))
 
 
 def test_w5_single_exchange_for_window_and_agg(spark):
     # lag window + session-id window + groupBy all hash on user_id:
     # Catalyst reuses one exchange; only the final agg may add one.
-    plan = plan_of(spark, "w5_sessionize")
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert count_exchanges(q(spark, "w5_sessionize")) <= 2
 
 
 def test_x3_topk_no_global_sort(spark):
-    assert "TakeOrderedAndProject" in plan_of(spark, "x3_cosine_topk")
+    assert uses_take_ordered(q(spark, "x3_cosine_topk"))
 
 
 @pytest.mark.parametrize("name", ["j1_inner_join", "u1_upsert"])
 def test_no_cartesian_anywhere(spark, name):
-    plan = plan_of(spark, name)
-    assert "CartesianProduct" not in plan
+    assert "CartesianProduct" not in executed_plan(q(spark, name))
