@@ -215,3 +215,39 @@ def j8_two_source_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_clicks"))
     return views.join(clicks, "user_id")
+
+
+@register(
+    "j10_star_join",
+    oracle=f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       COUNT(*) AS n_orders, {money_sum_sql('o.o_totalprice')} AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY 1, 2
+""",
+    doc="J10: full star-schema query — fact joined through a dimension "
+        "chain (orders -> customer -> nation -> region) + aggregate, the "
+        "workload the reference's star schema (README.md:74-78) exists "
+        "for. Plan shape at any scale: the date filter pushes into the "
+        "fact scan; nation/region broadcast (bytes at any SF); customer "
+        "broadcasts at small SF and AQE keeps/demotes the strategy as "
+        "runtime stats dictate; one shuffle for the final aggregate.",
+    tags=("join", "agg"),
+)
+def j10_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (orders
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 money_sum("o_totalprice").alias("revenue")))

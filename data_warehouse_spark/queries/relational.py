@@ -429,3 +429,34 @@ def set4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 250000) \
         .select(F.col("o_custkey").alias("custkey"))
     return cust.subtract(big)
+
+
+@register(
+    "a7_salted_agg",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value * 100 AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events GROUP BY event_type
+""",
+    doc="A7 [cap]: two-phase SALTED aggregation for hot keys "
+        "(operators/skew.py) — events has only 5 event_type values, so "
+        "every row of a 100 TB log lands on 5 reducers under a naive "
+        "groupBy; salting spreads each key over 16 buckets and merges "
+        "partials (identical result for decomposable aggregates, "
+        "verified here by hash-matching the plain-GROUP BY oracle).",
+    tags=("agg", "skew"),
+)
+def a7_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.skew import salted_agg
+    from data_warehouse_spark.queries.util import cents
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev.withColumn("v_cents", cents("value")),
+        keys=["event_type"],
+        partial_aggs={"n": F.count(F.lit(1)), "s": F.sum("v_cents")},
+        merge_aggs={"n": F.sum("n"), "s": F.sum("s")},
+        salt_buckets=16,
+    )
+    return out.select("event_type", F.col("n").cast("long").alias("n"),
+                      (F.col("s").cast("long") / 100.0).alias("sum_value"))

@@ -75,3 +75,11 @@ def test_x3_topk_no_global_sort(spark):
 @pytest.mark.parametrize("name", ["j1_inner_join", "u1_upsert"])
 def test_no_cartesian_anywhere(spark, name):
     assert "CartesianProduct" not in executed_plan(q(spark, name))
+
+
+def test_a7_salted_agg_two_phase_shape(spark):
+    # phase 1 groups on (key, salt), phase 2 on key: two shuffles max,
+    # each with map-side partial aggregation
+    df = q(spark, "a7_salted_agg")
+    assert count_exchanges(df) <= 2
+    assert has_partial_aggregation(df)
