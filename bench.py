@@ -25,6 +25,7 @@ from data_warehouse_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "a1_q1_pricing_summary",   # multi-agg groupBy (TPC-H Q1 shape)
     "j2_broadcast_join",       # dim broadcast join + agg
+    "j10_star_join",           # dimension-chain star query
     "j6_asof_join",            # as-of composite
     "w5_sessionize",           # window + session agg (flagship)
     "e1_trips",                # full reference ETL query
@@ -35,6 +36,7 @@ HEADLINE = [
     "x2_minhash_lsh",          # MinHash LSH near-dup
     "x3_cosine_topk",          # vector top-k
     "x7_tfidf",                # explode + join pipeline
+    "mm2_image_resize",        # Arrow-batched multimodal decode+plan
 ]
 
 
