@@ -217,3 +217,28 @@ def st7_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 6).alias("sum_value"))
+
+
+@register(
+    "st8_custom_stateful",
+    oracle=None,  # custom stateful streaming -> rows-only (+ pytest vs batch)
+    doc="ST8 [cap]: custom stateful streaming operator via "
+        "applyInPandasWithState (streaming/jobs.py:running_user_stats) — "
+        "per-user running profiles with event-time idle expiry, state "
+        "the built-in windowed aggregates can't express. Pytest asserts "
+        "the final profiles equal the batch aggregate.",
+    tags=("streaming", "stateful"),
+)
+def st8_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.streaming.jobs import (
+        read_events_stream, running_user_stats,
+    )
+    stream = read_events_stream(spark, sf_dir)
+    q = (running_user_stats(stream).writeStream.format("memory")
+         .queryName("st8_out").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT user_id, MAX(n_events) AS n_events, "
+        "ROUND(MAX(sum_value), 6) AS sum_value "
+        "FROM st8_out WHERE NOT expired GROUP BY user_id")

@@ -105,3 +105,59 @@ def run_foreach_batch_upsert(spark: SparkSession, events: DataFrame,
     return (events.writeStream.foreachBatch(merge_batch)
             .option("checkpointLocation", target_path + "_ckpt")
             .trigger(availableNow=True).start())
+
+
+def running_user_stats(events: DataFrame, watermark: str = "1 hour",
+                       idle_gap_ms: int = 1_800_000) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running profile (event count, value sum, last-seen) that emits an
+    updated row per user per micro-batch and expires users idle longer
+    than `idle_gap_ms` of EVENT time — state the built-in windowed
+    aggregates can't express (cross-window running totals with custom
+    expiry).
+
+    Expiry uses EventTimeTimeout against the watermark, not processing
+    time: processing-time timeouts keep scheduling wake-up batches, so
+    a drain-and-stop run (Trigger.AvailableNow) never terminates, and
+    wall-clock expiry is meaningless in backfills anyway. State is
+    bounded by (active users within the idle gap) at any scale.
+
+    The reference's analogue is the incrementally-maintained fact table
+    (all_trips upserted every run, trips_lambda.py:180-206); here the
+    "table" is operator state. Arrow-batched; no driver involvement.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("user_id long, n_events long, sum_value double, "
+                  "last_ts timestamp, expired boolean")
+    state_schema = "n long, s double, last bigint"
+
+    def track(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, s, last = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "sum_value": [s],
+                                "last_ts": [pd.Timestamp(last, unit="ns")],
+                                "expired": [True]})
+            return
+        n, s, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts"].astype("int64").max()))
+        state.update((n, s, last))
+        state.setTimeoutTimestamp(last // 1_000_000 + idle_gap_ms)
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [s],
+                            "last_ts": [pd.Timestamp(last, unit="ns")],
+                            "expired": [False]})
+
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                track, outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

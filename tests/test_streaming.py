@@ -94,3 +94,37 @@ def test_st5_watermark_drops_late_file(spark, sf_dir):
     # aggregate over on-time rows — late rows changed nothing
     for k, n in out.items():
         assert batch.get(k) == n, (k, n, batch.get(k))
+
+
+def test_custom_stateful_running_stats(spark, sf_dir):
+    """applyInPandasWithState: the per-user running profile must match
+    the batch aggregate after one availableNow pass, and a second run
+    over the same checkpoint must ACCUMULATE (proving state persisted),
+    not recompute."""
+    import tempfile
+
+    from data_warehouse_spark.streaming.jobs import running_user_stats
+
+    ckpt = tempfile.mkdtemp(prefix="dws_state_")
+
+    def run(name):
+        stream = read_events_stream(spark, sf_dir)
+        q = (running_user_stats(stream).writeStream.format("memory")
+             .queryName(name).outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        # keep each user's final (largest n_events) update; ignore expiry rows
+        rows = spark.sql(f"SELECT * FROM {name} WHERE NOT expired").collect()
+        out = {}
+        for r in rows:
+            if r.user_id not in out or r.n_events > out[r.user_id][0]:
+                out[r.user_id] = (r.n_events, round(r.sum_value, 6))
+        return out
+
+    got = run("state_r1")
+    ev = load_table(spark, sf_dir, "events")
+    want = {r.user_id: (r.n, round(r.s, 6))
+            for r in ev.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")).collect()}
+    assert got == want
