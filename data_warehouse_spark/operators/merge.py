@@ -49,3 +49,36 @@ def dedup_by_key(df: DataFrame, keys: list[str]) -> DataFrame:
     """PK-rejection dedup (bike_lambda.py:46): arbitrary-but-single row
     per key, as dropDuplicates."""
     return df.dropDuplicates(keys)
+
+
+def merge_into_partitioned(spark, target_path: str, new: DataFrame,
+                           keys: list[str], ts_col: str) -> None:
+    """The 100 TB upsert: MERGE `new` into a dt-partitioned parquet
+    table rewriting ONLY the date partitions `new` touches.
+
+    1. the affected dates are computed from `new` (a tiny distinct);
+    2. only those partitions of the target are read back (partition
+       pruning — O(days touched), not O(table));
+    3. upsert(old_slice, new) writes back with dynamic partition
+       overwrite, so untouched partitions' files are never rewritten.
+
+    This is the reference's idempotent 24h-window re-run
+    (trips_lambda.py:186-206,218-221) at warehouse scale: a daily batch
+    rewrites one or two partitions of an arbitrarily large fact table.
+    Requires spark.sql.sources.partitionOverwriteMode=dynamic (set here
+    per-write via the DataFrameWriter option).
+    """
+    from pyspark.sql import functions as F
+
+    new_dt = new.withColumn("dt", F.to_date(F.col(ts_col)))
+    dates = [r.dt for r in new_dt.select("dt").distinct().collect()]
+
+    try:
+        old = spark.read.parquet(target_path).filter(F.col("dt").isin(dates))
+        merged = upsert(old, new_dt.select(*old.columns), keys=keys)
+    except Exception:  # first load: target does not exist yet
+        merged = new_dt
+
+    (merged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("dt").parquet(target_path))

@@ -87,3 +87,56 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert 0 in approx
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_merge_into_partitioned_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    """The 100 TB upsert path: a one-day batch must leave every other
+    date partition's files untouched on disk, and a ts-range scan of
+    the result must prune partitions (PartitionFilters in the plan)."""
+    import os
+
+    from data_warehouse_spark.io import load_table, write_partitioned
+    from data_warehouse_spark.operators.merge import merge_into_partitioned
+
+    target = str(tmp_path / "fact")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    write_partitioned(ev, target, ts_col="ts")
+
+    def file_states(root):
+        out = {}
+        for dirp, _, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirp, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = file_states(target)
+
+    batch = (ev.filter(F.col("ts").between("2024-01-10 00:00:00",
+                                           "2024-01-10 23:59:59"))
+             .withColumn("value", F.col("value") + 1000.0))
+    merge_into_partitioned(spark, target, batch,
+                           keys=["event_id"], ts_col="ts")
+
+    after = file_states(target)
+    changed_dirs = {os.path.dirname(p) for p in set(before) ^ set(after)}
+    changed_dirs |= {os.path.dirname(p) for p in before
+                     if p in after and before[p] != after[p]}
+    # only the dt=2024-01-10 partition directory was rewritten
+    assert changed_dirs and all(d.endswith("dt=2024-01-10") for d in changed_dirs), changed_dirs
+
+    # merged values took effect, row count unchanged (pure update)
+    back = spark.read.parquet(target)
+    assert back.count() == ev.count()
+    day = back.filter(F.col("dt") == "2024-01-10")
+    orig_day = ev.filter(F.col("ts").between("2024-01-10 00:00:00",
+                                             "2024-01-10 23:59:59"))
+    assert day.count() == orig_day.count()
+    assert day.agg(F.min("value")).first()[0] >= 1000.0
+
+    # partition pruning: a date filter must reach the partition index
+    plan = back.filter(F.col("dt") == "2024-01-10")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:120]
