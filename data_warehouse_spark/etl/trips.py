@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from data_warehouse_spark.functions.geo import haversine_km
 from data_warehouse_spark.functions.timeutils import to_local
-from data_warehouse_spark.operators.merge import upsert
+from data_warehouse_spark.operators.merge import merge_into_partitioned
 
 
 @dataclass(frozen=True)
@@ -103,11 +103,9 @@ def run_incremental(spark: SparkSession, source_path: str, target_path: str,
               .filter((F.col("timestamp") >= F.lit(window_start))
                       & (F.col("timestamp") < F.lit(window_end))))
     new_trips = build_trips(status, cfg)
-    try:
-        old = spark.read.parquet(target_path)
-        merged = upsert(old, new_trips, keys=["bike_id", "trip_start"])
-    except Exception:  # first load
-        merged = new_trips
-    merged.write.mode("overwrite").parquet(target_path + ".staging")
-    spark.read.parquet(target_path + ".staging").write.mode("overwrite") \
-        .parquet(target_path)
+    # Partition-scoped MERGE (operators/merge.py): only the dt
+    # partitions the window's trips fall into are read and rewritten —
+    # the daily run costs O(1 day), not O(table), at any fact size.
+    merge_into_partitioned(spark, target_path, new_trips,
+                           keys=["bike_id", "trip_start"],
+                           ts_col="trip_start")
