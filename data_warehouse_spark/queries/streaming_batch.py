@@ -17,7 +17,10 @@ from data_warehouse_spark.streaming.jobs import read_events_stream, start_memory
 
 @register(
     "st1_stream_source",
-    oracle=None,  # streaming execution -> rows-only
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
     doc="ST1: streaming file source (the Lambda poll loop, "
         "bike_lambda.py:52-59) driven to completion with AvailableNow; "
         "returns per-type counts computed by a real streaming query.",
@@ -131,7 +134,16 @@ def _stage_one_file(df, root: str, staged: str, name: str) -> None:
 
 @register(
     "st5_watermark_late_drop",
-    oracle=None,  # streaming watermark semantics -> rows-only (+ pytest)
+    oracle="""
+WITH on_time AS (SELECT * FROM events
+                 WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM on_time)
+SELECT x.win_start, x.event_type, x.n
+FROM (SELECT date_trunc('day', ts) AS win_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM on_time GROUP BY 1, 2) x, wm
+WHERE x.win_start + INTERVAL 1 DAY <= wm.w
+""",
     doc="ST5: watermark / late-data handling as two REAL streaming runs "
         "sharing a checkpoint — the reference's daily re-run cadence "
         "(trips_lambda.py:218-221). Run 1 processes on-time data and "
@@ -221,7 +233,11 @@ def st7_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st8_custom_stateful",
-    oracle=None,  # custom stateful streaming -> rows-only (+ pytest vs batch)
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY user_id
+""",
     doc="ST8 [cap]: custom stateful streaming operator via "
         "applyInPandasWithState (streaming/jobs.py:running_user_stats) — "
         "per-user running profiles with event-time idle expiry, state "

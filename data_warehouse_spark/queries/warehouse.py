@@ -96,7 +96,13 @@ def u2_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s2_rest_json_source",
-    oracle=None,  # payload is engine-embedded, not a fixture table -> rows-only
+    oracle="""
+SELECT * FROM (VALUES
+  ('b1', 'p1', 47.37, 8.54, false, false, TIMESTAMP '2023-11-14 22:13:20'),
+  ('b2', 'p1', 46.95, 7.45, true,  false, TIMESTAMP '2023-11-14 22:13:20'),
+  ('b3', 'p2', 46.20, 6.14, false, true,  TIMESTAMP '2023-11-14 22:13:20')
+) AS t(bike_id, provider_id, lat, lon, is_reserved, is_disabled, observed_at)
+""",
     doc="S2: REST/JSON snapshot source (GBFS free_bike_status, "
         "bike_lambda.py:20,54-58). The HTTP GET is orchestration; the "
         "engine part — from_json with explicit schema, nested array "
@@ -110,7 +116,16 @@ def s2_rest_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s3_parallel_fetch",
-    oracle=None,
+    oracle="""
+SELECT * FROM (VALUES
+  ('Zurich',   42,  9.0, 50, 18),
+  ('Bern',     28,  6.0, 50, 12),
+  ('Geneva',   42,  9.0, 50, 18),
+  ('Basel',    35,  7.5, 50, 15),
+  ('Lausanne', 56, 12.0, 50, 24),
+  ('Lugano',   42,  9.0, 50, 18)
+) AS t(city, aqi, temperature, humidity, pm25)
+""",
     doc="S3: parallel per-city fan-out fetch (air_lambda.py:37-60,79-88; "
         "ThreadPool(3)). Spark-native: the city list is a DataFrame, "
         "repartitioned so each task fetches one city inside "
