@@ -205,6 +205,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     grams = spread_for_compute(df).select(
         F.col(id_col).alias("id"), F.col(block_col).alias("block"),
         F.explode(F.array_distinct(_shingles(text_col, n))).alias("g"))
+    # one explicit shuffle on the join key: both self-join sides and the
+    # size aggregate hang off the same exchange, so the expensive
+    # shingle explode is computed once (AQE reuses the exchange) instead
+    # of once per consumer
+    grams = grams.repartition("block", "g")
     sizes = grams.groupBy("id", "block").agg(F.count(F.lit(1)).alias("n_g"))
     inter = (grams.withColumnRenamed("id", "id_a")
              .join(grams.withColumnRenamed("id", "id_b"), on=["block", "g"])

@@ -251,3 +251,35 @@ def j10_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  money_sum("o_totalprice").alias("revenue")))
+
+
+@register(
+    "j11_fact_fact_join",
+    oracle=f"""
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_items,
+       {money_sum_sql('l.l_extendedprice')} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate > o.o_orderdate
+GROUP BY 1
+""",
+    doc="J11 [cap]: fact-to-fact join (lineitem x orders) — the join "
+        "shape broadcasting can't save. Both sides shuffle hashed on "
+        "the order key (sort-merge or shuffled-hash per AQE's runtime "
+        "stats, skew-split enabled); the date filter pushes into the "
+        "orders scan and the join-key filter prunes lineitem via "
+        "runtime DPP-style reuse where available. The post-join "
+        "predicate (shipdate > orderdate) evaluates inside the join's "
+        "codegen stage.",
+    tags=("join", "agg"),
+)
+def j11_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 money_sum("l_extendedprice").alias("revenue")))
