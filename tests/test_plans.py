@@ -83,3 +83,30 @@ def test_a7_salted_agg_two_phase_shape(spark):
     df = q(spark, "a7_salted_agg")
     assert count_exchanges(df) <= 2
     assert has_partial_aggregation(df)
+
+
+def test_bucketed_table_removes_sessionization_shuffle(spark, tmp_path):
+    """SCALE.md's bucketing claim, proven on the optimizer's output: a
+    window+groupBy on the bucket key reads pre-shuffled buckets and
+    needs ZERO exchanges (vs 1 on the plain parquet scan)."""
+    from pyspark.sql import Window, functions as F
+
+    from data_warehouse_spark.io import load_table, write_bucketed
+
+    ev = load_table(spark, SF, "events")
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed_test")
+    write_bucketed(ev, "ev_bucketed_test", str(tmp_path / "evb"),
+                   key="user_id", n_buckets=8, sort_cols=["user_id", "ts"])
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+
+    def pipeline(src):
+        return (src.withColumn("prev", F.lag("ts").over(w))
+                .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")))
+
+    assert count_exchanges(pipeline(spark.table("ev_bucketed_test"))) == 0
+    assert count_exchanges(pipeline(ev)) >= 1
+    # same results either way
+    a = {(r.user_id, r.n) for r in pipeline(spark.table("ev_bucketed_test")).collect()}
+    b = {(r.user_id, r.n) for r in pipeline(ev).collect()}
+    assert a == b
