@@ -16,7 +16,6 @@ Prints a markdown table and one JSON line.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
 import time
@@ -33,16 +32,14 @@ from data_warehouse_spark.session import get_spark  # noqa: E402
 
 
 def amplify(df: DataFrame, n: int, tag_col: str, key_col: str) -> DataFrame:
-    """N logical copies via unioned scans, with the duplicated key
-    salted per copy so group/session/dedup cardinality scales with the
-    data (a pure copy would just deepen each group)."""
-    copies = [
-        df.withColumn(tag_col, F.lit(i)).withColumn(
-            key_col, F.concat_ws("#", F.col(key_col).cast("string"),
-                                 F.lit(str(i))))
-        for i in range(n)
-    ]
-    return functools.reduce(lambda a, b: a.unionByName(b), copies)
+    """N logical copies via an in-task row explosion (one scan — the
+    shape of one genuinely large table), with the duplicated key salted
+    per copy so group/session/dedup cardinality scales with the data
+    (a pure copy would just deepen each group)."""
+    return (df.withColumn(tag_col, F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+            .withColumn(key_col, F.concat_ws(
+                "#", F.col(key_col).cast("string"),
+                F.col(tag_col).cast("string"))))
 
 
 def pipelines(spark, sf_dir: str, n: int):
@@ -79,11 +76,15 @@ def main() -> int:
     for name, build in pipelines(spark, args.sf, 1).items():
         build().write.format("noop").mode("overwrite").save()
 
-    for n in mults:
-        for name, build in pipelines(spark, args.sf, n).items():
-            t0 = time.time()
-            build().write.format("noop").mode("overwrite").save()
-            results.setdefault(name, {})[str(n)] = round(time.time() - t0, 3)
+    # best-of-2 per cell: shared hardware swings single-shot timings
+    for _ in range(2):
+        for n in mults:
+            for name, build in pipelines(spark, args.sf, n).items():
+                t0 = time.time()
+                build().write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 3)
+                prev = results.setdefault(name, {}).get(str(n), dt)
+                results[name][str(n)] = min(prev, dt)
 
     print("| pipeline | " + " | ".join(f"{n}x" for n in mults) +
           " | t(max)/t(1x) vs data(max)/data(1x) |")
