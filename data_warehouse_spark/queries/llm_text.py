@@ -368,3 +368,59 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id",
                          F.col("frame_idx").cast("long").alias("frame_idx"),
                          F.col("byte_offset").cast("long").alias("byte_offset"))
+
+
+@register(
+    "mm4_feature_ann",
+    oracle="""
+WITH feats AS (
+    SELECT doc_id,
+           CAST(strlen(text) % 7  AS DOUBLE) AS f0,
+           CAST(strlen(text) % 11 AS DOUBLE) AS f1,
+           CAST(strlen(text) % 13 AS DOUBLE) AS f2
+    FROM documents
+)
+SELECT doc_id,
+       ROUND((f0 * 1.0 + f1 * 2.0 + f2 * 3.0)
+             / (sqrt(f0*f0 + f1*f1 + f2*f2) * sqrt(14.0)), 6) AS cos_sim
+FROM feats
+WHERE f0*f0 + f1*f1 + f2*f2 > 0
+ORDER BY cos_sim DESC, doc_id
+LIMIT 20
+""",
+    doc="MM4 [ext]: the full multimodal -> similarity pipeline in one "
+        "plan: opaque binary payload -> Arrow-batched feature-extract "
+        "stub (mapInPandas; a real pipeline plugs an image/audio "
+        "encoder here) -> JVM-side cosine top-k (TakeOrderedAndProject) "
+        "against a query vector. Demonstrates that decoded features "
+        "compose directly with the vector operators — no driver hop "
+        "between the Python decode stage and the similarity search.",
+    tags=("ext", "multimodal", "vector"),
+)
+def mm4_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from data_warehouse_spark.operators.multimodal import attach_blob
+    from data_warehouse_spark.operators.similarity import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_blob(docs)
+
+    def extract(batches):
+        for pdf in batches:
+            n = pdf["blob"].map(len)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "features": [[float(v % 7), float(v % 11), float(v % 13)]
+                             for v in n],
+            })
+
+    feats = blobs.mapInPandas(extract,
+                              schema="doc_id long, features array<double>")
+    q = F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0))
+    sim = cosine(F.col("features"), q)
+    nonzero = F.aggregate(F.transform("features", lambda x: x * x),
+                          F.lit(0.0), lambda a, x: a + x) > 0
+    return (feats.filter(nonzero)
+            .select("doc_id", F.round(sim, 6).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), "doc_id").limit(20))
