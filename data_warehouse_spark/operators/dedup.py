@@ -166,25 +166,39 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
-                       max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4 x 16-bit
-    chunks (pigeonhole: hamming<=max -> some chunk equal for small max),
-    bucket-join on chunks, verify with bit_count(xor)."""
-    fps = simhash_fingerprints(df, text_col, id_col)
+def simhash_pairs_from_fingerprints(fps: DataFrame, id_col: str,
+                                    max_hamming: int,
+                                    fp_col: str = "simhash") -> DataFrame:
+    """Band 64-bit fingerprints into ``max_hamming + 1`` chunks (Manku,
+    Jain & Sarma, WWW'07: with h differing bits and h+1 chunks, the
+    pigeonhole principle guarantees at least one chunk is identical),
+    bucket-join on (chunk, value), verify with bit_count(xor).
+
+    A fixed chunk count below ``max_hamming + 1`` silently loses recall
+    — e.g. 4 chunks with max_hamming=4 misses every pair whose 4
+    differing bits fall one per chunk — so the chunk count is derived,
+    never configured. Chunk widths split 64 as evenly as possible
+    (width >= 1 requires max_hamming <= 63).
+    """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63] for 64-bit SimHash")
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     chunks = fps.select(
-        id_col, "simhash",
+        id_col, fp_col,
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
-                     .alias("val"))
-            for c in range(4)
+                     F.shiftright(fp_col, offsets[c])
+                     .bitwiseAND(F.lit((1 << widths[c]) - 1)).alias("val"))
+            for c in range(n_chunks)
         ])).alias("cc"),
-    ).select(id_col, "simhash", "cc.chunk", "cc.val")
+    ).select(id_col, fp_col, "cc.chunk", "cc.val")
     a = chunks.select(F.col(id_col).alias("id_a"),
-                      F.col("simhash").alias("sh_a"), "chunk", "val")
+                      F.col(fp_col).alias("sh_a"), "chunk", "val")
     b = chunks.select(F.col(id_col).alias("id_b"),
-                      F.col("simhash").alias("sh_b"), "chunk", "val")
+                      F.col(fp_col).alias("sh_b"), "chunk", "val")
     return (a.join(b, on=["chunk", "val"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
@@ -192,6 +206,14 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                     .alias("hamming"))
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
+                       max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: fingerprint, then Manku-style
+    (max_hamming + 1)-chunk banding with exact hamming verify."""
+    fps = simhash_fingerprints(df, text_col, id_col)
+    return simhash_pairs_from_fingerprints(fps, id_col, max_hamming)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,

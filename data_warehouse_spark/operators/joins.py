@@ -31,28 +31,39 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, left_ts: str,
     right_ts <= left_ts (per key `on`). Nulls where no prior right row.
 
     Implementation: tag and union both sides, then last(value,
-    ignorenulls=True) over (partition by key order by ts, side) with an
-    unbounded-preceding frame. Left rows sort after right rows at equal
-    ts (side 1 > 0) so an exactly-simultaneous right row is visible,
-    matching e.g. DuckDB ASOF JOIN (ts >= match) semantics.
+    ignorenulls=True) over (partition by key order by ts, side, rid)
+    with an unbounded-preceding frame. Left rows sort after right rows
+    at equal ts (side 1 > 0) so an exactly-simultaneous right row is
+    visible, matching e.g. DuckDB ASOF JOIN (ts >= match) semantics.
+
+    Ties among right rows sharing (key, ts) are broken by a content
+    hash of the right row (``__rid``): without it the window order is
+    nondeterministic across shuffles, so repeated runs (or the oracle
+    comparison) could see different winners. The hash is computed from
+    the row's values, so the winner is stable no matter how the data is
+    partitioned; the highest hash wins.
     """
     if direction != "backward":
         raise ValueError("only backward as-of supported")
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
     lcols = [c for c in left.columns]
     tagged_r = right.select(
         F.col(on).alias("__k"), F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        F.xxhash64(*[F.col(c) for c in right.columns]).alias("__rid"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
     )
     tagged_l = left.select(
         F.col(on).alias("__k"), F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(1).alias("__side"), F.lit(0).cast("long").alias("__rid"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__v_{c}") for c in value_cols],
         *lcols,
     )
     unioned = tagged_r.unionByName(tagged_l)
-    w = (Window.partitionBy("__k").orderBy("__ts", "__side")
+    w = (Window.partitionBy("__k").orderBy("__ts", "__side", "__rid")
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = unioned.select(
         "*", *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")

@@ -25,13 +25,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def upsert(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
-    """INSERT ... ON CONFLICT(keys) DO UPDATE equivalent: every row of
-    `new`, plus rows of `old` whose key is absent from `new`.
+def upsert(old: DataFrame, new: DataFrame, keys: list[str],
+           order_col: str | None = None) -> DataFrame:
+    """INSERT ... ON CONFLICT(keys) DO UPDATE equivalent: one row per
+    key of `new`, plus rows of `old` whose key is absent from `new`.
+
+    The PK contract (trips_lambda.py:180-206 collapses to one row per
+    key) must hold even when one batch carries the same key twice, so
+    `new` is key-deduplicated here — when `order_col` is given the
+    highest value wins (deterministic); otherwise an arbitrary single
+    row survives (dropDuplicates), matching dedup_by_key semantics.
 
     Columns must match. Idempotent: upsert(upsert(o, n), n) ==
     upsert(o, n).
     """
+    if order_col is not None:
+        new = dedup_latest(new, keys, order_col)
+    else:
+        new = new.dropDuplicates(keys)
     survivors = old.join(new.select(*keys).distinct(), on=keys, how="left_anti")
     return survivors.unionByName(new)
 
@@ -71,14 +82,37 @@ def merge_into_partitioned(spark, target_path: str, new: DataFrame,
     from pyspark.sql import functions as F
 
     new_dt = new.withColumn("dt", F.to_date(F.col(ts_col)))
-    dates = [r.dt for r in new_dt.select("dt").distinct().collect()]
+    # bounded driver-side list: one entry per calendar day touched by
+    # the batch (the reference's window is 1-2 days); guard so a
+    # mis-typed ts_col can't explode it into a per-row collect
+    dates = [r.dt for r in new_dt.select("dt").distinct().limit(10_001).collect()]
+    if len(dates) > 10_000:
+        raise ValueError(
+            f"merge batch touches >10000 distinct {ts_col} dates; "
+            "that is a full-table rewrite, not a partition merge")
 
-    try:
+    # Existence is checked explicitly (Hadoop FS), never inferred from a
+    # read failure: a bare try/except here once treated ANY transient
+    # read/listing error as "first load", degraded the merge to
+    # new-rows-only, and the dynamic partition overwrite then silently
+    # dropped the old rows of every touched partition.
+    if target_exists(spark, target_path):
         old = spark.read.parquet(target_path).filter(F.col("dt").isin(dates))
         merged = upsert(old, new_dt.select(*old.columns), keys=keys)
-    except Exception:  # first load: target does not exist yet
+    else:
         merged = new_dt
 
     (merged.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy("dt").parquet(target_path))
+
+
+def target_exists(spark, path: str) -> bool:
+    """True iff `path` exists on its filesystem (local, HDFS, or object
+    store — resolved through the Hadoop FS API, so the check matches
+    whatever the read would see). Errors here propagate: an unreachable
+    filesystem must fail the merge loudly, not masquerade as a first
+    load."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))

@@ -70,8 +70,8 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x2b_simhash",
     oracle=None,
-    doc="X2b: SimHash near-dup pairs (64-bit fingerprints, 16-bit chunk "
-        "banding, hamming <= 4).",
+    doc="X2b: SimHash near-dup pairs (64-bit fingerprints, Manku-style "
+        "max_hamming+1 chunk banding, hamming <= 4).",
     tags=("ext", "dedup"),
 )
 def x2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -34,17 +34,26 @@ class QuerySpec:
 QUERIES: dict[str, QuerySpec] = {}
 
 # Modules that register queries on import (appended to as coverage grows).
+#
+# ORDER MATTERS for external verification: the driver's correctness gate
+# checks the first 50 registry entries in module-load order. Rounds 1-2
+# loaded the relational core first, so the warehouse / streaming / UDF /
+# LLM-text / vector surface (37 queries) never received a driver-verified
+# row. This order puts those 37 first and fills the remaining 13 slots
+# with the flagship sessionization (2) and the join suite (11); the
+# relational/window/scalar modules (already driver-green in rounds 1-2,
+# see CORRECTNESS_r02.json: 49/50 hash-matched) load last.
 _QUERY_MODULES = [
-    "data_warehouse_spark.queries.sessions",
-    "data_warehouse_spark.queries.relational",
-    "data_warehouse_spark.queries.joins",
-    "data_warehouse_spark.queries.windows",
-    "data_warehouse_spark.queries.scalars",
     "data_warehouse_spark.queries.warehouse",
     "data_warehouse_spark.queries.streaming_batch",
     "data_warehouse_spark.queries.udfs",
     "data_warehouse_spark.queries.llm_text",
     "data_warehouse_spark.queries.llm_vector",
+    "data_warehouse_spark.queries.sessions",
+    "data_warehouse_spark.queries.joins",
+    "data_warehouse_spark.queries.relational",
+    "data_warehouse_spark.queries.windows",
+    "data_warehouse_spark.queries.scalars",
 ]
 
 

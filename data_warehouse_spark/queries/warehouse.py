@@ -129,10 +129,11 @@ SELECT * FROM (VALUES
     doc="S3: parallel per-city fan-out fetch (air_lambda.py:37-60,79-88; "
         "ThreadPool(3)). Spark-native: the city list is a DataFrame, "
         "repartitioned so each task fetches one city inside "
-        "mapInPandas — parallelism is executor-task parallelism, not "
-        "client threads. The fetch itself is stubbed deterministically "
-        "(container has no network); the partitioning + batch plumbing "
-        "is real.",
+        "mapInPandas — parallelism is executor-task parallelism "
+        "(default min(n_keys, defaultParallelism), one task per key at "
+        "cluster scale), not client threads. The fetch itself is "
+        "stubbed deterministically (container has no network); the "
+        "partitioning + batch plumbing is real.",
     tags=("source",),
 )
 def s3_parallel_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,7 +141,7 @@ def s3_parallel_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("Zurich",), ("Bern",), ("Geneva",), ("Basel",), ("Lausanne",), ("Lugano",)],
         ["city"],
     )
-    return fetch_air_quality(cities, parallelism=3)
+    return fetch_air_quality(cities)
 
 
 @register(

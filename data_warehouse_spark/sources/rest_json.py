@@ -94,17 +94,25 @@ AIR_QUALITY_SCHEMA = ("city string, aqi int, temperature double, "
 
 def fetch_air_quality(keys: DataFrame,
                       fetch: Callable[[str], dict] = _stub_city_fetch,
-                      parallelism: int = 3) -> DataFrame:
+                      parallelism: int | None = None) -> DataFrame:
     """S3: fan-out per-key REST fetch as a mapInPandas source.
 
     The reference caps client-side concurrency with ThreadPool(3)
-    (air_lambda.py:79); here `repartition(parallelism)` makes each
-    executor task fetch one slice of the key list — the cap scales with
-    the cluster instead of a single client. Per-unit error isolation
-    (weather_lambda.py:147-149: one failed city never kills the batch)
-    maps to the try/except inside the batch loop.
+    (air_lambda.py:79) — a single-client constant. Here the fan-out
+    defaults to min(n_keys, defaultParallelism): one fetch task per key
+    up to the cluster's task slots, so a 1000-executor cluster fans a
+    large key list across every core instead of inheriting a laptop's
+    thread-pool cap. Pass ``parallelism=3`` explicitly for
+    reference-compatible pacing (e.g. a rate-limited API). Per-unit
+    error isolation (weather_lambda.py:147-149: one failed city never
+    kills the batch) maps to the try/except inside the batch loop.
     """
     import pandas as pd
+
+    if parallelism is None:
+        n_keys = keys.count()  # key lists are small (city dims, shard ids)
+        parallelism = max(1, min(
+            n_keys, keys.sparkSession.sparkContext.defaultParallelism))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from data_warehouse_spark.operators.merge import upsert
+from data_warehouse_spark.operators.merge import merge_into_partitioned
 
 EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
                  "event_type string, value double, props string")
@@ -86,21 +86,21 @@ def start_memory_sink(df: DataFrame, name: str, output_mode: str) -> StreamingQu
 
 
 def run_foreach_batch_upsert(spark: SparkSession, events: DataFrame,
-                             target_path: str, keys: list[str]) -> StreamingQuery:
+                             target_path: str, keys: list[str],
+                             ts_col: str = "ts") -> StreamingQuery:
     """ST7: micro-batch upsert sink — the reference's ON CONFLICT load
-    (trips_lambda.py:180-206) per micro-batch via foreachBatch."""
+    (trips_lambda.py:180-206) per micro-batch via foreachBatch.
+
+    Each batch routes through ``merge_into_partitioned``: explicit
+    target-existence check (no read-error-means-first-load guessing),
+    one dynamic-partition-overwrite write (no stage→target double
+    overwrite a crash could halve), and only the date partitions the
+    batch touches rewrite — the same code path as the batch MERGE, so
+    stream and batch loads cannot drift semantically.
+    """
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        spark_ = batch.sparkSession
-        try:
-            old = spark_.read.parquet(target_path)
-            merged = upsert(old, batch, keys=keys)
-        except Exception:  # first batch: target doesn't exist yet
-            merged = batch
-        # Plain overwrite for the fixture-scale sink; at scale this is a
-        # dynamic partition overwrite keyed by date (operators/merge.py).
-        merged.write.mode("overwrite").parquet(target_path + "_stage")
-        spark_.read.parquet(target_path + "_stage").write.mode("overwrite") \
-            .parquet(target_path)
+        merge_into_partitioned(batch.sparkSession, target_path, batch,
+                               keys=keys, ts_col=ts_col)
 
     return (events.writeStream.foreachBatch(merge_batch)
             .option("checkpointLocation", target_path + "_ckpt")

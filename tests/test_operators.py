@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.operators.dedup import (
     exact_dedup, minhash_lsh_pairs, simhash_near_pairs,
+    simhash_pairs_from_fingerprints,
 )
 from data_warehouse_spark.operators.joins import asof_join
 from data_warehouse_spark.operators.merge import upsert
@@ -73,6 +74,90 @@ def test_simhash_planted_dup_hamming_zero(spark, sf_dir):
     pairs = simhash_near_pairs(corpus, "text", "doc_id", max_hamming=3).collect()
     match = [p for p in pairs if {p.id_a, p.id_b} == {1, 9001}]
     assert match and match[0].hamming == 0
+
+
+def test_simhash_banding_catches_one_bit_per_chunk(spark):
+    """Recall regression test for the Manku banding fix: a hamming-4
+    pair whose 4 differing bits fall one per 16-bit quarter (bits 0,
+    16, 32, 48) shares NO chunk under the old fixed 4x16 banding and
+    was silently missed. With max_hamming+1 = 5 chunks the pigeonhole
+    guarantee holds and the pair must surface."""
+    spread = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    fps = spark.createDataFrame(
+        [Row(id=1, simhash=0), Row(id=2, simhash=spread),
+         # control: hamming 5 > max_hamming must not pass the verify
+         Row(id=3, simhash=spread | (1 << 60))])
+    out = simhash_pairs_from_fingerprints(fps, "id", max_hamming=4).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in out}
+    assert got.get((1, 2)) == 4, f"spread-bit pair missed: {got}"
+    assert (1, 3) not in got
+
+
+def test_simhash_rejects_invalid_max_hamming(spark):
+    import pytest
+    fps = spark.createDataFrame([Row(id=1, simhash=0)])
+    with pytest.raises(ValueError):
+        simhash_pairs_from_fingerprints(fps, "id", max_hamming=64)
+
+
+def test_upsert_collapses_duplicate_keys_within_batch(spark):
+    """PK contract (trips_lambda.py:180-206): one surviving row per key
+    even when a single batch carries the same key twice; with order_col
+    the highest-ordered version wins deterministically."""
+    old = spark.createDataFrame([Row(k=1, v=10, ver=0)])
+    new = spark.createDataFrame(
+        [Row(k=1, v=20, ver=1), Row(k=1, v=30, ver=2),
+         Row(k=2, v=40, ver=1), Row(k=2, v=50, ver=2)])
+    out = upsert(old, new, ["k"], order_col="ver")
+    assert {(r.k, r.v) for r in out.collect()} == {(1, 30), (2, 50)}
+    # without order_col: still exactly one row per key
+    arbitrary = upsert(old, new, ["k"])
+    counts = arbitrary.groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in counts)
+
+
+def test_asof_join_tie_break_is_partition_invariant(spark):
+    """Several right rows sharing (key, ts): the winner must be the
+    same whatever the physical partitioning — the content-hash sort key
+    makes last() deterministic across shuffles."""
+    import datetime as dt
+    t = dt.datetime(2024, 1, 1, 0, 10)
+    left = spark.createDataFrame([Row(k=1, ts=t)])
+    right = spark.createDataFrame(
+        [Row(k=1, rts=t, w=float(i)) for i in range(8)])
+    outs = []
+    for nparts in (1, 3, 7):
+        out = asof_join(left, right.repartition(nparts), on="k",
+                        left_ts="ts", right_ts="rts", value_cols=["w"])
+        outs.append([r.w for r in out.collect()])
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 1 and outs[0][0] in {float(i) for i in range(8)}
+
+
+def test_merge_read_failure_raises_instead_of_dropping(spark, sf_dir, tmp_path):
+    """A corrupt/unreadable existing target must fail the merge loudly.
+    The old bare-except path classified any read error as 'first load'
+    and the dynamic overwrite then dropped the old rows of every
+    touched partition."""
+    import os
+
+    import pytest
+
+    from data_warehouse_spark.operators.merge import merge_into_partitioned
+
+    target = str(tmp_path / "fact")
+    os.makedirs(target)
+    with open(os.path.join(target, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value").limit(10)
+    with pytest.raises(Exception):
+        merge_into_partitioned(spark, target, batch,
+                               keys=["event_id"], ts_col="ts")
+    # the corrupt target was not clobbered by a new-only overwrite
+    with open(os.path.join(target, "part-00000.parquet"), "rb") as f:
+        assert f.read() == b"this is not a parquet file"
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):

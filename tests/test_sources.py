@@ -44,6 +44,19 @@ def test_fetch_air_quality_per_unit_error_isolation(spark):
     assert sorted(r.city for r in rows) == ["Bern", "Zurich"]
 
 
+def test_fetch_air_quality_fanout_scales_with_cluster(spark):
+    """S3 de-cap: default fan-out is min(n_keys, defaultParallelism) —
+    one fetch task per key up to the cluster's slots — not the
+    reference's fixed ThreadPool(3) (air_lambda.py:79), which stays
+    available as an explicit argument for rate-limited APIs."""
+    cities = spark.createDataFrame([(f"c{i}",) for i in range(40)], ["city"])
+    dp = spark.sparkContext.defaultParallelism
+    out = fetch_air_quality(cities)
+    assert out.rdd.getNumPartitions() == min(40, dp)
+    capped = fetch_air_quality(cities, parallelism=3)
+    assert capped.rdd.getNumPartitions() == 3
+
+
 def test_jdbc_partitioned_read_options():
     conn = connection_options("db.example", "warehouse", "u", "p")
     assert conn["url"].startswith("jdbc:postgresql://db.example:5432/warehouse")
