@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from data_warehouse_spark.io import load_table
-from data_warehouse_spark.operators.spatial import grid_spatial_join
 from data_warehouse_spark.queries.registry import register
 from data_warehouse_spark.queries.util import money_sum_sql
 
@@ -113,44 +112,65 @@ def udf4_udtf_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_words, schema="doc_id long, word string")
 
 
+# Five deterministic test regions as true polygon rings (lon, lat):
+# four diamonds (non-axis-aligned edges) and one concave chevron
+# (region 2 — a rectangle with a V-notch cut into its top edge), so the
+# exact test cannot be faked by a bbox check. The SQL oracle's edge
+# table is generated from THIS literal, so the two sides cannot drift.
+_POLYGONS: list[tuple[int, list[tuple[float, float]]]] = [
+    (0, [(-140.0, 29.0), (-126.0, 15.0), (-140.0, 1.0), (-154.0, 15.0)]),
+    (1, [(-70.0, 51.0), (-54.0, 35.0), (-70.0, 19.0), (-86.0, 35.0)]),
+    (2, [(-16.0, 70.0), (0.0, 54.0), (16.0, 70.0), (16.0, 40.0), (-16.0, 40.0)]),
+    (3, [(60.0, 43.0), (78.0, 25.0), (60.0, 7.0), (42.0, 25.0)]),
+    (4, [(120.0, 82.0), (132.0, 74.0), (127.0, 58.0), (113.0, 58.0), (108.0, 74.0)]),
+]
+
+
+def _polygon_edges_sql() -> str:
+    rows = []
+    for rid, ring in _POLYGONS:
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            rows.append(f"({rid}, {x1}, {y1}, {x2}, {y2})")
+    return ",\n  ".join(rows)
+
+
 @register(
     "j9_spatial_join",
-    oracle="""
+    oracle=f"""
 WITH pts AS (
     SELECT event_id, value % 90 AS lat, (event_id % 36000) / 100.0 - 180.0 AS lon
     FROM events
-), boxes AS (
-    SELECT r_regionkey AS region_id,
-           r_regionkey * 18.0 AS lat_min, r_regionkey * 18.0 + 17.0 AS lat_max,
-           r_regionkey * 70.0 - 180.0 AS lon_min,
-           r_regionkey * 70.0 - 110.0 AS lon_max
-    FROM region
+), edges(region_id, x1, y1, x2, y2) AS (VALUES
+  {_polygon_edges_sql()}
 )
-SELECT p.event_id, b.region_id
-FROM pts p JOIN boxes b
-  ON p.lat BETWEEN b.lat_min AND b.lat_max
- AND p.lon BETWEEN b.lon_min AND b.lon_max
+SELECT p.event_id, CAST(e.region_id AS BIGINT) AS region_id
+FROM pts p JOIN edges e
+  ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+ AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+GROUP BY p.event_id, e.region_id
+HAVING COUNT(*) % 2 = 1
 """,
-    doc="J9: spatial point-in-region join ([declared] README.md:12,16; "
-        "enrichment columns trips_lambda.py:65-66). Grid-cell bucketing "
-        "+ equi-join + exact containment test (operators/spatial.py) — "
-        "never a nested-loop over all (point, region) pairs. Boxes are "
-        "deterministic functions of the region dim; exact polygon "
-        "testing is a documented UDF stub (no GIS lib here).",
-    tags=("join", "spatial"),
+    doc="J9: exact point-in-polygon spatial join ([declared] "
+        "README.md:12,16; enrichment columns trips_lambda.py:65-66). "
+        "Grid-cell bucketing + bbox equi-join prefilter, then an "
+        "even-odd ray cast in an Arrow-batched pandas UDF "
+        "(operators/spatial.py) — never a nested loop over all "
+        "(point, region) pairs. Regions include a concave chevron; the "
+        "oracle ray-casts in pure SQL (crossing parity over an edge "
+        "table), so containment is hash-verified edge for edge.",
+    tags=("join", "spatial", "udf"),
 )
 def j9_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.spatial import point_in_polygon_exact
+
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select(
         "event_id",
         (F.col("value") % 90).alias("lat"),
         ((F.col("event_id") % 36000) / 100.0 - 180.0).alias("lon"))
-    region = load_table(spark, sf_dir, "region")
-    boxes = region.select(
-        F.col("r_regionkey").alias("region_id"),
-        (F.col("r_regionkey") * 18.0).alias("lat_min"),
-        (F.col("r_regionkey") * 18.0 + 17.0).alias("lat_max"),
-        (F.col("r_regionkey") * 70.0 - 180.0).alias("lon_min"),
-        (F.col("r_regionkey") * 70.0 - 110.0).alias("lon_max"))
-    joined = grid_spatial_join(pts, boxes, cell_deg=5.0)
-    return joined.select("event_id", "region_id")
+    polys = spark.createDataFrame(
+        [(rid, ring) for rid, ring in _POLYGONS],
+        "region_id long, ring array<struct<lon: double, lat: double>>")
+    out = point_in_polygon_exact(pts, polys, cell_deg=5.0)
+    return out.select("event_id", "region_id")

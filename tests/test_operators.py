@@ -225,3 +225,24 @@ def test_merge_into_partitioned_rewrites_only_touched_partitions(spark, sf_dir, 
     plan = back.filter(F.col("dt") == "2024-01-10")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_point_in_polygon_exact_concave_chevron(spark):
+    """Even-odd ray cast must be exact for concave rings: the chevron
+    is a [-16,16]x[40,70] rectangle with a V-notch cut to (0,54); a
+    point inside the notch passes the bbox prefilter but must be
+    rejected by the exact test."""
+    from data_warehouse_spark.operators.spatial import point_in_polygon_exact
+
+    chevron = [(-16.0, 70.0), (0.0, 54.0), (16.0, 70.0),
+               (16.0, 40.0), (-16.0, 40.0)]
+    polys = spark.createDataFrame(
+        [(2, chevron)],
+        "region_id long, ring array<struct<lon: double, lat: double>>")
+    pts = spark.createDataFrame(
+        [Row(pid=1, lat=50.0, lon=0.0),    # in the solid body
+         Row(pid=2, lat=65.0, lon=0.0),    # in the notch -> outside
+         Row(pid=3, lat=65.0, lon=-14.0),  # beside the notch -> inside
+         Row(pid=4, lat=30.0, lon=0.0)])   # below the bbox
+    got = {r.pid for r in point_in_polygon_exact(pts, polys).collect()}
+    assert got == {1, 3}
