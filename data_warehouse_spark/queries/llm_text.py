@@ -107,7 +107,10 @@ WHERE n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter) >= 0.1
 """,
     doc="X2c: exact word-bigram Jaccard near-dup pairs within language "
         "blocks — the brute-exact cousin of X2, oracle-checkable since "
-        "no hashing is involved.",
+        "no hashing is involved at this scale. Blocks beyond "
+        "max_block_rows (default 100k) auto-route through the "
+        "MinHash-LSH prefilter (operators/dedup.py), so a web-scale "
+        "'en' block can never force the quadratic self-join.",
     tags=("ext", "dedup"),
 )
 def x2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

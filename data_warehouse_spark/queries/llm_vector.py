@@ -84,8 +84,11 @@ WHERE ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.25
     doc="X4: pairwise cosine similarity join within label blocks — the "
         "embedding-cosine near-dup pattern. Blocking bounds the "
         "quadratic term; the label join is a hash join (AQE skew-"
-        "handled). Threshold applied on the rounded value in both "
-        "engines so boundary membership is identical.",
+        "handled), and blocks beyond max_block_rows auto-route through "
+        "an IVF-cell prefilter (operators/similarity.py) so a giant "
+        "block degrades to Σ|cell|² instead of |block|². Threshold "
+        "applied on the rounded value in both engines so boundary "
+        "membership is identical.",
     tags=("ext", "vector"),
 )
 def x4_pairwise_sim(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -246,3 +246,54 @@ def test_point_in_polygon_exact_concave_chevron(spark):
          Row(pid=4, lat=30.0, lon=0.0)])   # below the bbox
     got = {r.pid for r in point_in_polygon_exact(pts, polys).collect()}
     assert got == {1, 3}
+
+
+def test_ngram_jaccard_giant_block_routes_via_lsh(spark, sf_dir):
+    """A block over max_block_rows must route through the MinHash-LSH
+    prefilter (plan gains the xxhash64 signature stage; the exact path
+    has none) instead of the block-quadratic self-join, while still
+    surfacing the planted duplicate with its exact Jaccard."""
+    from data_warehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(40).select(
+        "doc_id", "text", F.lit("en").alias("lang"))
+    planted = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text", "lang")
+    corpus = docs.unionByName(planted)
+
+    exact = ngram_jaccard_pairs(corpus, "text", "doc_id", "lang",
+                                max_block_rows=None)
+    routed = ngram_jaccard_pairs(corpus, "text", "doc_id", "lang",
+                                 max_block_rows=10)
+    assert "xxhash64" not in exact._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in routed._jdf.queryExecution().executedPlan().toString()
+
+    exact_pairs = {(r.id_a, r.id_b): r.jaccard for r in exact.collect()}
+    routed_pairs = {(r.id_a, r.id_b): r.jaccard for r in routed.collect()}
+    assert routed_pairs.get((0, 9000)) == 1.0
+    # candidates that survive carry EXACT jaccard values (subset recall)
+    for pair, j in routed_pairs.items():
+        assert exact_pairs.get(pair) == j
+
+
+def test_cosine_pairs_giant_block_routes_via_ivf(spark, sf_dir):
+    """X4's oversized-block route: pairs form only within IVF cells;
+    a planted identical vector lands in its twin's cell and surfaces
+    with cos_sim 1.0; every routed pair matches the exact path."""
+    from data_warehouse_spark.operators.similarity import cosine_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60).select(
+        "vec_id", "embedding", F.lit("b").alias("grp"))
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding", "grp")
+    corpus = emb.unionByName(dup)
+
+    exact = {(r.id_a, r.id_b): r.cos_sim for r in cosine_pairs_blocked(
+        corpus, "embedding", "vec_id", "grp", 0.9,
+        max_block_rows=None).collect()}
+    routed = {(r.id_a, r.id_b): r.cos_sim for r in cosine_pairs_blocked(
+        corpus, "embedding", "vec_id", "grp", 0.9,
+        max_block_rows=10).collect()}
+    assert routed.get((0, 9000)) == 1.0
+    for pair, s in routed.items():
+        assert exact.get(pair) == s

@@ -98,3 +98,32 @@ def test_sample_frames_count_matches_metadata(spark):
         (F.col("n_frames") != (F.col("n_bytes") / 1024).cast("int") + 1)
         | (F.col("max_off") >= F.col("n_bytes") + 1024)).count()
     assert wrong == 0
+
+
+def test_decode_images_pil_codec_real_header(spark):
+    """Real-codec path: a genuine PNG decodes to its true dims and a
+    malformed payload degrades to ok=false (never a task failure).
+    Self-skips where Pillow is absent — the stub path is the
+    hash-checked default either way."""
+    import pytest
+
+    from data_warehouse_spark.operators.multimodal import (
+        _pil_available, decode_images,
+    )
+
+    if not _pil_available():
+        with pytest.raises(ImportError):
+            decode_images(spark.range(0), codec="pil")
+        pytest.skip("Pillow not installed in this environment")
+
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    rows = [(1, bytearray(buf.getvalue())), (2, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r.doc_id: r for r in decode_images(df, codec="pil").collect()}
+    assert (got[1].width, got[1].height, got[1].ok) == (37, 21, True)
+    assert got[2].ok is False and got[2].width is None
