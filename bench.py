@@ -57,11 +57,15 @@ def main() -> None:
         except Exception:
             pass
 
-    # Best-of-2 per query: the box shares hardware, and single-shot
-    # timings swing ~2x with neighbor load; the min of two runs is the
-    # steady-state number the plan actually costs.
+    # Best-of-N per query (N=3, override via SPARK_GRAFT_BENCH_RUNS):
+    # the box shares hardware and single-shot timings swing 2-4x with
+    # neighbor load; at the sf0.1 job floor, best-of-2 proved too
+    # noise-fragile to distinguish a real 1.5x regression from a noisy
+    # round. Runs interleave across queries so one load spike cannot
+    # poison every sample of a single query.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(runs):
         for name in names:
             t0 = time.time()
             df = specs[name].fn(spark, sf_dir)

@@ -39,13 +39,56 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _vectorized_query_scorer(query_vec: list[float]):
+    """Arrow-batched cosine scorer against a fixed query vector.
+
+    Why not the zip_with/aggregate column expression: Spark evaluates
+    higher-order-function lambdas interpreted, per element — measured
+    ~39x slower than DuckDB's vectorized list ops on a 3.2M x 64
+    brute-force scan (FLOORFREE.json round 3). One numpy matmul per
+    Arrow batch is the engine-idiomatic dense-linear-algebra path:
+    float32 input upcast to float64, so values match the elementwise
+    double formula the oracle spells out (pairwise-vs-sequential
+    summation differs only in final ulps, absorbed by the shared
+    round 6).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((qv * qv).sum()))
+
+    @pandas_udf("double")
+    def score(emb):
+        import numpy as np
+        import pandas as pd
+        if len(emb) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        dots = m @ qv
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    return score
+
+
 def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
-                query_vec: list[float], k: int = 20) -> DataFrame:
+                query_vec: list[float], k: int = 20,
+                vectorized: bool = True) -> DataFrame:
     """X3: exact top-k by cosine vs a literal query vector. The ORDER
     BY + LIMIT compiles to TakeOrderedAndProject: per-partition heaps,
-    driver merges k rows — constant driver memory at any table size."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine(F.col(vec_col), q)
+    driver merges k rows — constant driver memory at any table size.
+
+    Scoring runs in an Arrow-vectorized numpy kernel by default (see
+    _vectorized_query_scorer); ``vectorized=False`` keeps the pure
+    column-expression path (JVM-side but interpreted per element —
+    useful as a no-Python reference and for plan tests)."""
+    df = spread_for_compute(df)
+    if vectorized:
+        sim = _vectorized_query_scorer(query_vec)(F.col(vec_col))
+    else:
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        sim = cosine(F.col(vec_col), q)
     return (df.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
             .orderBy(F.col("cos_sim").desc(), F.col(id_col))
             .limit(k))

@@ -1,0 +1,189 @@
+"""Floor-free Spark-vs-DuckDB bench: same queries, same oracles, same
+data — amplified until compute dominates the local-mode job floor.
+
+Motivation (BASELINE.md): at sf0.1 the median registry query runs in
+~0.3 s, which is local-mode's fixed per-job cost (task scheduling + AQE
+planning), so wall-clock ratios at that scale compare Spark's *floor*
+to DuckDB's, not the engines' throughput. This tool materializes an
+N-times-amplified copy of the fixtures (key columns salted per copy so
+join/group/session cardinality scales with the data instead of just
+deepening groups), then runs the UNMODIFIED registry query and its
+UNMODIFIED DuckDB oracle side by side. Because both engines execute
+the exact artifacts the correctness gate checks, there is nothing to
+re-derive and nothing to drift.
+
+Usage:
+    python tools/floorfree.py [--src /root/testdata/sf0.1]
+        [--out /tmp/floorfree] [--mults 16,64] [--queries a1,...]
+        [--runs 2]
+
+Prints a markdown table and one JSON line (also written to
+FLOORFREE.json at the repo root).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import duckdb  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_warehouse_spark.io import TABLES, load_table  # noqa: E402
+from data_warehouse_spark.queries.registry import load_all  # noqa: E402
+from data_warehouse_spark.session import get_spark  # noqa: E402
+
+# Queries whose runtime is data-dominated at >=16x and whose oracle is
+# hash-verified by the correctness gate (so both engines provably do
+# the same logical work). x2c is block-quadratic: capped at 16x so the
+# exact path runs on BOTH sides (Spark would auto-route oversized
+# blocks through the LSH prefilter, which DuckDB's oracle does not).
+DEFAULT_QUERIES = {
+    "a1_q1_pricing_summary": (16, 64),
+    "w5_sessionize": (16, 64),
+    "e1_trips": (16, 64),
+    "j11_fact_fact_join": (16, 64),
+    "x3_cosine_topk": (16, 64),
+    "x2c_ngram_jaccard": (4, 16),
+}
+
+# (key columns salted as key*n+copy) per amplified table; text gets a
+# per-copy token so amplification never plants exact-duplicate cliques
+# that would blow candidate pairs up quadratically.
+SALT_KEYS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build_amplified(spark, src: str, out: str, n: int) -> str:
+    """Materialize src fixtures amplified n-x under {out}/amp{n}/ — an
+    in-plan explode per table (one scan), keys salted per copy."""
+    amp_dir = f"{out}/amp{n}"
+    done_marker = Path(amp_dir) / "_DONE"
+    if done_marker.exists():
+        return amp_dir
+    shutil.rmtree(amp_dir, ignore_errors=True)
+    for t in TABLES:
+        df = load_table(spark, src, t)
+        if t in SALT_KEYS:
+            df = df.withColumn("__copy", F.explode(
+                F.sequence(F.lit(0), F.lit(n - 1))))
+            for k in SALT_KEYS[t]:
+                df = df.withColumn(k, F.col(k) * n + F.col("__copy"))
+            if t == "documents":
+                df = df.withColumn("text", F.concat_ws(
+                    " ", F.col("text"), F.concat(F.lit("copytok"),
+                                                 F.col("__copy"))))
+            df = df.drop("__copy")
+        # write with enough files that DuckDB can also parallelize
+        df.repartition(32).write.mode("overwrite") \
+            .parquet(f"{amp_dir}/{t}.parquet")
+    done_marker.touch()
+    return amp_dir
+
+
+def duck_con(amp_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{amp_dir}/{t}.parquet/*.parquet')")
+    return con
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/floorfree")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--mults", default="")
+    args = ap.parse_args()
+
+    specs = load_all()
+    plan = {q: (tuple(int(m) for m in args.mults.split(","))
+                if args.mults else DEFAULT_QUERIES.get(q, (16, 64)))
+            for q in args.queries.split(",")}
+
+    spark = get_spark("floorfree")
+    # measure the per-job floor so each cell can report its floor share
+    spark.range(1).write.format("noop").mode("overwrite").save()
+    t0 = time.time()
+    spark.range(1).write.format("noop").mode("overwrite").save()
+    floor_s = round(time.time() - t0, 3)
+
+    mult_set = sorted({m for ms in plan.values() for m in ms})
+    amp_dirs = {m: build_amplified(spark, args.src, args.out, m)
+                for m in mult_set}
+    cons = {m: duck_con(d) for m, d in amp_dirs.items()}
+
+    results: dict[str, dict] = {}
+    for q, mults in plan.items():
+        spec = specs[q]
+        if spec.oracle is None:
+            print(f"skip {q}: no oracle", file=sys.stderr)
+            continue
+        results[q] = {}
+        for m in mults:
+            cell = {"spark_s": None, "duckdb_s": None,
+                    "spark_rows": None, "duckdb_rows": None}
+            # warm: build plan + fill page cache once, untimed
+            spec.fn(spark, amp_dirs[m]).write.format("noop") \
+                .mode("overwrite").save()
+            for _ in range(args.runs):
+                t0 = time.time()
+                spec.fn(spark, amp_dirs[m]).write.format("noop") \
+                    .mode("overwrite").save()
+                dt = time.time() - t0
+                cell["spark_s"] = min(cell["spark_s"] or dt, dt)
+            cell["spark_rows"] = spec.fn(spark, amp_dirs[m]).count()
+            for _ in range(args.runs):
+                t0 = time.time()
+                rows = cons[m].execute(spec.oracle).fetchall()
+                dt = time.time() - t0
+                cell["duckdb_s"] = min(cell["duckdb_s"] or dt, dt)
+            cell["duckdb_rows"] = len(rows)
+            cell["spark_s"] = round(cell["spark_s"], 3)
+            cell["duckdb_s"] = round(cell["duckdb_s"], 3)
+            cell["ratio"] = round(cell["spark_s"] / cell["duckdb_s"], 2)
+            cell["floor_pct_of_spark"] = round(
+                100 * floor_s / cell["spark_s"], 1)
+            results[q][str(m)] = cell
+            print(f"  {q} @{m}x: spark {cell['spark_s']}s "
+                  f"duckdb {cell['duckdb_s']}s ratio {cell['ratio']} "
+                  f"rows {cell['spark_rows']}/{cell['duckdb_rows']}",
+                  file=sys.stderr, flush=True)
+            # flush partials: a mid-run crash (OOM, eviction) keeps
+            # every completed cell
+            (REPO / "FLOORFREE.json").write_text(json.dumps(
+                {"floorfree": results, "src": args.src,
+                 "job_floor_s": floor_s, "runs": args.runs,
+                 "partial": True}, indent=2) + "\n")
+
+    print("| query | mult | spark s | duckdb s | spark/duckdb | "
+          "floor % of spark | rows match |")
+    print("|---|---|---|---|---|---|---|")
+    for q, row in results.items():
+        for m, c in row.items():
+            print(f"| {q} | {m}x | {c['spark_s']} | {c['duckdb_s']} | "
+                  f"{c['ratio']} | {c['floor_pct_of_spark']}% | "
+                  f"{c['spark_rows'] == c['duckdb_rows']} |")
+    payload = {"floorfree": results, "src": args.src,
+               "job_floor_s": floor_s, "runs": args.runs}
+    print(json.dumps(payload))
+    (REPO / "FLOORFREE.json").write_text(json.dumps(payload, indent=2) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
