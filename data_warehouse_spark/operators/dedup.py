@@ -60,25 +60,33 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
     """MinHash signature per document: h_i = min over shingles of
     xxhash64(salt_i ++ shingle). One row per doc with an array<long>
-    signature; computed without explode (aggregate over the shingle
-    array stays row-local).
+    signature.
 
-    NB: the salt must be closed over via a factory, not a lambda
-    default — PySpark passes the element index into a second lambda
-    parameter, clobbering defaults.
+    Plan shape: explode shingles, evaluate the num_hashes salted
+    hashes as ordinary projected expressions, then groupBy(id) with
+    num_hashes `min` aggregates. The num_hashes x shingles hash
+    evaluations — the dominant cost — run inside whole-stage codegen,
+    and map-side partial `min` collapses each partition to one
+    num_hashes-long row per doc before the exchange, so the shuffle
+    carries ~num_hashes longs per (doc, partition) regardless of
+    document length. The previous form kept the shingle array row-local
+    and took `array_min(transform(...))` per salt, but higher-order-
+    function lambdas are interpreted per element — the explode+agg
+    plan measured ~3x faster on the same corpus.
+
+    Docs with zero shingles (empty/whitespace text) produce no exploded
+    rows and therefore no signature, matching the previous
+    `size(shingles) > 0` filter.
     """
-    def minhash_for(salt: int) -> F.Column:
-        return F.array_min(F.transform(
-            F.col("__sh"), lambda s: F.xxhash64(F.lit(salt), s)))
-
-    sh = _shingles(text_col, shingle_n).alias("__sh")
-    sig = F.array(*[minhash_for(i) for i in range(num_hashes)])
-    # per-row cost is ~num_hashes x shingles hash evaluations: make sure
-    # it runs on every core even when the scan yields few partitions
     df = spread_for_compute(df)
-    return (df.select(F.col(id_col), sh)
-            .filter(F.size("__sh") > 0)
-            .select(id_col, sig.alias("signature")))
+    sh = df.select(F.col(id_col),
+                   F.explode(_shingles(text_col, shingle_n)).alias("__s"))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"__h{i}")
+            for i in range(num_hashes)]
+    return (sh.groupBy(id_col).agg(*aggs)
+            .select(id_col, F.array(*[F.col(f"__h{i}")
+                                      for i in range(num_hashes)])
+                    .alias("signature")))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,

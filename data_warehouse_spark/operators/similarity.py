@@ -39,37 +39,58 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _vectorized_query_scorer(query_vec: list[float]):
-    """Arrow-batched cosine scorer against a fixed query vector.
+def _arrow_query_scan(df: DataFrame, vec_col: str, id_col: str,
+                      query_vec: list[float]) -> DataFrame:
+    """(id, cos_sim) via mapInArrow: one numpy matmul per Arrow batch
+    against a fixed query vector.
 
     Why not the zip_with/aggregate column expression: Spark evaluates
     higher-order-function lambdas interpreted, per element — measured
     ~39x slower than DuckDB's vectorized list ops on a 3.2M x 64
-    brute-force scan (FLOORFREE.json round 3). One numpy matmul per
-    Arrow batch is the engine-idiomatic dense-linear-algebra path:
+    brute-force scan (FLOORFREE.json round 3). And why mapInArrow over
+    a pandas_udf: the embedding ListArray flattens to its values
+    buffer without ever materializing a Python object per row, where
+    pandas hands the kernel a Series of per-row ndarrays that
+    np.stack must copy one object at a time.
+
     float32 input upcast to float64, so values match the elementwise
     double formula the oracle spells out (pairwise-vs-sequential
     summation differs only in final ulps, absorbed by the shared
-    round 6).
+    round 6). Rows with null/ragged embeddings fall back to a per-row
+    loop within the batch (never expected on real corpora).
     """
     import numpy as np
-    from pyspark.sql.functions import pandas_udf
+    import pyarrow as pa
+    from pyspark.sql import types as T
 
     qv = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt((qv * qv).sum()))
+    out_schema = T.StructType([
+        df.schema[id_col], T.StructField("cos_sim", T.DoubleType()),
+    ])
 
-    @pandas_udf("double")
-    def score(emb):
-        import numpy as np
-        import pandas as pd
-        if len(emb) == 0:
-            return pd.Series([], dtype="float64")
-        m = np.stack(emb.to_numpy()).astype(np.float64)
-        dots = m @ qv
-        norms = np.sqrt((m * m).sum(axis=1))
-        return pd.Series(dots / (norms * qn))
+    def score_batches(batches):
+        for b in batches:
+            ids = b.column(b.schema.get_field_index(id_col))
+            emb = b.column(b.schema.get_field_index(vec_col))
+            if b.num_rows == 0:
+                continue
+            lens = np.diff(emb.offsets.to_numpy())
+            if emb.null_count == 0 and len(lens) and (lens == lens[0]).all():
+                flat = emb.flatten().to_numpy(zero_copy_only=False)
+                m = flat.reshape(-1, int(lens[0])).astype(np.float64)
+                sims = (m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            else:
+                sims = np.full(b.num_rows, np.nan)
+                for i, v in enumerate(emb.to_pylist()):
+                    if v:
+                        a = np.asarray(v, dtype=np.float64)
+                        sims[i] = (a @ qv) / (np.sqrt((a * a).sum()) * qn)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(sims, type=pa.float64())],
+                names=[id_col, "cos_sim"])
 
-    return score
+    return df.select(id_col, vec_col).mapInArrow(score_batches, out_schema)
 
 
 def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
@@ -79,17 +100,19 @@ def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
     BY + LIMIT compiles to TakeOrderedAndProject: per-partition heaps,
     driver merges k rows — constant driver memory at any table size.
 
-    Scoring runs in an Arrow-vectorized numpy kernel by default (see
-    _vectorized_query_scorer); ``vectorized=False`` keeps the pure
+    Scoring runs in a zero-copy Arrow numpy kernel by default (see
+    _arrow_query_scan); ``vectorized=False`` keeps the pure
     column-expression path (JVM-side but interpreted per element —
     useful as a no-Python reference and for plan tests)."""
     df = spread_for_compute(df)
     if vectorized:
-        sim = _vectorized_query_scorer(query_vec)(F.col(vec_col))
+        scored = _arrow_query_scan(df, vec_col, id_col, query_vec)
     else:
         q = F.array(*[F.lit(float(x)) for x in query_vec])
-        sim = cosine(F.col(vec_col), q)
-    return (df.select(F.col(id_col), F.round(sim, 6).alias("cos_sim"))
+        scored = df.select(F.col(id_col),
+                           cosine(F.col(vec_col), q).alias("cos_sim"))
+    return (scored.select(F.col(id_col),
+                          F.round("cos_sim", 6).alias("cos_sim"))
             .orderBy(F.col("cos_sim").desc(), F.col(id_col))
             .limit(k))
 

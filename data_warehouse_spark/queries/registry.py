@@ -54,6 +54,9 @@ _QUERY_MODULES = [
     "data_warehouse_spark.queries.relational",
     "data_warehouse_spark.queries.windows",
     "data_warehouse_spark.queries.scalars",
+    # past the 50-entry window by design — plan-shape demos whose
+    # correctness is covered by tools/parity.py + pytest:
+    "data_warehouse_spark.queries.bucketed",
 ]
 
 

@@ -50,6 +50,13 @@ def get_spark(app_name: str = "data_warehouse_spark", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Bucketed-sorted tables (operators/bucketing.py) are written
+        # with exactly one file per bucket, the regime where trusting
+        # the write-time sort is safe — lets the planner drop the
+        # per-partition Sort under sort-merge joins on the bucket key
+        # (off by default since SPARK-28595 because multi-file buckets
+        # would need a merge-sort read).
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # Small-file local runs: don't over-split 60k-row parquet files.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
