@@ -57,6 +57,7 @@ _QUERY_MODULES = [
     # past the 50-entry window by design — plan-shape demos whose
     # correctness is covered by tools/parity.py + pytest:
     "data_warehouse_spark.queries.bucketed",
+    "data_warehouse_spark.queries.dedup_pipeline",
 ]
 
 

@@ -297,3 +297,16 @@ def test_cosine_pairs_giant_block_routes_via_ivf(spark, sf_dir):
     assert routed.get((0, 9000)) == 1.0
     for pair, s in routed.items():
         assert exact.get(pair) == s
+
+
+def test_connected_components_path_graph_and_isolated_pair(spark):
+    from data_warehouse_spark.operators.graph import connected_components
+
+    # path 1-2-3-4-5 (diameter 4 — forces real multi-round propagation)
+    # plus the disjoint pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"])
+    got = {(r.id, r.component_id)
+           for r in connected_components(edges, "id_a", "id_b").collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                   (10, 10), (11, 10)}
