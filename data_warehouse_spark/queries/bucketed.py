@@ -18,7 +18,10 @@ from data_warehouse_spark.operators.bucketing import bucketed_view
 from data_warehouse_spark.queries.registry import register
 from data_warehouse_spark.queries.util import money_sum, money_sum_sql
 
-N_BUCKETS = 8
+# One scan task per bucket on the read side: match the local harness's
+# core count (on a cluster this would be thousands — buckets should be
+# sized so one bucket ~ one task's worth of data).
+N_BUCKETS = 32
 
 
 @register(

@@ -50,6 +50,10 @@ DEFAULT_QUERIES = {
     "w5_sessionize": (16, 64),
     "e1_trips": (16, 64),
     "j11_fact_fact_join": (16, 64),
+    # same oracle as j11: measures the bucketed co-located layout
+    # against DuckDB's in-memory hash join (the bucketed write happens
+    # in the untimed warm run, as it would in a warehouse's ingest)
+    "j12_bucketed_fact_join": (16, 64),
     "x3_cosine_topk": (16, 64),
     "x2c_ngram_jaccard": (4, 16),
 }
