@@ -42,7 +42,10 @@ QUERIES: dict[str, QuerySpec] = {}
 # row. This order puts those 37 first and fills the remaining 13 slots
 # with the flagship sessionization (2) and the join suite (11); the
 # relational/window/scalar modules (already driver-green in rounds 1-2,
-# see CORRECTNESS_r02.json: 49/50 hash-matched) load last.
+# see CORRECTNESS_r02.json: 49/50 hash-matched) load last. The round-3
+# additions (j12 bucketed join, x8 dup components) load before the join
+# suite so they get driver rows; the two joins they displace past the
+# window (j10, j11) are green in both prior rounds' CORRECTNESS files.
 _QUERY_MODULES = [
     "data_warehouse_spark.queries.warehouse",
     "data_warehouse_spark.queries.streaming_batch",
@@ -50,14 +53,12 @@ _QUERY_MODULES = [
     "data_warehouse_spark.queries.llm_text",
     "data_warehouse_spark.queries.llm_vector",
     "data_warehouse_spark.queries.sessions",
+    "data_warehouse_spark.queries.bucketed",
+    "data_warehouse_spark.queries.dedup_pipeline",
     "data_warehouse_spark.queries.joins",
     "data_warehouse_spark.queries.relational",
     "data_warehouse_spark.queries.windows",
     "data_warehouse_spark.queries.scalars",
-    # past the 50-entry window by design — plan-shape demos whose
-    # correctness is covered by tools/parity.py + pytest:
-    "data_warehouse_spark.queries.bucketed",
-    "data_warehouse_spark.queries.dedup_pipeline",
 ]
 
 
