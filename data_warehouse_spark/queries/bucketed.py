@@ -1,10 +1,9 @@
 """Bucketed-layout queries: the write-once/join-free answer to the
 fact-to-fact shuffle (SURVEY §2.3 J11 at 100 TB).
 
-Registered AFTER the driver's 50-query correctness window on purpose
-(see registry._QUERY_MODULES): the window composition is pinned by
-tests/test_registry.py; these queries are oracle-checked locally by
-tools/parity.py and their zero-exchange plan shape is asserted by
+Loads inside the driver's 50-query correctness window (see
+registry._QUERY_MODULES) so j12 gets a driver-verified row; the
+zero-exchange plan shape is additionally asserted by
 tests/test_bucketing.py.
 """
 

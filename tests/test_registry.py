@@ -24,6 +24,8 @@ MUST_BE_WINDOWED = {
     "x6_token_freq", "x7_tfidf",
     "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
     "mm4_feature_ann",
+    # round-3 additions — new queries start inside the window too:
+    "j12_bucketed_fact_join", "x8_dup_components",
 }
 
 

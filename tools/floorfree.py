@@ -119,6 +119,17 @@ def main() -> int:
                 if args.mults else DEFAULT_QUERIES.get(q, (16, 64)))
             for q in args.queries.split(",")}
 
+    # Merge into any existing FLOORFREE.json: partial re-runs (one query,
+    # one mult) must not clobber previously measured cells — a full
+    # x2c@16 cell costs ~15 min to reproduce.
+    out_path = REPO / "FLOORFREE.json"
+    results: dict[str, dict] = {}
+    if out_path.exists():
+        try:
+            results = json.loads(out_path.read_text()).get("floorfree", {})
+        except ValueError:
+            pass
+
     spark = get_spark("floorfree")
     # measure the per-job floor so each cell can report its floor share
     spark.range(1).write.format("noop").mode("overwrite").save()
@@ -131,13 +142,12 @@ def main() -> int:
                 for m in mult_set}
     cons = {m: duck_con(d) for m, d in amp_dirs.items()}
 
-    results: dict[str, dict] = {}
     for q, mults in plan.items():
         spec = specs[q]
         if spec.oracle is None:
             print(f"skip {q}: no oracle", file=sys.stderr)
             continue
-        results[q] = {}
+        results.setdefault(q, {})
         for m in mults:
             cell = {"spark_s": None, "duckdb_s": None,
                     "spark_rows": None, "duckdb_rows": None}
