@@ -21,6 +21,37 @@ from data_warehouse_spark.operators.joins import asof_join, range_join_bucketed
 from data_warehouse_spark.queries.registry import register
 from data_warehouse_spark.queries.util import money_sum, money_sum_sql
 
+# j6 registers first within this module: its as-of tie-break changed in
+# round 3, so it must sit inside the driver's 50-entry correctness
+# window (tests/test_registry.py); the joins it displaces (j5/j7/j8)
+# are unchanged and driver-green in CORRECTNESS_r01/r02.
+
+
+@register(
+    "j6_asof_join",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT user_id, ts AS click_ts, value AS click_value
+      FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+""",
+    doc="J6: as-of join — nearest preceding observation per key ([cap]; "
+        "the reference's nearest-weather-reading enrichment). Union+"
+        "last(ignorenulls) window implementation: one shuffle, streams "
+        "at any key cardinality (operators/joins.py).",
+    tags=("join",),
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value"))
+    return asof_join(purchases, clicks, on="user_id", left_ts="ts",
+                     right_ts="click_ts", value_cols=["click_ts", "click_value"])
+
 
 @register(
     "j1_inner_join",
@@ -147,32 +178,6 @@ def j5_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=500,
     )
     return out.select("l_orderkey", "l_linenumber", "p_partkey")
-
-
-@register(
-    "j6_asof_join",
-    oracle="""
-SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_value
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN
-     (SELECT user_id, ts AS click_ts, value AS click_value
-      FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND p.ts >= c.click_ts
-""",
-    doc="J6: as-of join — nearest preceding observation per key ([cap]; "
-        "the reference's nearest-weather-reading enrichment). Union+"
-        "last(ignorenulls) window implementation: one shuffle, streams "
-        "at any key cardinality (operators/joins.py).",
-    tags=("join",),
-)
-def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value"))
-    return asof_join(purchases, clicks, on="user_id", left_ts="ts",
-                     right_ts="click_ts", value_cols=["click_ts", "click_value"])
 
 
 @register(

@@ -427,3 +427,38 @@ def mm4_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (feats.filter(nonzero)
             .select("doc_id", F.round(sim, 6).alias("cos_sim"))
             .orderBy(F.col("cos_sim").desc(), "doc_id").limit(20))
+
+
+@register(
+    "x9_stratified_split",
+    oracle="""
+WITH tagged AS (
+    SELECT lang, source,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM documents
+)
+SELECT lang, source, split, CAST(COUNT(*) AS BIGINT) AS n
+FROM tagged GROUP BY lang, source, split
+""",
+    doc="X9: deterministic stratified train/holdout split — the "
+        "reproducible-sampling primitive every training-data pipeline "
+        "needs. The split key is a comparison on the md5 hex prefix of "
+        "the doc id ('29' ~ 41/256 ~ 16% holdout): stable across runs, "
+        "engines, partitionings, and cluster sizes (no rand(), no "
+        "sample() — Spark's sample is per-partition-seeded and NOT "
+        "stable under repartitioning). Embarrassingly parallel: no "
+        "shuffle except the final per-stratum count; at 100 TB the "
+        "split column is computed inline during any scan. md5 hex is "
+        "byte-identical across engines, so the assignment itself is "
+        "oracle-verified, not just the counts.",
+    tags=("ext", "text", "sampling"),
+)
+def x9_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "29",
+        "holdout").otherwise("train")
+    return (docs.withColumn("split", split)
+            .groupBy("lang", "source", "split")
+            .agg(F.count(F.lit(1)).alias("n")))

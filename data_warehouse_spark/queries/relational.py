@@ -460,3 +460,28 @@ def a7_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("event_type", F.col("n").cast("long").alias("n"),
                       (F.col("s").cast("long") / 100.0).alias("sum_value"))
+
+
+@register(
+    "a8_approx_agg",
+    oracle=None,  # sketch internals are engine-specific -> rows-only;
+                  # error vs exact is asserted in tests/test_properties.py
+    doc="A8: approximate aggregates for interactive 100 TB profiling — "
+        "approx_count_distinct (HyperLogLog++, fixed-size sketch vs "
+        "a4's exact shuffle of every distinct value) and approx_"
+        "percentile (KLL-style, single pass vs a6's exact percentile "
+        "sort). Sketches merge associatively, so the shuffle carries "
+        "one sketch per partition per group regardless of cardinality; "
+        "rsd/accuracy knobs trade sketch bytes for error. Rows-only by "
+        "necessity (DuckDB's HLL differs bit-for-bit); pytest bounds "
+        "the relative error against the exact answers.",
+    tags=("agg", "approx"),
+)
+def a8_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                 .alias("approx_users"),
+                 F.percentile_approx("value", F.lit(0.5), F.lit(10000))
+                 .alias("approx_median_value"),
+                 F.count(F.lit(1)).alias("n")))

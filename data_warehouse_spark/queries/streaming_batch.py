@@ -258,3 +258,38 @@ def st8_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT user_id, MAX(n_events) AS n_events, "
         "ROUND(MAX(sum_value), 6) AS sum_value "
         "FROM st8_out WHERE NOT expired GROUP BY user_id")
+
+
+@register(
+    "st9_stream_stream_join",
+    oracle="""
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts,
+       p.value AS purchase_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+""",
+    doc="ST9: watermarked stream-stream interval join, run as a REAL "
+        "Structured Streaming query (streaming/jobs.py:attribution_join) "
+        "— click->purchase attribution within a 2h horizon. The time "
+        "bound on both event-time columns lets the state store expire "
+        "both sides at the watermark, so state is bounded at any scale; "
+        "inner matches emit without waiting for window close. The "
+        "reference has no streaming join; this is the Spark-native form "
+        "of its polled snapshot-correlation jobs.",
+    tags=("streaming", "join"),
+)
+def st9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click")
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase")
+    from data_warehouse_spark.streaming.jobs import attribution_join
+    joined = attribution_join(clicks, purchases)
+    q = start_memory_sink(joined, "st9_out", "append")
+    q.awaitTermination()
+    return spark.sql("SELECT user_id, click_id, purchase_id, click_ts, "
+                     "purchase_ts, purchase_value FROM st9_out")

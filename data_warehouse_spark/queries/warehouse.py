@@ -210,3 +210,42 @@ def s6_ddl_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql("CREATE OR REPLACE TEMPORARY VIEW s6_region AS "
                   "SELECT * FROM s6_region_src")
     return spark.sql("SELECT CAST(COUNT(*) AS INT) AS n_regions FROM s6_region")
+
+
+_S8_CACHE: dict[str, str] = {}
+
+
+@register(
+    "s8_partition_pruned_scan",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY event_type
+""",
+    doc="S8: partition-pruned scan over a dt-partitioned table — the "
+        "100 TB daily-run pattern (reference: 24h sliding re-scan, "
+        "trips_lambda.py:106,218-221; its B-tree time index maps to "
+        "hive partitioning, SURVEY §4). Events are written partitioned "
+        "by dt=to_date(ts) (io.write_partitioned, cached per sf_dir "
+        "per session like a warehouse's ingest), then a two-day dt "
+        "filter aggregates: the scan plans only the 2 matching "
+        "partitions (PartitionFilters, asserted in tests/test_plans."
+        "py) — a daily job touches O(1 day) of data at any total size.",
+    tags=("source", "pruning"),
+)
+def s8_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.io import write_partitioned
+
+    path = _S8_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="dws_s8_") + "/events_dt"
+        write_partitioned(load_table(spark, sf_dir, "events"), path, ts_col="ts")
+        _S8_CACHE[sf_dir] = path
+    ev = spark.read.parquet(path)
+    return (ev.filter(F.col("dt").isin("2024-01-10", "2024-01-11"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_value")))

@@ -79,6 +79,38 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["user_id", "ts"])
 
 
+def attribution_join(clicks: DataFrame, purchases: DataFrame,
+                     horizon: str = "2 hours",
+                     watermark: str = "1 hour") -> DataFrame:
+    """ST9: watermarked stream-stream interval join — click->purchase
+    attribution within a time horizon.
+
+    Both sides carry a watermark and the join condition bounds
+    purchase_ts to [click_ts, click_ts + horizon], so Structured
+    Streaming can expire buffered rows on BOTH sides once the watermark
+    passes their horizon: state is O(events within watermark + horizon),
+    not O(stream). Inner-join matches emit immediately in append mode —
+    no result waits for window close. At 100 TB the state store is
+    per-key (user) partitioned across executors; no driver state.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"))
+    return c.join(
+        p,
+        F.expr(f"c_user = p_user AND purchase_ts >= click_ts "
+               f"AND purchase_ts <= click_ts + INTERVAL {horizon}"),
+        "inner",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+             "click_ts", "purchase_ts", "purchase_value")
+
+
 def start_memory_sink(df: DataFrame, name: str, output_mode: str) -> StreamingQuery:
     """Drive a streaming plan to completion against an in-memory table."""
     return (df.writeStream.format("memory").queryName(name)

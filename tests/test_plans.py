@@ -110,3 +110,12 @@ def test_bucketed_table_removes_sessionization_shuffle(spark, tmp_path):
     a = {(r.user_id, r.n) for r in pipeline(spark.table("ev_bucketed_test")).collect()}
     b = {(r.user_id, r.n) for r in pipeline(ev).collect()}
     assert a == b
+
+
+def test_s8_scan_is_partition_pruned(spark):
+    """The dt filter must prune at the partition level: the parquet scan
+    plans only the 2 matching dt= directories, not a post-scan filter
+    over everything."""
+    plan = executed_plan(q(spark, "s8_partition_pruned_scan"))
+    assert "PartitionFilters" in plan and "dt" in plan.split(
+        "PartitionFilters", 1)[1][:200]

@@ -80,3 +80,24 @@ def test_sessionize_partition_invariance(spark):
     a = sessions(df.repartition(1))
     b = sessions(df.repartition(17, "value"))  # adversarial layout
     assert a == b
+
+
+def test_a8_approx_within_bounds(spark, sf_dir):
+    """approx_count_distinct at rsd=0.02 and approx_percentile at
+    accuracy=10000 must land near the exact answers."""
+    from data_warehouse_spark.io import load_table
+    from data_warehouse_spark.queries.registry import load_all
+
+    approx = {r.event_type: r for r in
+              load_all()["a8_approx_agg"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r.event_type: r for r in
+             ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("users"),
+                 F.expr("percentile(value, 0.5)").alias("median")).collect()}
+    assert approx.keys() == exact.keys() and approx
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.users) <= max(2, 0.1 * e.users), et
+        spread = abs(e.median) + 1e-9
+        assert abs(a.approx_median_value - e.median) <= 0.05 * spread + 0.01, et

@@ -26,6 +26,10 @@ MUST_BE_WINDOWED = {
     "mm4_feature_ann",
     # round-3 additions — new queries start inside the window too:
     "j12_bucketed_fact_join", "x8_dup_components",
+    "st9_stream_stream_join", "s8_partition_pruned_scan",
+    "x9_stratified_split",
+    # changed in round 3 (tie-break fix) — must be driver re-verified:
+    "j6_asof_join",
 }
 
 
@@ -45,4 +49,5 @@ def test_every_query_has_fn_and_most_have_oracles():
     # rows-only is reserved for genuinely non-SQL-expressible ops
     assert no_oracle <= {"f7_current_timestamp", "st6_stream_dedup",
                          "st7_foreach_upsert", "x2_minhash_lsh",
-                         "x2b_simhash", "x3b_ivf_topk", "x5d_fingerprint"}
+                         "x2b_simhash", "x3b_ivf_topk", "x5d_fingerprint",
+                         "a8_approx_agg"}

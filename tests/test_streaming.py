@@ -128,3 +128,33 @@ def test_custom_stateful_running_stats(spark, sf_dir):
             for r in ev.groupBy("user_id").agg(
                 F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")).collect()}
     assert got == want
+
+
+def test_st9_stream_stream_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch interval join's row set (inner joins emit on match; the
+    availableNow drain flushes everything)."""
+    from data_warehouse_spark.streaming.jobs import attribution_join
+
+    clicks = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click")
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase")
+    q = start_memory_sink(attribution_join(clicks, purchases),
+                          "t_st9", "append")
+    q.awaitTermination()
+    streamed = {(r.click_id, r.purchase_id)
+                for r in spark.sql("SELECT * FROM t_st9").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts"))
+    batch = {(r.click_id, r.purchase_id)
+             for r in c.join(p, F.expr(
+                 "c_user = p_user AND purchase_ts >= click_ts "
+                 "AND purchase_ts <= click_ts + INTERVAL 2 hours")).collect()}
+    assert streamed == batch and len(batch) > 0
