@@ -23,18 +23,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table; normalizes the events nanosecond timestamp.
+    """Read one fixture table; normalizes the events timestamp to TIMESTAMP
+    (with local timezone — the session pins UTC).
 
-    events.parquet stores TIMESTAMP(NANOS) which Spark scans as long
-    (session sets spark.sql.legacy.parquet.nanosAsLong). All fixture
-    values are integral microseconds, so truncating /1000 is lossless
-    and lands on the same microsecond instants DuckDB produces.
+    The fixture generator has shipped events.ts as both parquet
+    TIMESTAMP(NANOS) (scanned as long under
+    spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (scanned as TIMESTAMP_NTZ). Both carry UTC
+    wall-clock values, so both normalize to the same microsecond
+    instants DuckDB produces; downstream operators always see plain
+    TIMESTAMP and can use unix_micros() arithmetic.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # Integer division: ns values ~1.7e18 exceed double's 2^53 exact
-        # range, so a float divide would be off by ±1 us.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Integer division: ns values ~1.7e18 exceed double's 2^53
+            # exact range, so a float divide would be off by ±1 us.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Wall clock is UTC; to_utc_timestamp pins that interpretation
+            # regardless of the session timezone of the caller's session.
+            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+        else:
+            return df
         # keep original column order
         df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return df
@@ -58,10 +70,20 @@ def scan_events_range(spark: SparkSession, sf_dir: str,
         return int(d.timestamp() * 1_000_000) * 1000
 
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.filter((F.col("ts") >= F.lit(ns(start_utc)))
                          & (F.col("ts") < F.lit(ns(end_utc))))
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    if ts_type == "timestamp_ntz":
+        # Filter in the native NTZ domain so PushedFilters reaches the
+        # scan (an NTZ literal compares file-native, no cast above it),
+        # then normalize to TIMESTAMP exactly like load_table.
+        raw = raw.filter(
+            (F.col("ts") >= F.lit(start_utc).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(end_utc).cast("timestamp_ntz")))
+        raw = raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
         return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return raw.filter((F.col("ts") >= F.lit(start_utc).cast("timestamp"))
                       & (F.col("ts") < F.lit(end_utc).cast("timestamp")))

@@ -34,17 +34,30 @@ EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files: int = 1) -> DataFrame:
     """ST1: streaming file source over the events log (the reference's
-    poll loop). maxFilesPerTrigger=1 emulates snapshot-at-a-time arrival."""
+    poll loop). maxFilesPerTrigger=1 emulates snapshot-at-a-time arrival.
+
+    Streaming sources need an explicit schema, so peek at the fixture
+    file with a batch read to learn which physical ts encoding this
+    fixture generation shipped (TIMESTAMP(NANOS)->long under the legacy
+    conf, or TIMESTAMP(MICROS) NTZ), then normalize to plain TIMESTAMP
+    exactly like io.load_table so every streaming job sees the same
+    event-time column as the batch plans."""
+    ts_type = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    ts_decl = {"bigint": "long", "timestamp_ntz": "timestamp_ntz"}.get(
+        ts_type, "timestamp")
     raw = (spark.readStream.format("parquet")
-           .schema("event_id long, ts long, user_id long, "
+           .schema(f"event_id long, ts {ts_decl}, user_id long, "
                    "event_type string, value double, props string")
            .option("maxFilesPerTrigger", max_files)
            # file stream sources take a directory; the glob filter picks
            # out the events log from the fixture dir
            .option("pathGlobFilter", "events.parquet")
            .load(f"{sf_dir}/"))
-    # fixture ts is TIMESTAMP(NANOS) -> long scan; convert as in io.py
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, size: str = "1 day",
