@@ -94,4 +94,5 @@ WHERE ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.25
 def x4_pairwise_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_blocked(emb, vec_col="embedding", id_col="vec_id",
-                                block_col="label", threshold=0.25)
+                                block_col="label", threshold=0.25,
+                                dim=64)
