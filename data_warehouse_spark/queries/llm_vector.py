@@ -26,12 +26,19 @@ list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
 """
 
 
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     """The query vector = embedding of vec_id 0 (a deterministic fixture
-    row; collecting one parameter row is query setup, not data flow)."""
-    row = (load_table(spark, sf_dir, "embeddings")
-           .filter(F.col("vec_id") == 0).select("embedding").first())
-    return list(row[0])
+    row; collecting one parameter row is query setup, not data flow).
+    Cached per sf_dir: the parameter row is immutable fixture data, and
+    re-fetching it would add a full scan job to every repeated run."""
+    if sf_dir not in _QUERY_VEC_CACHE:
+        row = (load_table(spark, sf_dir, "embeddings")
+               .filter(F.col("vec_id") == 0).select("embedding").first())
+        _QUERY_VEC_CACHE[sf_dir] = list(row[0])
+    return _QUERY_VEC_CACHE[sf_dir]
 
 
 @register(
