@@ -276,6 +276,71 @@ def x7_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x10_repetition_filter",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS l FROM documents
+), wc AS (
+    SELECT doc_id, w, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(l) AS w FROM toks) GROUP BY doc_id, w
+), wstats AS (
+    SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct
+    FROM wc GROUP BY doc_id
+), gc AS (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, greatest(len(l) - 1, 0) + 1),
+                     i -> l[i] || ' ' || l[i + 1])) AS g
+          FROM toks) GROUP BY doc_id, g
+), gstats AS (
+    SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram
+    FROM gc GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(w.n_words AS BIGINT) AS n_words,
+       ROUND(1.0 - w.n_distinct * 1.0 / w.n_words, 6) AS dup_word_frac,
+       ROUND(g.top_bigram * 1.0 / g.n_bigrams, 6) AS top_bigram_frac,
+       (1.0 - w.n_distinct * 1.0 / w.n_words <= 0.6
+        AND g.top_bigram * 1.0 / g.n_bigrams <= 0.06) AS keep
+FROM wstats w JOIN gstats g ON w.doc_id = g.doc_id
+""",
+    doc="X10 [ext]: repetition-based quality filter — the published "
+        "Gopher-style repetition signals (duplicate-word fraction, "
+        "top-bigram fraction) with a keep/drop verdict per document. "
+        "Plan shape: one token explode and one bigram explode, each "
+        "partially aggregated map-side on (doc_id, gram) before its "
+        "exchange, then a per-doc rollup join — shuffles carry counts, "
+        "never text. At 100 TB both explodes shard on doc-local keys "
+        "with no skew (doc_id is in every key), and the thresholds "
+        "prune before any downstream training-data write.",
+    tags=("ext", "text"),
+)
+def x10_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"), F.count(F.lit(1)).alias("n_distinct"))
+    grams = docs.select(
+        "doc_id", F.explode(_shingles("text", 2)).alias("g"))
+    gc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    gstats = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram"))
+    dup_word = 1.0 - F.col("n_distinct") / F.col("n_words")
+    top_bigram = F.col("top_bigram") / F.col("n_bigrams")
+    return (wstats.join(gstats, on="doc_id")
+            .select("doc_id", F.col("n_words").cast("long").alias("n_words"),
+                    F.round(dup_word, 6).alias("dup_word_frac"),
+                    F.round(top_bigram, 6).alias("top_bigram_frac"),
+                    ((dup_word <= 0.6) & (top_bigram <= 0.06)).alias("keep")))
+
+
+@register(
     "mm1_multimodal_stub",
     oracle="""
 SELECT doc_id,
