@@ -62,6 +62,79 @@ def dedup_by_key(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.dropDuplicates(keys)
 
 
+def scd2_apply(dim: DataFrame, updates: DataFrame, keys: list[str],
+               attrs: list[str], eff_ts_col: str = "eff_ts",
+               valid_from: str = "valid_from", valid_to: str = "valid_to",
+               current_col: str = "is_current") -> DataFrame:
+    """Slowly-changing-dimension type 2 merge — the versioned form of
+    the reference's declared dimension tables (README.md:76-78
+    dim_location/dim_vehicle/dim_weather, which a daily warehouse load
+    must evolve without losing history).
+
+    `dim` carries (keys, attrs, valid_from, valid_to, is_current);
+    `updates` carries (keys, attrs, eff_ts_col). Per update key:
+      - attrs differ from the current row (null-safe)  -> the current
+        row CLOSES (valid_to = eff_ts, is_current = false) and a new
+        current version inserts from eff_ts;
+      - attrs identical                                -> no-op (the
+        update is dropped, no spurious version);
+      - key absent from the dimension                  -> plain insert.
+    Historical (non-current) rows pass through untouched.
+
+    Plan shape: ONE full-outer join of current rows vs key-deduped
+    updates (hash on the dimension key); every output class projects
+    off that single join, so the exchange is computed once (AQE reuse)
+    and no driver-side state exists. Dimensions are small relative to
+    facts at any scale — the join broadcasts when stats allow.
+    """
+    updates = dedup_latest(updates, keys, eff_ts_col)
+    history = dim.filter(~F.col(current_col))
+    cur = dim.filter(F.col(current_col))
+
+    u = updates.select(
+        *[F.col(k).alias(f"__u_{k}") for k in keys],
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.col(eff_ts_col).alias("__u_eff"))
+    join_cond = None
+    for k in keys:
+        c = cur[k] == F.col(f"__u_{k}")
+        join_cond = c if join_cond is None else (join_cond & c)
+    j = cur.join(u, join_cond, "full_outer")
+
+    matched = F.col("__u_eff").isNotNull() & F.col(current_col).isNotNull()
+    changed = None
+    for a in attrs:
+        d = ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
+        changed = d if changed is None else (changed | d)
+    dim_cols = dim.columns
+
+    kept = j.filter(matched & ~changed | F.col("__u_eff").isNull()) \
+        .select(*dim_cols)
+    closed = (j.filter(matched & changed)
+              .withColumn(valid_to, F.col("__u_eff"))
+              .withColumn(current_col, F.lit(False))
+              .select(*dim_cols))
+    new_version = (j.filter(matched & changed)
+                   .select(*[F.col(f"__u_{k}").alias(k) for k in keys],
+                           *[F.col(f"__u_{a}").alias(a) for a in attrs],
+                           F.col("__u_eff").alias(valid_from),
+                           F.lit(None).cast(dim.schema[valid_to].dataType)
+                           .alias(valid_to),
+                           F.lit(True).alias(current_col))
+                   .select(*dim_cols))
+    inserted = (j.filter(F.col("__u_eff").isNotNull()
+                         & F.col(current_col).isNull())
+                .select(*[F.col(f"__u_{k}").alias(k) for k in keys],
+                        *[F.col(f"__u_{a}").alias(a) for a in attrs],
+                        F.col("__u_eff").alias(valid_from),
+                        F.lit(None).cast(dim.schema[valid_to].dataType)
+                        .alias(valid_to),
+                        F.lit(True).alias(current_col))
+                .select(*dim_cols))
+    return history.unionByName(kept).unionByName(closed) \
+        .unionByName(new_version).unionByName(inserted)
+
+
 def merge_into_partitioned(spark, target_path: str, new: DataFrame,
                            keys: list[str], ts_col: str) -> None:
     """The 100 TB upsert: MERGE `new` into a dt-partitioned parquet

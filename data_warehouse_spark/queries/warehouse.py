@@ -249,3 +249,62 @@ def s8_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+@register(
+    "u4_scd2_dimension",
+    oracle="""
+WITH changed AS (SELECT * FROM customer WHERE c_custkey % 7 = 0)
+SELECT c_custkey, c_mktsegment, c_nationkey,
+       TIMESTAMP '2023-01-01' AS valid_from,
+       TIMESTAMP '2024-06-01' AS valid_to,
+       FALSE AS is_current
+FROM changed
+UNION ALL
+SELECT c_custkey, 'MOVED', c_nationkey,
+       TIMESTAMP '2024-06-01', NULL, TRUE
+FROM changed
+UNION ALL
+SELECT c_custkey, c_mktsegment, c_nationkey,
+       TIMESTAMP '2023-01-01', NULL, TRUE
+FROM customer WHERE c_custkey % 7 <> 0
+UNION ALL
+SELECT c_custkey + 10000000, 'NEWSEG', c_nationkey,
+       TIMESTAMP '2024-06-01', NULL, TRUE
+FROM customer WHERE c_custkey % 97 = 0
+""",
+    doc="U4: slowly-changing-dimension type 2 merge "
+        "(operators/merge.py:scd2_apply) — the versioned load the "
+        "reference's declared dimension tables (README.md:76-78) need. "
+        "One batch carries: attribute changes (custkey%7: segment -> "
+        "MOVED — old version closes at the effective date, new current "
+        "version opens), no-op updates (custkey%5 re-sends identical "
+        "attrs — dropped, no spurious version), and brand-new keys "
+        "(custkey%97 offset by 1e7 — plain inserts). One full-outer "
+        "hash join of current rows vs key-deduped updates; every "
+        "output class projects off that single exchange.",
+    tags=("upsert", "scd2"),
+)
+def u4_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.merge import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey", "c_mktsegment", "c_nationkey",
+        F.lit("2023-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"))
+    eff = F.lit("2024-06-01").cast("timestamp")
+    changed = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("MOVED").alias("c_mktsegment"),
+        "c_nationkey", eff.alias("eff_ts"))
+    noop = cust.filter((F.col("c_custkey") % 5 == 0)
+                       & (F.col("c_custkey") % 7 != 0)).select(
+        "c_custkey", "c_mktsegment", "c_nationkey", eff.alias("eff_ts"))
+    fresh = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        "c_nationkey", eff.alias("eff_ts"))
+    updates = changed.unionByName(noop).unionByName(fresh)
+    return scd2_apply(dim, updates, keys=["c_custkey"],
+                      attrs=["c_mktsegment", "c_nationkey"])

@@ -310,3 +310,34 @@ def test_connected_components_path_graph_and_isolated_pair(spark):
            for r in connected_components(edges, "id_a", "id_b").collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
                    (10, 10), (11, 10)}
+
+
+def test_scd2_apply_close_insert_noop_newkey(spark):
+    from datetime import datetime
+
+    from data_warehouse_spark.operators.merge import scd2_apply
+
+    t0 = datetime(2023, 1, 1)
+    eff = datetime(2024, 6, 1)
+    dim = spark.createDataFrame(
+        [(1, "A", t0, None, True),    # will change -> close + new version
+         (2, "B", t0, None, True),    # no-op update -> untouched
+         (3, "C", t0, None, True),    # no update at all -> untouched
+         (1, "Z", datetime(2022, 1, 1), t0, False)],  # history passes through
+        "k int, seg string, valid_from timestamp, valid_to timestamp, "
+        "is_current boolean")
+    updates = spark.createDataFrame(
+        [(1, "A2", eff), (2, "B", eff), (9, "N", eff),
+         (9, "N_OLD", datetime(2024, 1, 1))],  # dup key: latest eff wins
+        "k int, seg string, eff_ts timestamp")
+    out = scd2_apply(dim, updates, keys=["k"], attrs=["seg"])
+    rows = {(r.k, r.seg, r.valid_from, r.valid_to, r.is_current)
+            for r in out.collect()}
+    assert rows == {
+        (1, "A", t0, eff, False),          # closed
+        (1, "A2", eff, None, True),        # new current version
+        (2, "B", t0, None, True),          # no-op kept verbatim
+        (3, "C", t0, None, True),          # untouched
+        (1, "Z", datetime(2022, 1, 1), t0, False),  # history
+        (9, "N", eff, None, True),         # brand-new key, latest update
+    }
