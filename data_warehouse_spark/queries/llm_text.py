@@ -258,7 +258,11 @@ LIMIT 100
     doc="X7: TF-IDF keyword extraction as a pure SQL/DataFrame "
         "pipeline: explode -> tf agg -> df agg -> broadcast-join "
         "(term dictionary is small) -> score. Threshold keeps the "
-        "high-signal terms.",
+        "high-signal terms. df derives FROM tf (tf already holds one "
+        "row per (doc, term), so count-per-term == count distinct "
+        "docs): the corpus explodes and shuffles once, and the tf "
+        "exchange feeds both the document-frequency aggregate and the "
+        "scoring join.",
     tags=("ext", "text"),
 )
 def x7_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,7 +271,7 @@ def x7_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))  # 1-row dim, broadcast
     score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     return (tf.join(F.broadcast(dfreq), on="term").crossJoin(F.broadcast(n))
