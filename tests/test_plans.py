@@ -119,3 +119,13 @@ def test_s8_scan_is_partition_pruned(spark):
     plan = executed_plan(q(spark, "s8_partition_pruned_scan"))
     assert "PartitionFilters" in plan and "dt" in plan.split(
         "PartitionFilters", 1)[1][:200]
+
+
+def test_x3_unrolled_kernel_stays_jvm_side(spark):
+    """The default cosine kernel is the unrolled codegen expression: no
+    Python evaluation node may appear in the scoring plan."""
+    plan = executed_plan(q(spark, "x3_cosine_topk"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
+                   "FlatMapsInPandas", "MapInPandas"):
+        assert marker not in plan, marker
+    assert uses_take_ordered(q(spark, "x3_cosine_topk"))
