@@ -485,3 +485,43 @@ def a8_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.percentile_approx("value", F.lit(0.5), F.lit(10000))
                  .alias("approx_median_value"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "a9_pivot",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS not_specified,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(ROUND(o_totalprice*100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS low
+FROM orders
+GROUP BY 1
+""",
+    doc="A9: PIVOT — long-to-wide reshaping (revenue by year x "
+        "priority), the reporting surface every warehouse exposes. "
+        "df.groupBy().pivot(col, values) with the value list given "
+        "explicitly: Catalyst then compiles it to ONE pass of "
+        "conditional aggregates (exactly the CASE WHEN form the oracle "
+        "spells out) instead of first running a distinct-values job; "
+        "at 100 TB that both removes a scan and keeps the output "
+        "schema statically known. Sums run in the exact integer-cents "
+        "domain (util.money_sum pattern) so the pivot cells are "
+        "bit-identical across engines and shuffle orders.",
+    tags=("agg", "pivot"),
+)
+def a9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pri = {"1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+           "4-NOT SPECIFIED": "not_specified", "5-LOW": "low"}
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (orders
+            .select(F.year("o_orderdate").alias("order_year"),
+                    "o_orderpriority", "o_totalprice")
+            .groupBy("order_year")
+            .pivot("o_orderpriority", list(pri))
+            .agg(money_sum("o_totalprice")))
+    out = wide.select("order_year",
+                      *[F.coalesce(F.col(f"`{v}`"), F.lit(0.0)).alias(alias)
+                        for v, alias in pri.items()])
+    return out
