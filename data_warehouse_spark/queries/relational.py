@@ -525,3 +525,39 @@ def a9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                       *[F.coalesce(F.col(f"`{v}`"), F.lit(0.0)).alias(alias)
                         for v, alias in pri.items()])
     return out
+
+
+@register(
+    "a10_unpivot",
+    oracle="""
+WITH src AS (
+    SELECT c_nationkey,
+           ROUND(CAST(CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 / COUNT(*), 6) AS avg_bal,
+           ROUND(MAX(c_acctbal), 6) AS max_bal,
+           ROUND(MIN(c_acctbal), 6) AS min_bal
+    FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, 'avg_bal' AS metric, avg_bal AS value FROM src
+UNION ALL
+SELECT c_nationkey, 'max_bal', max_bal FROM src
+UNION ALL
+SELECT c_nationkey, 'min_bal', min_bal FROM src
+""",
+    doc="A10: UNPIVOT/melt — wide-to-long reshaping, the inverse of A9 "
+        "and the shape metric stores and chart layers consume. Uses "
+        "the native DataFrame.unpivot (Spark 3.4+): one Expand node "
+        "emits the three (metric, value) rows per input row in a "
+        "single pass — the plan never unions three scans the way the "
+        "SQL spelling suggests. avg uses the exact integer-cents sum "
+        "(util.money_avg) so the 6dp rounding is order-independent.",
+    tags=("agg", "pivot"),
+)
+def a10_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_nationkey").agg(
+        F.round(money_avg("c_acctbal"), 6).alias("avg_bal"),
+        F.round(F.max("c_acctbal"), 6).alias("max_bal"),
+        F.round(F.min("c_acctbal"), 6).alias("min_bal"))
+    return wide.unpivot(
+        ids=["c_nationkey"], values=["avg_bal", "max_bal", "min_bal"],
+        variableColumnName="metric", valueColumnName="value")
