@@ -341,3 +341,25 @@ def test_scd2_apply_close_insert_noop_newkey(spark):
         (1, "Z", datetime(2022, 1, 1), t0, False),  # history
         (9, "N", eff, None, True),         # brand-new key, latest update
     }
+
+
+def test_a9_pivot_missing_cell_is_zero(spark):
+    """A year with no orders of some priority must surface 0.0 (the
+    coalesce path the full fixture never exercises)."""
+    from datetime import datetime
+
+    from data_warehouse_spark.queries.registry import load_all
+    import data_warehouse_spark.queries.relational as rel
+
+    df = spark.createDataFrame(
+        [(datetime(1995, 3, 1), "1-URGENT", 10.50),
+         (datetime(1995, 4, 1), "1-URGENT", 4.25),
+         (datetime(1996, 5, 1), "5-LOW", 7.00)],
+        "o_orderdate timestamp, o_orderpriority string, o_totalprice double")
+    import unittest.mock as mock
+    with mock.patch.object(rel, "load_table", return_value=df):
+        out = {r.order_year: r for r in
+               load_all()["a9_pivot"].fn(spark, "ignored").collect()}
+    assert out[1995].urgent == 14.75 and out[1995].low == 0.0
+    assert out[1996].low == 7.0 and out[1996].urgent == 0.0
+    assert out[1996].not_specified == 0.0
