@@ -60,10 +60,9 @@ def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E1_LAT = "value % 90"                              # deterministic pseudo-coords
 _E1_LON = "(event_id % 36000) / 100.0 - 180.0"
 
-
-@register(
-    "e1_trips",
-    oracle=f"""
+# DuckDB CTE chain shared by the e1 oracle and the e2 carbon oracle: the
+# reference's trip-reconstruction pipeline up to the validated fact rows.
+_E1_FACT_SQL = f"""
 WITH trip_data AS (
     SELECT user_id AS bike_id, event_type, ts,
            {_E1_LAT} AS lat, {_E1_LON} AS lon,
@@ -96,14 +95,23 @@ trip_aggregates AS (
            COUNT(*) AS segment_count
     FROM trip_segments
     GROUP BY bike_id
+),
+trips_fact AS (
+    SELECT * FROM trip_aggregates
+    WHERE total_duration >= 1 AND total_duration <= 60
+      AND total_distance > 0 AND segment_count >= 2
 )
+"""
+
+
+@register(
+    "e1_trips",
+    oracle=_E1_FACT_SQL + """
 SELECT ROUND(start_lat, 6) AS start_lat, ROUND(start_lon, 6) AS start_lon,
        ROUND(end_lat, 6) AS end_lat, ROUND(end_lon, 6) AS end_lon,
        bike_id, provider_id, trip_start, trip_end,
        total_duration, total_distance, segment_count
-FROM trip_aggregates
-WHERE total_duration >= 1 AND total_duration <= 60
-  AND total_distance > 0 AND segment_count >= 2
+FROM trips_fact
 ORDER BY trip_start
 """,
     doc="E1: the reference's full trip-reconstruction ETL query "
@@ -116,6 +124,23 @@ ORDER BY trip_start
     tags=("flagship", "etl"),
 )
 def e1_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        trips_fact(spark, sf_dir)
+        .select(
+            F.round("start_lat", 6).alias("start_lat"),
+            F.round("start_lon", 6).alias("start_lon"),
+            F.round("end_lat", 6).alias("end_lat"),
+            F.round("end_lon", 6).alias("end_lon"),
+            "bike_id", "provider_id", "trip_start", "trip_end",
+            "total_duration", "total_distance", "segment_count",
+        )
+        .orderBy("trip_start")
+    )
+
+
+def trips_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validated trips fact table (reference all_trips,
+    trips_lambda.py:52-84) as a DataFrame chain over the events log."""
     events = load_table(spark, sf_dir, "events")
     lat = (F.col("value") % 90).alias("lat")
     lon = ((F.col("event_id") % 36000) / 100.0 - 180.0).alias("lon")
@@ -164,17 +189,49 @@ def e1_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("segment_count"),
     )
 
+    return trip_aggregates.filter(
+        (F.col("total_duration") >= 1) & (F.col("total_duration") <= 60)
+        & (F.col("total_distance") > 0) & (F.col("segment_count") >= 2))
+
+
+# Published per-km CO2 factors: an average European passenger car emits
+# ~192 g CO2/km (EEA new-car fleet figure); a shared (e-)bike's lifecycle
+# footprint is ~22 g/km (ECF "Cycle more often" study). The single
+# savings literal below (0.192 - 0.022 = 0.17 kg/km) is used verbatim in
+# both engines so the float math is bit-identical.
+CARBON_SAVINGS_KG_PER_KM = 0.17
+
+
+@register(
+    "e2_carbon_savings",
+    oracle=_E1_FACT_SQL + f"""
+SELECT provider_id,
+       COUNT(*) AS n_trips,
+       ROUND(SUM(total_distance), 6) AS total_km,
+       ROUND(ROUND(SUM(total_distance), 6) * {CARBON_SAVINGS_KG_PER_KM}, 6)
+           AS co2_saved_kg
+FROM trips_fact
+GROUP BY provider_id
+ORDER BY provider_id
+""",
+    doc="E2: carbon-savings rollup — the reference's stated purpose "
+        "(README.md:1-3) and declared-but-absent lambda_carbon_calc.py "
+        "(README.md:15). Per-provider km ridden x published per-km "
+        "CO2-saved-vs-car factor over the trips fact. Pure F3/F4 column "
+        "math + A1 rollup; distances are pre-rounded per bike so the "
+        "provider sum has few terms and stays bit-stable cross-engine.",
+    tags=("etl", "carbon"),
+)
+def e2_carbon_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    total_km = F.round(F.sum("total_distance"), 6)
     return (
-        trip_aggregates
-        .filter((F.col("total_duration") >= 1) & (F.col("total_duration") <= 60)
-                & (F.col("total_distance") > 0) & (F.col("segment_count") >= 2))
-        .select(
-            F.round("start_lat", 6).alias("start_lat"),
-            F.round("start_lon", 6).alias("start_lon"),
-            F.round("end_lat", 6).alias("end_lat"),
-            F.round("end_lon", 6).alias("end_lon"),
-            "bike_id", "provider_id", "trip_start", "trip_end",
-            "total_duration", "total_distance", "segment_count",
+        trips_fact(spark, sf_dir)
+        .groupBy("provider_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            total_km.alias("total_km"),
+            F.round(total_km * F.lit(CARBON_SAVINGS_KG_PER_KM), 6)
+                .alias("co2_saved_kg"),
         )
-        .orderBy("trip_start")
+        .orderBy("provider_id")
     )
