@@ -22,16 +22,29 @@ from pyspark.sql import functions as F
 
 from data_warehouse_spark.io import spread_for_compute
 
-# Above this dimension the unrolled expression tree stops being the
-# right tool (codegen method bloat) and the Arrow numpy kernel wins.
-UNROLL_MAX_DIM = 256
+# cosine_topk auto-kernel threshold on the optimizer's size estimate of
+# the input scan: below it the single-parse HOF expression wins (no
+# Python workers to feed, ~0.2 s less fixed cost); above it the Arrow
+# numpy matmul wins (measured 1.2 s vs 2.0 s HOF on a 3.2M x 64 scan —
+# the HOF lambda is interpreted per element, while the Arrow path is
+# bounded by scan+ship at ~1.4 GB/s and computes for free).
+ARROW_MIN_PLAN_BYTES = 128 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate for df's plan (file-size based for
+    parquet scans) — free to read, no job runs."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
 def _dlit(x: float) -> str:
     """SQL double literal: decimal forms need the D suffix (Spark parses
     bare `0.1` as DECIMAL), scientific forms are already DOUBLE."""
-    r = repr(float(x))
-    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "D"
+    f = float(x)
+    if f != f or f in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite vector component: {x!r}")
+    r = repr(f)
+    return r if ("e" in r or "E" in r) else r + "D"
 
 
 def _elem(name: str, i: int) -> str:
@@ -39,23 +52,18 @@ def _elem(name: str, i: int) -> str:
 
 
 def _dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
-    """Dot product of two array columns.
+    """Dot product of two array columns as zip_with+aggregate.
 
-    With `dim` (embedding width known statically, the common warehouse
-    case) and both sides given as column NAMES, the sum is UNROLLED
-    into dim fused multiply-adds rendered as ONE SQL string: whole-stage
-    codegen compiles it, reading array elements in place — measured ~4x
-    faster to execute than the higher-order-function form (interpreted
-    per element), and the single F.expr() parse keeps plan CONSTRUCTION
-    ~1000x cheaper than building the same tree from per-term py4j
-    Column calls (which cost ~1 s of driver time per query build at
-    dim=64). Without `dim` (or with Column inputs), falls back to
-    zip_with+aggregate. Both sum left-to-right, so values are identical.
+    `dim` is accepted for signature stability but no longer selects an
+    unrolled expression: round-4 measurements show the dim-term
+    GetArrayItem form losing to this HOF form EVERYWHERE — 2.8x slower
+    on cached join pairs (50 s vs 18 s per 3M single-core pair-dots at
+    dim 64) and ~8x slower over a parquet scan (each array index
+    re-reads the nested column). The HOF lambda builds in two py4j
+    calls and sums left-to-right, so plan-construction cost and values
+    are unchanged. cosine_topk keeps an explicit 'unrolled' kernel for
+    regression benchmarking only.
     """
-    if (dim is not None and dim <= UNROLL_MAX_DIM
-            and isinstance(a, str) and isinstance(b, str)):
-        return F.expr(" + ".join(f"{_elem(a, i)} * {_elem(b, i)}"
-                                 for i in range(dim)))
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
@@ -72,9 +80,7 @@ def _dot_query(a: str, query_vec: list[float]) -> Column:
 
 
 def _norm(a: Column | str, dim: int | None = None) -> Column:
-    if dim is not None and dim <= UNROLL_MAX_DIM and isinstance(a, str):
-        sq = " + ".join(f"{_elem(a, i)} * {_elem(a, i)}" for i in range(dim))
-        return F.expr(f"SQRT({sq})")
+    """L2 norm; `dim` accepted but inert (see _dot — HOF wins)."""
     a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -146,36 +152,45 @@ def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
     BY + LIMIT compiles to TakeOrderedAndProject: per-partition heaps,
     driver merges k rows — constant driver memory at any table size.
 
-    Kernels (`kernel=`):
-      auto      unrolled codegen expression when the query dimension
-                fits UNROLL_MAX_DIM, else the Arrow numpy kernel.
-                The unrolled form never leaves the JVM: the nested-
-                column vectorized parquet reader feeds whole-stage
-                codegen directly (measured ~2x faster than the Arrow
-                roundtrip at 3.2M x 64, and within ~2x of DuckDB's
-                fused list kernel once the fixed job floor is excluded).
-      arrow     zero-copy Arrow->numpy matmul (_arrow_query_scan) —
-                wins for wide embeddings where an unrolled expression
-                would bloat generated code.
-      hof       zip_with/aggregate column expression — interpreted
-                per element; kept as the no-Python, any-dimension
-                reference path and for plan tests.
+    Kernels (`kernel=`), all value-identical (round 6 absorbs final
+    ulps; verified equal on the fixtures):
+      auto      size-routed: HOF below ARROW_MIN_PLAN_BYTES (a small
+                scan is fixed-cost-bound, and HOF has no Python workers
+                to spin up), Arrow above it (measured 1.2 s vs HOF's
+                2.0 s and unrolled's 3.9 s at 3.2M x 64).
+      arrow     zero-copy Arrow->numpy matmul (_arrow_query_scan):
+                bounded by scan+ship, compute is free; the scale path.
+      hof       ONE-parse zip_with/aggregate expression with the query
+                norm folded to a literal — interpreted per element but
+                JVM-only, no worker startup; wins small scans.
+      unrolled  dim fused multiply-adds as one SQL string. Kept for
+                comparison: each of its 3*dim GetArrayItems re-reads
+                the nested column, so it LOSES to hof at every size
+                measured on this Spark build (0.49 s vs 0.34 s at
+                128k rows, 3.9 s vs 2.0 s at 3.2M).
     """
+    import math
+
     df = spread_for_compute(df)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     if kernel == "auto":
-        kernel = "unrolled" if len(query_vec) <= UNROLL_MAX_DIM else "arrow"
+        kernel = ("arrow" if _plan_size_bytes(df) >= ARROW_MIN_PLAN_BYTES
+                  else "hof")
     if kernel == "arrow":
         scored = _arrow_query_scan(df, vec_col, id_col, query_vec)
     elif kernel == "unrolled":
-        import math
-        qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
         sim = _dot_query(vec_col, query_vec) / (
             _norm(vec_col, dim=len(query_vec)) * F.lit(qn))
         scored = df.select(F.col(id_col), sim.alias("cos_sim"))
     else:  # hof
-        q = F.array(*[F.lit(float(x)) for x in query_vec])
-        scored = df.select(F.col(id_col),
-                           cosine(F.col(vec_col), q).alias("cos_sim"))
+        arr = "array(" + ",".join(_dlit(x) for x in query_vec) + ")"
+        sim = F.expr(
+            f"aggregate(zip_with(`{vec_col}`, {arr}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a, x) -> a + x)"
+            f" / (SQRT(aggregate(`{vec_col}`, 0.0D, "
+            "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+            f" * {_dlit(qn)})")
+        scored = df.select(F.col(id_col), sim.alias("cos_sim"))
     return (scored.select(F.col(id_col),
                           F.round("cos_sim", 6).alias("cos_sim"))
             .orderBy(F.col("cos_sim").desc(), F.col(id_col))
@@ -283,10 +298,10 @@ def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str,
 def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
              query_vec: list[float], k: int = 20, n_cells: int = 16,
              nprobe: int = 4) -> DataFrame:
-    dim = len(query_vec)
     """Approximate top-k: score centroids against the query on the
     driver-free plan (centroids are tiny), keep the nprobe best cells,
     brute-force only inside them."""
+    dim = len(query_vec)
     centroids = build_ivf_centroids(df, vec_col, id_col, n_cells, iters=1,
                                     dim=dim)
     q = F.array(*[F.lit(float(x)) for x in query_vec])

@@ -121,9 +121,10 @@ def test_s8_scan_is_partition_pruned(spark):
         "PartitionFilters", 1)[1][:200]
 
 
-def test_x3_unrolled_kernel_stays_jvm_side(spark):
-    """The default cosine kernel is the unrolled codegen expression: no
-    Python evaluation node may appear in the scoring plan."""
+def test_x3_small_scan_kernel_stays_jvm_side(spark):
+    """Below ARROW_MIN_PLAN_BYTES the auto kernel is the one-parse HOF
+    expression: no Python evaluation node may appear in the scoring
+    plan (the Arrow matmul path only pays off on large scans)."""
     plan = executed_plan(q(spark, "x3_cosine_topk"))
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInArrow",
                    "FlatMapsInPandas", "MapInPandas"):
