@@ -13,14 +13,16 @@ Design for 100 TB of media:
     sample compose with relational operators (join frames to labels,
     aggregate features, dedup by content hash).
 
-Decode kernels: `decode_images(codec="pil")` does real header decode
-through Pillow (guarded import, executor-side) when the library is
-present; the default `codec="stub"` computes a deterministic result
-from the payload bytes so the pipeline stays oracle-checkable in
-codec-less environments. The schemas, batching, partitioning, and
-composition are identical either way — swapping the kernel moves
-nothing else (tests cover both paths; the PIL test self-skips where
-Pillow is absent).
+Decode kernels: `decode_images(codec="png")` does REAL header decode
+through the vendored pure-stdlib PNG codec (functions/png.py — public
+W3C spec, no Pillow needed); `codec="pil"` uses Pillow when present
+(guarded import, executor-side); `codec="stub"` computes a
+deterministic result from the payload byte-size for non-image blobs.
+The schemas, batching, partitioning, and composition are identical
+across kernels — swapping the codec moves nothing else. mm2 runs the
+real png path end-to-end: attach_png_blob encodes genuine PNG
+payloads whose dims are a deterministic function of the text, so the
+real decode is still DuckDB-oracle-checkable.
 """
 
 from __future__ import annotations
@@ -49,6 +51,42 @@ def attach_blob(df: DataFrame, text_col: str = "text",
     )
 
 
+def attach_png_blob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    mod_w: int = 64, mod_h: int = 48) -> DataFrame:
+    """Encode each row as a GENUINE PNG payload (vendored codec) whose
+    dimensions are a deterministic function of the text length:
+    w = len % mod_w + 8, h = len % mod_h + 8. Downstream real decodes
+    recover exactly those dims, so the end-to-end real-codec pipeline
+    stays DuckDB-oracle-checkable. Arrow-batched; pixel buffers are
+    generated per task and never pass the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from data_warehouse_spark.functions.png import encode_png
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            blobs = []
+            for text in pdf[text_col]:
+                n = len(text.encode("utf-8"))  # bytes, = DuckDB strlen()
+                w, h = n % mod_w + 8, n % mod_h + 8
+                # cheap deterministic pixels: a byte ramp seeded by n
+                px = (np.arange(w * h * 3, dtype=np.int64) + n) % 256
+                blobs.append(encode_png(w, h, px.astype(np.uint8)
+                                        .tobytes(), color_type=2))
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "blob": blobs,
+                "media_type": "image/png",
+                "n_bytes": [len(b) for b in blobs],
+            })
+
+    return (df.select(F.col(id_col), F.col(text_col))
+            .mapInPandas(encode, schema="doc_id long, blob binary, "
+                                        "media_type string, n_bytes long"))
+
+
 def _stub_dims(n_bytes: "pd.Series") -> tuple["pd.Series", "pd.Series"]:
     """Deterministic stand-in for image header decode: derive (w, h)
     from payload size. A real decoder reads them from the codec."""
@@ -71,20 +109,22 @@ def decode_images(df: DataFrame, codec: str = "stub") -> DataFrame:
     instead of failing the task (per-unit error isolation, the
     reference's per-city try/except pattern weather_lambda.py:147-149).
 
-    codec: "stub" (deterministic arithmetic from payload size — the
-    oracle-checkable default), "pil" (real header decode via Pillow,
-    imported inside the executor task; raises at plan time if Pillow is
-    absent), or "auto" (pil when importable, else stub). Whichever
-    kernel runs, the plan is identical — schema, batching, partitioning
-    don't move when the codec is swapped in.
+    codec: "png" (REAL header decode via the vendored pure-stdlib PNG
+    codec, functions/png.py — O(1) per payload, never inflates pixels),
+    "pil" (real decode via Pillow, imported inside the executor task;
+    raises at plan time if Pillow is absent), "stub" (deterministic
+    arithmetic from payload size — for non-image stand-in blobs), or
+    "auto" (pil when importable, else png). Whichever kernel runs, the
+    plan is identical — schema, batching, partitioning don't move when
+    the codec is swapped in.
     """
     import pandas as pd
 
     if codec == "auto":
-        codec = "pil" if _pil_available() else "stub"
+        codec = "pil" if _pil_available() else "png"
     if codec == "pil" and not _pil_available():
         raise ImportError("codec='pil' requires Pillow on the executors")
-    if codec not in ("stub", "pil"):
+    if codec not in ("stub", "pil", "png"):
         raise ValueError(f"unknown codec: {codec!r}")
 
     def run_stub(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -96,6 +136,28 @@ def decode_images(df: DataFrame, codec: str = "stub") -> DataFrame:
                 "width": w.astype("int32"),
                 "height": h.astype("int32"),
                 "ok": pd.Series(True, index=pdf.index),
+            })
+
+    def run_png(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from data_warehouse_spark.functions.png import PngError, read_header
+
+        for pdf in batches:
+            ws, hs, oks = [], [], []
+            for blob in pdf["blob"]:
+                try:
+                    w, h, _depth, _color = read_header(blob)
+                    ws.append(w)
+                    hs.append(h)
+                    oks.append(True)
+                except PngError:
+                    ws.append(None)
+                    hs.append(None)
+                    oks.append(False)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "ok": oks,
             })
 
     def run_pil(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -122,7 +184,7 @@ def decode_images(df: DataFrame, codec: str = "stub") -> DataFrame:
                 "ok": oks,
             })
 
-    run = run_pil if codec == "pil" else run_stub
+    run = {"pil": run_pil, "png": run_png, "stub": run_stub}[codec]
     return df.mapInPandas(run, schema="doc_id long, width int, height int, ok boolean")
 
 

@@ -392,34 +392,38 @@ def mm1_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH decoded AS (
     SELECT doc_id,
-           CAST(strlen(text) % 1920 + 16 AS INT) AS width,
-           CAST(strlen(text) % 1080 + 16 AS INT) AS height
+           CAST(strlen(text) % 64 + 8 AS INT) AS width,
+           CAST(strlen(text) % 48 + 8 AS INT) AS height
     FROM documents
 )
 SELECT doc_id, width, height,
-       CASE WHEN GREATEST(width, height) > 512
-            THEN CAST(FLOOR(width * 512 / GREATEST(width, height)) AS INT)
+       CASE WHEN GREATEST(width, height) > 32
+            THEN CAST(FLOOR(width * 32 / GREATEST(width, height)) AS INT)
             ELSE width END AS out_w,
-       CASE WHEN GREATEST(width, height) > 512
-            THEN CAST(FLOOR(height * 512 / GREATEST(width, height)) AS INT)
+       CASE WHEN GREATEST(width, height) > 32
+            THEN CAST(FLOOR(height * 32 / GREATEST(width, height)) AS INT)
             ELSE height END AS out_h
 FROM decoded
 """,
-    doc="MM2 [ext]: image decode + aspect-preserving resize planning. "
-        "Decode runs as an Arrow-batched mapInPandas stage (stub codec: "
-        "dims derived from payload size — swap for PIL and nothing else "
-        "moves); the resize math is pure column expressions so it stays "
-        "JVM-side and composable. The oracle replays the deterministic "
-        "stub arithmetic.",
+    doc="MM2 [ext]: REAL image decode + aspect-preserving resize "
+        "planning. attach_png_blob encodes each doc as a genuine PNG "
+        "(vendored pure-stdlib codec, functions/png.py) whose dims are "
+        "a deterministic function of the text byte-length; "
+        "decode_images(codec='png') then parses the actual IHDR header "
+        "back out of the payload — a real codec round-trip, Arrow-"
+        "batched, payloads never passing the driver. The resize math "
+        "is pure column expressions so it stays JVM-side and "
+        "composable. The oracle recomputes the dims formula, so the "
+        "real decode is hash-checked end to end.",
     tags=("ext", "multimodal"),
 )
 def mm2_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_spark.operators.multimodal import (
-        attach_blob, decode_images, resize_plan,
+        attach_png_blob, decode_images, resize_plan,
     )
     docs = load_table(spark, sf_dir, "documents")
-    decoded = decode_images(attach_blob(docs))
-    return resize_plan(decoded, max_side=512).orderBy("doc_id")
+    decoded = decode_images(attach_png_blob(docs), codec="png")
+    return resize_plan(decoded, max_side=32).orderBy("doc_id")
 
 
 @register(

@@ -100,30 +100,113 @@ def test_sample_frames_count_matches_metadata(spark):
     assert wrong == 0
 
 
-def test_decode_images_pil_codec_real_header(spark):
-    """Real-codec path: a genuine PNG decodes to its true dims and a
-    malformed payload degrades to ok=false (never a task failure).
-    Self-skips where Pillow is absent — the stub path is the
-    hash-checked default either way."""
+def test_png_codec_roundtrip_and_filters():
+    """Vendored pure-stdlib PNG codec (functions/png.py): encode ->
+    header parse -> full decode round-trips pixels exactly, and the
+    decoder reverses every scanline filter type (synthetic filtered
+    streams built per the public spec)."""
+    import struct
+    import zlib
+
     import pytest
 
+    from data_warehouse_spark.functions import png
+
+    pixels = bytes((x * 7 + 3) % 256 for x in range(13 * 9 * 3))
+    blob = png.encode_png(13, 9, pixels, color_type=2)
+    assert png.read_header(blob) == (13, 9, 8, 2)
+    w, h, ch, raw = png.decode_png(blob)
+    assert (w, h, ch) == (13, 9, 3)
+    assert raw == pixels
+
+    # greyscale + RGBA paths
+    grey = bytes(range(6 * 4))
+    assert png.decode_png(png.encode_png(6, 4, grey, color_type=0))[3] == grey
+    rgba = bytes((x * 5) % 256 for x in range(3 * 2 * 4))
+    assert png.decode_png(png.encode_png(3, 2, rgba, color_type=6))[3] == rgba
+
+    # hand-build a stream exercising filters Sub/Up/Average/Paeth: take
+    # the filter-0 stream and re-filter each line per the spec, then
+    # check the decoder recovers the same pixels.
+    stride = 13 * 3
+    lines = [pixels[y * stride:(y + 1) * stride] for y in range(9)]
+    refiltered = bytearray()
+    prev = bytes(stride)
+    for y, line in enumerate(lines):
+        ftype = (y % 4) + 1
+        refiltered.append(ftype)
+        for i in range(stride):
+            left = line[i - 3] if i >= 3 else 0
+            up = prev[i]
+            ul = prev[i - 3] if i >= 3 else 0
+            if ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = png._paeth(left, up, ul)
+            refiltered.append((line[i] - pred) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", 13, 9, 8, 2, 0, 0, 0)
+    blob2 = (b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr)
+             + png._chunk(b"IDAT", zlib.compress(bytes(refiltered)))
+             + png._chunk(b"IEND", b""))
+    assert png.decode_png(blob2)[3] == pixels
+
+    with pytest.raises(png.PngError):
+        png.read_header(b"not an image")
+    with pytest.raises(png.PngError):
+        png.decode_png(blob[:20])
+
+
+def test_decode_images_real_codec_header(spark):
+    """Real-codec path IN SPARK: a genuine PNG payload decodes to its
+    true header dims and a malformed payload degrades to ok=false
+    (never a task failure). Runs the vendored codec everywhere; the
+    Pillow kernel additionally runs when the library is present."""
+    import pytest
+
+    from data_warehouse_spark.functions.png import encode_png
     from data_warehouse_spark.operators.multimodal import (
         _pil_available, decode_images,
     )
 
+    blob = encode_png(37, 21, bytes(37 * 21 * 3))
+    rows = [(1, bytearray(blob)), (2, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    codecs = ["png", "auto"] + (["pil"] if _pil_available() else [])
+    for codec in codecs:
+        got = {r.doc_id: r for r in decode_images(df, codec=codec).collect()}
+        assert (got[1].width, got[1].height, got[1].ok) == (37, 21, True), codec
+        assert got[2].ok is False and got[2].width is None, codec
     if not _pil_available():
         with pytest.raises(ImportError):
-            decode_images(spark.range(0), codec="pil")
-        pytest.skip("Pillow not installed in this environment")
+            decode_images(df, codec="pil")
 
-    import io
 
-    from PIL import Image
+def test_attach_png_blob_real_roundtrip(spark):
+    """mm2's pipeline shape: attach_png_blob writes genuine PNGs whose
+    dims are the documented function of the text byte-length, and the
+    real decoder reads those dims back from the payload headers."""
+    from pyspark.sql import functions as F
 
-    buf = io.BytesIO()
-    Image.new("RGB", (37, 21)).save(buf, format="PNG")
-    rows = [(1, bytearray(buf.getvalue())), (2, bytearray(b"not an image"))]
-    df = spark.createDataFrame(rows, "doc_id long, blob binary")
-    got = {r.doc_id: r for r in decode_images(df, codec="pil").collect()}
-    assert (got[1].width, got[1].height, got[1].ok) == (37, 21, True)
-    assert got[2].ok is False and got[2].width is None
+    from data_warehouse_spark.operators.multimodal import (
+        attach_png_blob, decode_images,
+    )
+
+    rows = [(1, "a" * 10), (2, "b" * 100), (3, "é" * 30)]  # 2-byte char
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    blobs = attach_png_blob(df)
+    decoded = {r.doc_id: r for r in
+               decode_images(blobs, codec="png").collect()}
+    for doc_id, text in rows:
+        n = len(text.encode("utf-8"))
+        assert (decoded[doc_id].width, decoded[doc_id].height) == \
+            (n % 64 + 8, n % 48 + 8)
+        assert decoded[doc_id].ok is True
+    # payloads are genuine PNGs byte-for-byte: signature check in SQL
+    sigs = blobs.select(
+        F.hex(F.substring("blob", 1, 8)).alias("sig")).distinct().collect()
+    assert [r.sig for r in sigs] == ["89504E470D0A1A0A"]
