@@ -42,8 +42,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # exact range, so a float divide would be off by ±1 us.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
-            # Wall clock is UTC; to_utc_timestamp pins that interpretation
-            # regardless of the session timezone of the caller's session.
+            # Wall clock is UTC. The NTZ->TIMESTAMP cast below goes
+            # through the SESSION timezone (to_utc_timestamp('UTC') is
+            # then an identity on the instant), so this is only correct
+            # because the engine pins spark.sql.session.timeZone=UTC
+            # (session.py / __spark_entry__._ensure_confs). A truly
+            # tz-independent rewrite would still hit DST-gap ambiguity
+            # in the cast, so enforce the precondition loudly instead.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+                raise RuntimeError(
+                    f"events NTZ normalization requires session timeZone "
+                    f"UTC, got {tz!r} — use session.get_spark() or pin "
+                    "spark.sql.session.timeZone=UTC")
             df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
         else:
             return df

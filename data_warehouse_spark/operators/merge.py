@@ -79,7 +79,13 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, keys: list[str],
       - attrs identical                                -> no-op (the
         update is dropped, no spurious version);
       - key absent from the dimension                  -> plain insert.
-    Historical (non-current) rows pass through untouched.
+    Historical (non-current) rows pass through untouched. An update
+    OLDER than the current row's valid_from (out-of-order/late data)
+    is a no-op for that key — applying it would close the current row
+    with valid_to < valid_from; late backfills need a history rebuild,
+    not an incremental merge. `attrs` must be non-empty: with no
+    compared attributes every update would be a no-op and the call is
+    almost certainly a bug.
 
     Plan shape: ONE full-outer join of current rows vs key-deduped
     updates (hash on the dimension key); every output class projects
@@ -87,6 +93,11 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, keys: list[str],
     and no driver-side state exists. Dimensions are small relative to
     facts at any scale — the join broadcasts when stats allow.
     """
+    if not attrs:
+        raise ValueError("scd2_apply needs at least one compared "
+                         "attribute in `attrs`")
+    if not keys:
+        raise ValueError("scd2_apply needs at least one key column")
     updates = dedup_latest(updates, keys, eff_ts_col)
     history = dim.filter(~F.col(current_col))
     cur = dim.filter(F.col(current_col))
@@ -102,19 +113,22 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, keys: list[str],
     j = cur.join(u, join_cond, "full_outer")
 
     matched = F.col("__u_eff").isNotNull() & F.col(current_col).isNotNull()
+    late = matched & (F.col("__u_eff") < F.col(valid_from))
     changed = None
     for a in attrs:
         d = ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
         changed = d if changed is None else (changed | d)
+    applies = matched & changed & ~late
     dim_cols = dim.columns
 
-    kept = j.filter(matched & ~changed | F.col("__u_eff").isNull()) \
+    kept = j.filter((matched & (~changed | late))
+                    | F.col("__u_eff").isNull()) \
         .select(*dim_cols)
-    closed = (j.filter(matched & changed)
+    closed = (j.filter(applies)
               .withColumn(valid_to, F.col("__u_eff"))
               .withColumn(current_col, F.lit(False))
               .select(*dim_cols))
-    new_version = (j.filter(matched & changed)
+    new_version = (j.filter(applies)
                    .select(*[F.col(f"__u_{k}").alias(k) for k in keys],
                            *[F.col(f"__u_{a}").alias(a) for a in attrs],
                            F.col("__u_eff").alias(valid_from),

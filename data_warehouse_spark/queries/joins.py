@@ -276,7 +276,15 @@ GROUP BY 1
         "orders scan and the join-key filter prunes lineitem via "
         "runtime DPP-style reuse where available. The post-join "
         "predicate (shipdate > orderdate) evaluates inside the join's "
-        "codegen stage.",
+        "codegen stage. NOT the default at scale: this ad-hoc form is "
+        "the floor-free weak spot (7.2x DuckDB at 64x, the "
+        "shuffle-both-sides tax) and exists as the baseline for J12, "
+        "which runs the SAME query over bucketed layouts with zero "
+        "Exchange/Sort on the join key (1.5x). A 100 TB warehouse "
+        "buckets both facts on the order key at ingest "
+        "(operators/bucketing.py) and gets the J12 plan for every "
+        "recurring join on that key; tests/test_bucketing.py pins the "
+        "zero-Exchange plan.",
     tags=("join", "agg"),
 )
 def j11_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,19 +26,37 @@ list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
 """
 
 
-_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+_QUERY_VEC_CACHE: dict[tuple[str, float], list[float]] = {}
+
+
+def _embeddings_mtime(sf_dir: str) -> float:
+    """Latest mtime under the embeddings table path (file or directory
+    of part files) — 0.0 if unreadable (cache then keys on path only)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(path):
+            return max((e.stat().st_mtime for e in os.scandir(path)),
+                       default=os.stat(path).st_mtime)
+        return os.stat(path).st_mtime
+    except OSError:
+        return 0.0
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     """The query vector = embedding of vec_id 0 (a deterministic fixture
     row; collecting one parameter row is query setup, not data flow).
-    Cached per sf_dir: the parameter row is immutable fixture data, and
-    re-fetching it would add a full scan job to every repeated run."""
-    if sf_dir not in _QUERY_VEC_CACHE:
+    Cached per (sf_dir, file mtime): fixtures are regenerated in place
+    between driver rounds, so a long-lived process must not keep
+    scoring against a stale parameter row — the mtime key invalidates
+    the cache exactly when the file changes."""
+    key = (sf_dir, _embeddings_mtime(sf_dir))
+    if key not in _QUERY_VEC_CACHE:
         row = (load_table(spark, sf_dir, "embeddings")
                .filter(F.col("vec_id") == 0).select("embedding").first())
-        _QUERY_VEC_CACHE[sf_dir] = list(row[0])
-    return _QUERY_VEC_CACHE[sf_dir]
+        _QUERY_VEC_CACHE[key] = list(row[0])
+    return _QUERY_VEC_CACHE[key]
 
 
 @register(

@@ -10,11 +10,18 @@ def cents(col: str | Column, scale: int = 100) -> Column:
     """Fixed-decimal double -> exact scaled integer (Spark side).
 
     l_quantity/l_extendedprice/l_discount/l_tax etc. carry <=2 true
-    decimals; x*100 is within 1e-10 of an integer, so HALF_UP rounding
-    recovers it exactly in every engine.
+    decimals; x*100 is within 1e-10 of an integer, so a sign-matched
+    half offset + truncation recovers it exactly — the same value as
+    HALF_UP (half away from zero) ROUND in every engine, but it stays
+    primitive double arithmetic in whole-stage codegen, where F.round
+    on doubles drops into a per-value BigDecimal path (measured 25%
+    off the whole a1 aggregate at 38M rows). The sign branch matters:
+    account balances (c_acctbal) go negative.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * scale).cast("long")
+    scaled = c * scale
+    return (scaled + F.when(scaled >= 0, F.lit(0.5))
+            .otherwise(F.lit(-0.5))).cast("long")
 
 
 def cents_sql(col: str, scale: int = 100) -> str:

@@ -56,6 +56,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     if ts_type == "bigint":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if ts_type == "timestamp_ntz":
+        # Correct only under the engine's pinned session timeZone=UTC —
+        # the NTZ->TIMESTAMP cast uses the session tz and
+        # to_utc_timestamp('UTC') is an identity on the instant; see the
+        # guarded batch twin in io.load_table.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise RuntimeError(
+                f"events NTZ normalization requires session timeZone "
+                f"UTC, got {tz!r} — use session.get_spark() or pin "
+                "spark.sql.session.timeZone=UTC")
         return raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return raw
 

@@ -343,6 +343,36 @@ def test_scd2_apply_close_insert_noop_newkey(spark):
     }
 
 
+def test_scd2_apply_guards_and_late_updates(spark):
+    """Empty attrs/keys raise a clear error instead of a TypeError deep
+    in the plan, and an update older than the current row's valid_from
+    is a no-op (would otherwise close a row with valid_to <
+    valid_from)."""
+    from datetime import datetime
+
+    import pytest
+
+    from data_warehouse_spark.operators.merge import scd2_apply
+
+    t0 = datetime(2023, 1, 1)
+    dim = spark.createDataFrame(
+        [(1, "A", t0, None, True)],
+        "k int, seg string, valid_from timestamp, valid_to timestamp, "
+        "is_current boolean")
+    late = spark.createDataFrame(
+        [(1, "A_OLD", datetime(2022, 6, 1))],  # predates valid_from
+        "k int, seg string, eff_ts timestamp")
+
+    with pytest.raises(ValueError, match="attrs"):
+        scd2_apply(dim, late, keys=["k"], attrs=[])
+    with pytest.raises(ValueError, match="key"):
+        scd2_apply(dim, late, keys=[], attrs=["seg"])
+
+    rows = {(r.k, r.seg, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_apply(dim, late, keys=["k"], attrs=["seg"]).collect()}
+    assert rows == {(1, "A", t0, None, True)}  # late update ignored
+
+
 def test_a9_pivot_missing_cell_is_zero(spark):
     """A year with no orders of some priority must surface 0.0 (the
     coalesce path the full fixture never exercises)."""
