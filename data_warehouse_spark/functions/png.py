@@ -37,10 +37,12 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
 
 
 def encode_png(width: int, height: int, pixels: bytes,
-               color_type: int = 2) -> bytes:
+               color_type: int = 2, level: int = 1) -> bytes:
     """Encode raw pixel bytes (row-major, no padding) as a PNG.
 
     color_type: 0 grey (1 B/px), 2 RGB (3 B/px), 6 RGBA (4 B/px).
+    level: zlib level; default 1 — for pipeline payloads encode
+    throughput matters more than the last bytes of compression.
     """
     ch = _CHANNELS.get(color_type)
     if ch is None or color_type == 4:
@@ -57,7 +59,7 @@ def encode_png(width: int, height: int, pixels: bytes,
         raw.append(0)  # filter type 0 (None) per scanline
         raw += pixels[y * stride:(y + 1) * stride]
     return (_SIGNATURE + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _chunk(b"IDAT", zlib.compress(bytes(raw), level))
             + _chunk(b"IEND", b""))
 
 

@@ -64,6 +64,7 @@ def attach_png_blob(df: DataFrame, text_col: str = "text",
     import pandas as pd
 
     from data_warehouse_spark.functions.png import encode_png
+    from data_warehouse_spark.io import spread_for_compute
 
     def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -82,7 +83,9 @@ def attach_png_blob(df: DataFrame, text_col: str = "text",
                 "n_bytes": [len(b) for b in blobs],
             })
 
-    return (df.select(F.col(id_col), F.col(text_col))
+    # encode is CPU-heavy per row; a small fixture table arrives as one
+    # file split and would serialize on one core without the spread
+    return (spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
             .mapInPandas(encode, schema="doc_id long, blob binary, "
                                         "media_type string, n_bytes long"))
 
