@@ -197,6 +197,108 @@ def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
             .limit(k))
 
 
+def cosine_topk_multi(df: DataFrame, vec_col: str, id_col: str,
+                      query_vecs: list[list[float]], k: int = 20,
+                      kernel: str = "auto") -> DataFrame:
+    """X3c: exact top-k for MANY query vectors in ONE scan — the
+    amortized form of cosine_topk for batch retrieval (dedup probes,
+    eval sets, reranker feeds). Returns (query_id, id_col, cos_sim)
+    with query_id = position in `query_vecs`.
+
+    Scale shape: the expensive thing at 100 TB is the scan, so Q
+    queries must never mean Q scans. The Arrow kernel computes one
+    (batch x Q) matmul per Arrow batch and emits only each batch's
+    top-k rows per query, so the shuffle into the final per-query
+    rank carries <= Q * n_batches * k rows — never N x Q. The small-
+    scan HOF path evaluates Q sim expressions per row and explodes
+    (N x Q rows, fine below the size threshold where it runs).
+    """
+    import math
+
+    if not query_vecs:
+        raise ValueError("query_vecs is empty")
+    dims = {len(q) for q in query_vecs}
+    if len(dims) != 1:
+        raise ValueError(f"query vectors have mixed dimensions: {dims}")
+
+    df = spread_for_compute(df)
+    if kernel == "auto":
+        kernel = ("arrow" if _plan_size_bytes(df) >= ARROW_MIN_PLAN_BYTES
+                  else "hof")
+
+    if kernel == "arrow":
+        import numpy as np
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        qm = np.asarray(query_vecs, dtype=np.float64)          # Q x dim
+        qn = np.sqrt((qm * qm).sum(axis=1))                    # Q
+        out_schema = T.StructType([
+            T.StructField("query_id", T.IntegerType()),
+            df.schema[id_col],
+            T.StructField("cos_sim", T.DoubleType()),
+        ])
+
+        def score_batches(batches):
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                ids = b.column(b.schema.get_field_index(id_col)) \
+                    .to_numpy(zero_copy_only=False)
+                emb = b.column(b.schema.get_field_index(vec_col))
+                lens = np.diff(emb.offsets.to_numpy())
+                if not (emb.null_count == 0 and len(lens)
+                        and (lens == lens[0]).all()):
+                    raise ValueError("null/ragged embeddings in batch")
+                m = (emb.flatten().to_numpy(zero_copy_only=False)
+                     .reshape(-1, int(lens[0])).astype(np.float64))
+                sims = (m @ qm.T) / (np.sqrt((m * m).sum(axis=1))[:, None] * qn)
+                top = min(k, len(ids))
+                # candidate selection mirrors the final (rounded desc,
+                # id asc) rank so no eventual winner is dropped
+                r = np.round(sims, 6)
+                out_q, out_i, out_s = [], [], []
+                for qi in range(qm.shape[0]):
+                    sel = np.lexsort((ids, -r[:, qi]))[:top]
+                    out_q.append(np.full(top, qi, dtype=np.int32))
+                    out_i.append(ids[sel])
+                    out_s.append(sims[sel, qi])
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(out_q), type=pa.int32()),
+                     pa.array(np.concatenate(out_i)),
+                     pa.array(np.concatenate(out_s), type=pa.float64())],
+                    names=["query_id", id_col, "cos_sim"])
+
+        scored = df.select(id_col, vec_col).mapInArrow(
+            score_batches, out_schema)
+    else:  # hof — row norm hoisted, evaluated once per row not per query
+        sided = df.select(
+            F.col(id_col), F.col(vec_col),
+            F.expr(f"SQRT(aggregate(`{vec_col}`, 0.0D, "
+                   "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+            .alias("__nrm"))
+        sims = []
+        for qv in query_vecs:
+            qn = math.sqrt(sum(float(x) * float(x) for x in qv))
+            arr = "array(" + ",".join(_dlit(x) for x in qv) + ")"
+            sims.append(
+                f"aggregate(zip_with(`{vec_col}`, {arr}, "
+                "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a, x) -> a + x)"
+                f" / (`__nrm` * {_dlit(qn)})")
+        scored = sided.select(
+            F.col(id_col),
+            F.posexplode(F.expr("array(" + ",".join(sims) + ")"))
+            .alias("query_id", "cos_sim"))
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col))
+    return (scored
+            .select("query_id", F.col(id_col),
+                    F.round("cos_sim", 6).alias("cos_sim"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
 def cosine_pairs_blocked(df: DataFrame, vec_col: str, id_col: str,
                          block_col: str, threshold: float,
                          max_block_rows: int | None = 100_000,

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.operators.similarity import (
-    cosine, cosine_pairs_blocked, cosine_topk, ivf_topk,
+    cosine, cosine_pairs_blocked, cosine_topk, cosine_topk_multi, ivf_topk,
 )
 from data_warehouse_spark.queries.registry import register
 
@@ -26,7 +26,7 @@ list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
 """
 
 
-_QUERY_VEC_CACHE: dict[tuple[str, float], list[float]] = {}
+_QUERY_VEC_CACHE: dict[tuple, list[list[float]]] = {}
 
 
 def _embeddings_mtime(sf_dir: str) -> float:
@@ -44,19 +44,29 @@ def _embeddings_mtime(sf_dir: str) -> float:
         return 0.0
 
 
-def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    """The query vector = embedding of vec_id 0 (a deterministic fixture
-    row; collecting one parameter row is query setup, not data flow).
-    Cached per (sf_dir, file mtime): fixtures are regenerated in place
+def _query_vecs(spark: SparkSession, sf_dir: str,
+                ids: tuple[int, ...]) -> list[list[float]]:
+    """Query vectors = embeddings of deterministic fixture rows
+    (collecting parameter rows is query setup, not data flow). Cached
+    per (sf_dir, ids, file mtime): fixtures are regenerated in place
     between driver rounds, so a long-lived process must not keep
-    scoring against a stale parameter row — the mtime key invalidates
+    scoring against stale parameter rows — the mtime key invalidates
     the cache exactly when the file changes."""
-    key = (sf_dir, _embeddings_mtime(sf_dir))
+    key = (sf_dir, ids, _embeddings_mtime(sf_dir))
     if key not in _QUERY_VEC_CACHE:
-        row = (load_table(spark, sf_dir, "embeddings")
-               .filter(F.col("vec_id") == 0).select("embedding").first())
-        _QUERY_VEC_CACHE[key] = list(row[0])
+        rows = (load_table(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id").isin(list(ids)))
+                .select("vec_id", "embedding").collect())
+        by_id = {r.vec_id: list(r.embedding) for r in rows}
+        missing = [i for i in ids if i not in by_id]
+        if missing:
+            raise ValueError(f"query vec_ids missing from fixture: {missing}")
+        _QUERY_VEC_CACHE[key] = [by_id[i] for i in ids]
     return _QUERY_VEC_CACHE[key]
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    return _query_vecs(spark, sf_dir, (0,))[0]
 
 
 @register(
@@ -95,6 +105,42 @@ def x3b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, vec_col="embedding", id_col="vec_id",
                     query_vec=_query_vec(spark, sf_dir), k=20,
                     n_cells=16, nprobe=4)
+
+
+@register(
+    "x3c_multi_topk",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qv
+    FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+    SELECT q.query_id, e.vec_id,
+           ROUND({_COS_SQL.format(a='e.embedding', b='q.qv')}, 6) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+), ranked AS (
+    SELECT query_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id) AS rn
+    FROM scored
+)
+SELECT CAST(query_id AS INT) AS query_id, vec_id, cos_sim
+FROM ranked WHERE rn <= 20
+""",
+    doc="X3c [ext]: batched exact top-k — MANY query vectors scored in "
+        "ONE scan (operators/similarity.py:cosine_topk_multi). The "
+        "scan is the expensive thing at 100 TB, so Q queries must not "
+        "mean Q scans: the Arrow kernel does one (batch x Q) matmul "
+        "per Arrow batch and emits only per-batch top-k candidates, "
+        "bounding the final rank's shuffle at Q * n_batches * k rows. "
+        "query_id = the probing vector's own vec_id here (positions "
+        "0,1,2).",
+    tags=("ext", "vector"),
+)
+def x3c_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_multi(emb, vec_col="embedding", id_col="vec_id",
+                             query_vecs=_query_vecs(spark, sf_dir, (0, 1, 2)),
+                             k=20)
 
 
 @register(

@@ -343,6 +343,41 @@ def test_scd2_apply_close_insert_noop_newkey(spark):
     }
 
 
+def test_cosine_topk_multi_kernels_agree_and_match_single(spark):
+    """cosine_topk_multi: the Arrow batched-matmul kernel and the HOF
+    expression kernel return identical rows, and each query's slice
+    equals the single-query cosine_topk answer."""
+    from data_warehouse_spark.io import load_table
+    from data_warehouse_spark.operators.similarity import (
+        cosine_topk, cosine_topk_multi,
+    )
+    from data_warehouse_spark.queries.llm_vector import _query_vecs
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    qvs = _query_vecs(spark, sf, (0, 1, 2))
+
+    def rows(kernel):
+        return sorted(
+            (r.query_id, r.vec_id, r.cos_sim) for r in
+            cosine_topk_multi(emb, "embedding", "vec_id", qvs, k=5,
+                              kernel=kernel).collect())
+
+    hof, arrow = rows("hof"), rows("arrow")
+    assert hof == arrow
+    single = sorted(
+        (qi, r.vec_id, r.cos_sim)
+        for qi, qv in enumerate(qvs)
+        for r in cosine_topk(emb, "embedding", "vec_id", qv, k=5).collect())
+    assert hof == single
+
+    import pytest
+    with pytest.raises(ValueError, match="empty"):
+        cosine_topk_multi(emb, "embedding", "vec_id", [], k=5)
+    with pytest.raises(ValueError, match="mixed"):
+        cosine_topk_multi(emb, "embedding", "vec_id", [[1.0], [1.0, 2.0]])
+
+
 def test_scd2_apply_guards_and_late_updates(spark):
     """Empty attrs/keys raise a clear error instead of a TypeError deep
     in the plan, and an update older than the current row's valid_from
