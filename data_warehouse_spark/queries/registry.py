@@ -68,6 +68,10 @@ _QUERY_MODULES = [
 #     r3 green rows predate the change).
 # Everything outside was hash-green in CORRECTNESS_r03 on the current
 # fixtures with unchanged code.
+#
+# Round-5 rotation TODO: x3c_multi_topk (added r4, oracle wired, local
+# parity green) has no driver row yet — swap it into the next window
+# along with anything this round's code changes touch.
 DRIVER_WINDOW = [
     # relational core (incl. never-driver-checked a8/a9/a10)
     "s1_scan_filter", "s7_scan_full",

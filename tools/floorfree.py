@@ -81,7 +81,10 @@ def build_amplified(spark, src: str, out: str, n: int) -> str:
     for t in TABLES:
         df = load_table(spark, src, t)
         if t in SALT_KEYS:
-            df = df.withColumn("__copy", F.explode(
+            # repartition BEFORE the explode: the source arrives as a
+            # handful of file splits, and exploding 256 copies inside
+            # 3 tasks serializes the whole build on one straggler.
+            df = df.repartition(32).withColumn("__copy", F.explode(
                 F.sequence(F.lit(0), F.lit(n - 1))))
             for k in SALT_KEYS[t]:
                 df = df.withColumn(k, F.col(k) * n + F.col("__copy"))
@@ -90,7 +93,13 @@ def build_amplified(spark, src: str, out: str, n: int) -> str:
                     " ", F.col("text"), F.concat(F.lit("copytok"),
                                                  F.col("__copy"))))
             df = df.drop("__copy")
-        # write with enough files that DuckDB can also parallelize
+        # The trailing round-robin repartition is LOAD-BEARING for
+        # benchmark realism, not just file count: it interleaves the
+        # salted copies the way a real log interleaves concurrent
+        # users. Writing copies contiguously instead (as the pre-
+        # explode partitioning alone would) hands both engines a
+        # clustered-by-key layout a real ingest never produces — one
+        # trial run on that layout cut DuckDB's e1 window time 9x.
         df.repartition(32).write.mode("overwrite") \
             .parquet(f"{amp_dir}/{t}.parquet")
     done_marker.touch()
