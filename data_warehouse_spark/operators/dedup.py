@@ -132,13 +132,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                   .filter(F.col("id_a") < F.col("id_b"))
                   .select("id_a", "id_b",
                           *(["block"] if block_col is not None else []))
-                  .distinct())
+                  .distinct()
+                  # referenced twice below (verify join + semi-join id
+                  # prefilter); checkpoint so the banding join runs
+                  # once — candidates are the tiny near-dup tail, so
+                  # the materialization is cheap at any corpus size
+                  .localCheckpoint())
 
-    # exact verify: Jaccard over distinct shingles
+    # exact verify: Jaccard over distinct shingles — computed ONLY for
+    # docs that appear in some candidate pair (left-semi prefilter).
+    # Banding already exploded the whole corpus once; re-exploding it
+    # all for the verify would double the corpus-sized work, while the
+    # candidate set is the tiny near-dup tail by construction.
     extra = ["block"] if block_col is not None else []
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(F.array_distinct(_shingles(text_col, shingle_n)))
-                    .alias("shingle")))
+    cand_ids = (candidates.select(F.col("id_a").alias(id_col))
+                .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    in_pairs = df.join(cand_ids, on=id_col, how="left_semi")
+    sh = (in_pairs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_shingles(text_col, shingle_n)))
+        .alias("shingle")))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # join the b-side on (id_b, shingle) so the hash join emits only the
     # shingle intersection — joining on id_b alone would materialize an

@@ -250,9 +250,12 @@ def test_point_in_polygon_exact_concave_chevron(spark):
 
 def test_ngram_jaccard_giant_block_routes_via_lsh(spark, sf_dir):
     """A block over max_block_rows must route through the MinHash-LSH
-    prefilter (plan gains the xxhash64 signature stage; the exact path
-    has none) instead of the block-quadratic self-join, while still
-    surfacing the planted duplicate with its exact Jaccard."""
+    prefilter instead of the block-quadratic self-join, while still
+    surfacing the planted duplicate with its exact Jaccard. Plan
+    evidence: the LSH path checkpoints its candidate pairs (the
+    banding subtree materializes into a Scan ExistingRDD), so the
+    routed plan verifies against a checkpointed candidate scan while
+    the exact path self-joins with no checkpoint."""
     from data_warehouse_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents").limit(40).select(
@@ -265,8 +268,11 @@ def test_ngram_jaccard_giant_block_routes_via_lsh(spark, sf_dir):
                                 max_block_rows=None)
     routed = ngram_jaccard_pairs(corpus, "text", "doc_id", "lang",
                                  max_block_rows=10)
-    assert "xxhash64" not in exact._jdf.queryExecution().executedPlan().toString()
-    assert "xxhash64" in routed._jdf.queryExecution().executedPlan().toString()
+    exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+    routed_plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" not in exact_plan
+    assert "ExistingRDD" not in exact_plan
+    assert "ExistingRDD[id_a" in routed_plan
 
     exact_pairs = {(r.id_a, r.id_b): r.jaccard for r in exact.collect()}
     routed_pairs = {(r.id_a, r.id_b): r.jaccard for r in routed.collect()}
