@@ -57,6 +57,22 @@ def test_load_table_normalizes_both_encodings(spark, tmp_path, unit):
     assert all(r.us > 1_700_000_000_000_000 for r in micros)
 
 
+def test_ntz_normalization_requires_utc_session(spark, tmp_path):
+    """The NTZ branch is only correct under the engine's pinned UTC
+    session timezone (the implicit NTZ->TIMESTAMP cast goes through
+    the session tz); a mis-configured session must fail loudly, not
+    shift every instant."""
+    d = _write_events(str(tmp_path), "us")
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Zurich")
+    try:
+        with pytest.raises(RuntimeError, match="timeZone"):
+            load_table(spark, d, "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert dict(load_table(spark, d, "events").dtypes)["ts"] == "timestamp"
+
+
 @pytest.mark.parametrize("unit", ["us", "ns"])
 def test_scan_events_range_pushes_down_and_converts(spark, tmp_path, unit):
     d = _write_events(str(tmp_path), unit)
