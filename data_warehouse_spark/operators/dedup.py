@@ -110,6 +110,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     rows_per_band = num_hashes // bands
     df = spread_for_compute(df)
+    # NOT checkpointed: both sides of the banding self-join do
+    # recompute the signature subtree (no ReusedExchange), but the
+    # duplicate compute pipelines across cores and measured FASTER at
+    # sf0.1 than a materialize+re-read barrier (2.2 s vs 2.7 s warm) —
+    # only the final candidate set (tiny) is worth checkpointing.
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     if block_col is not None:
         sigs = sigs.join(
@@ -249,8 +254,17 @@ def simhash_pairs_from_fingerprints(fps: DataFrame, id_col: str,
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash: fingerprint, then Manku-style
-    (max_hamming + 1)-chunk banding with exact hamming verify."""
-    fps = simhash_fingerprints(df, text_col, id_col)
+    (max_hamming + 1)-chunk banding with exact hamming verify.
+
+    The fingerprints (one 64-bit value per doc) are checkpointed so the
+    token-explode + 64-aggregate vote job runs once; both sides of the
+    chunk-bucket self-join otherwise recompute it (the plan shows zero
+    ReusedExchange). Locally this is noise (6.5 vs 6.9 s warm at
+    sf0.1 — the duplicate compute pipelines across idle cores); at
+    corpus scale the duplicated subtree is two full corpus scans while
+    the materialized fingerprints are doc-count-sized, so the
+    checkpoint is the right default."""
+    fps = simhash_fingerprints(df, text_col, id_col).localCheckpoint()
     return simhash_pairs_from_fingerprints(fps, id_col, max_hamming)
 
 
