@@ -194,6 +194,178 @@ def trips_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("total_distance") > 0) & (F.col("segment_count") >= 2))
 
 
+# --- E3: the fully-enriched fact table -------------------------------
+#
+# The reference's all_trips schema carries eight enrichment columns
+# (municipality, canton, vehicle_type, city, temperature, humidity,
+# aqi, pm25 — trips_lambda.py:65-72) that NO reference code populates:
+# they are the footprint of the [declared] spatial join
+# (lambda_spatial_analysis.py, README.md:12,16) and weather enrichment
+# (README.md:74-78). e3 composes the engine's own operators to fill
+# them: e1 trips fact -> J9 point-in-polygon (municipality/canton) ->
+# broadcast dims (canton/city/vehicle_type) -> J6 as-of weather join.
+#
+# Five regions tile the start-point space as longitude bands, each a
+# rectangle with a V-notch cut into its top edge (concave, so a bbox
+# test cannot fake containment). Bands are separated by 1-degree gaps
+# and use .555 fractional bounds so fixture points (multiples of 0.01)
+# never land exactly on an edge. The SQL oracle's edge table is
+# generated from THIS literal, so the two sides cannot drift.
+_E3_REGIONS: list[tuple[int, list[tuple[float, float]]]] = [
+    (rid, [(x0, 88.555), ((x0 + x1) / 2, 60.555), (x1, 88.555),
+           (x1, 0.555), (x0, 0.555)])
+    for rid, (x0, x1) in enumerate([
+        (-179.555, -157.555), (-156.555, -134.555), (-133.555, -111.555),
+        (-110.555, -88.555), (-87.555, -65.555),
+    ])
+]
+
+# Enrichment dimensions: region -> (municipality, canton, city), and
+# provider -> vehicle_type. Broadcast-sized at any scale factor.
+_E3_REGION_DIM: list[tuple[int, str, str, str]] = [
+    (0, "Zuerich-West", "ZH", "Zuerich"),
+    (1, "Bern-Mitte", "BE", "Bern"),
+    (2, "Basel-Stadt", "BS", "Basel"),
+    (3, "Luzern-Sued", "LU", "Luzern"),
+    (4, "Geneve-Centre", "GE", "Geneve"),
+]
+_E3_VEHICLE_DIM: list[tuple[str, str]] = [
+    ("click", "e-bike"), ("error", "e-scooter"), ("purchase", "bike"),
+    ("signup", "cargo-bike"), ("view", "e-moped"),
+]
+
+
+def _e3_edges_sql() -> str:
+    rows = []
+    for rid, ring in _E3_REGIONS:
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            rows.append(f"({rid}, {x1}, {y1}, {x2}, {y2})")
+    return ",\n  ".join(rows)
+
+
+def _values_sql(rows: list[tuple]) -> str:
+    def lit(v: object) -> str:
+        return f"'{v}'" if isinstance(v, str) else str(v)
+    return ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+
+
+@register(
+    "e3_enriched_trips",
+    oracle=_E1_FACT_SQL + f""",
+edges(region_id, x1, y1, x2, y2) AS (VALUES
+  {_e3_edges_sql()}
+),
+assign AS (
+    SELECT t.bike_id, CAST(e.region_id AS BIGINT) AS region_id
+    FROM trips_fact t JOIN edges e
+      ON ((e.y1 > t.start_lat) <> (e.y2 > t.start_lat))
+     AND t.start_lon < (e.x2 - e.x1) * (t.start_lat - e.y1)
+                       / (e.y2 - e.y1) + e.x1
+    GROUP BY t.bike_id, e.region_id
+    HAVING COUNT(*) % 2 = 1
+),
+rdim(region_id, municipality, canton, city) AS (VALUES
+  {_values_sql(_E3_REGION_DIM)}
+),
+vdim(provider_id, vehicle_type) AS (VALUES
+  {_values_sql(_E3_VEHICLE_DIM)}
+),
+weather AS (
+    SELECT event_id % 5 AS region_id, ts AS w_ts,
+           ROUND(MAX(value % 40), 6) AS temperature,
+           CAST(MAX(event_id % 100) AS BIGINT) AS humidity,
+           CAST(MAX(event_id % 300) AS BIGINT) AS aqi,
+           CAST(MAX(event_id % 150) AS BIGINT) AS pm25
+    FROM events WHERE event_type = 'view'
+    GROUP BY 1, 2
+)
+SELECT t.bike_id, t.provider_id, t.trip_start, t.trip_end,
+       ROUND(t.start_lat, 6) AS start_lat, ROUND(t.start_lon, 6) AS start_lon,
+       ROUND(t.end_lat, 6) AS end_lat, ROUND(t.end_lon, 6) AS end_lon,
+       t.total_duration, t.total_distance, t.segment_count,
+       r.municipality, r.canton, v.vehicle_type, r.city,
+       w.temperature, w.humidity, w.aqi, w.pm25
+FROM trips_fact t
+LEFT JOIN assign a ON t.bike_id = a.bike_id
+LEFT JOIN rdim r ON a.region_id = r.region_id
+LEFT JOIN vdim v ON t.provider_id = v.provider_id
+ASOF LEFT JOIN weather w
+  ON a.region_id = w.region_id AND t.trip_start >= w.w_ts
+""",
+    doc="E3: the fully-enriched trips fact — every column of the "
+        "reference's all_trips DDL (trips_lambda.py:52-84) populated, "
+        "including the eight enrichment columns no reference code fills "
+        "(trips_lambda.py:65-72; [declared] README.md:12-16,74-78). "
+        "Composition under one plan: e1 trips fact -> J9 exact "
+        "point-in-polygon on the trip start point (grid prefilter + "
+        "ray-cast pandas UDF, operators/spatial.py) -> broadcast "
+        "region/vehicle dims -> J6 as-of join to the nearest preceding "
+        "weather reading per region (union + last(ignorenulls), one "
+        "shuffle, operators/joins.py). Trips outside every region keep "
+        "NULL enrichment (left-join semantics, exactly the reference's "
+        "unfilled-column behavior). Scale: the fact is already "
+        "aggregated (one row per bike-trip, orders of magnitude smaller "
+        "than the event log); polygons and dims broadcast; the as-of "
+        "shuffle is keyed on region_id over fact + weather rows only.",
+    tags=("etl", "join", "spatial", "flagship"),
+)
+def e3_enriched_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.joins import asof_join
+    from data_warehouse_spark.operators.spatial import point_in_polygon_exact
+
+    trips = trips_fact(spark, sf_dir)
+
+    polys = spark.createDataFrame(
+        _E3_REGIONS,
+        "region_id long, ring array<struct<lon: double, lat: double>>")
+    assign = point_in_polygon_exact(
+        trips.select("bike_id",
+                     F.col("start_lat").alias("lat"),
+                     F.col("start_lon").alias("lon")),
+        polys, cell_deg=5.0,
+    ).select("bike_id", "region_id")
+
+    rdim = spark.createDataFrame(
+        _E3_REGION_DIM, "region_id long, municipality string, canton string, city string")
+    vdim = spark.createDataFrame(
+        _E3_VEHICLE_DIM, "provider_id string, vehicle_type string")
+
+    enriched = (
+        trips
+        .join(assign, "bike_id", "left")
+        .join(F.broadcast(rdim), "region_id", "left")
+        .join(F.broadcast(vdim), "provider_id", "left")
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    weather = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy((F.col("event_id") % 5).alias("region_id"),
+                 F.col("ts").alias("w_ts"))
+        .agg(F.round(F.max(F.col("value") % 40), 6).alias("temperature"),
+             F.max(F.col("event_id") % 100).alias("humidity"),
+             F.max(F.col("event_id") % 300).alias("aqi"),
+             F.max(F.col("event_id") % 150).alias("pm25"))
+    )
+
+    with_weather = asof_join(
+        enriched, weather, on="region_id", left_ts="trip_start",
+        right_ts="w_ts",
+        value_cols=["temperature", "humidity", "aqi", "pm25"])
+
+    return with_weather.select(
+        "bike_id", "provider_id", "trip_start", "trip_end",
+        F.round("start_lat", 6).alias("start_lat"),
+        F.round("start_lon", 6).alias("start_lon"),
+        F.round("end_lat", 6).alias("end_lat"),
+        F.round("end_lon", 6).alias("end_lon"),
+        "total_duration", "total_distance", "segment_count",
+        "municipality", "canton", "vehicle_type", "city",
+        "temperature", "humidity", "aqi", "pm25",
+    )
+
+
 # Published per-km CO2 factors: an average European passenger car emits
 # ~192 g CO2/km (EEA new-car fleet figure); a shared (e-)bike's lifecycle
 # footprint is ~22 g/km (ECF "Cycle more often" study). The single

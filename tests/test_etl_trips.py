@@ -58,3 +58,31 @@ def test_run_incremental_idempotent(spark):
     second = spark.read.parquet(dst).collect()
     assert len(first) == len(second) == 1
     assert first[0].asDict() == second[0].asDict()
+
+
+def test_e3_enriched_trips_schema_and_semantics(spark, sf_dir):
+    """e3 fills every all_trips column (trips_lambda.py:52-84); trips
+    whose start point falls outside every region keep NULL enrichment
+    (the reference's own unfilled-column behavior), and weather values
+    come from a reading at-or-before trip_start."""
+    from data_warehouse_spark.queries.sessions import e3_enriched_trips, trips_fact
+
+    out = e3_enriched_trips(spark, sf_dir)
+    assert out.columns == [
+        "bike_id", "provider_id", "trip_start", "trip_end",
+        "start_lat", "start_lon", "end_lat", "end_lon",
+        "total_duration", "total_distance", "segment_count",
+        "municipality", "canton", "vehicle_type", "city",
+        "temperature", "humidity", "aqi", "pm25",
+    ]
+    rows = out.collect()
+    n_trips = trips_fact(spark, sf_dir).count()
+    assert len(rows) == n_trips  # left joins never drop or duplicate trips
+    for r in rows:
+        # municipality/canton/city travel together (one region dim row)
+        assert (r.municipality is None) == (r.canton is None) == (r.city is None)
+        # weather only attaches to trips inside a region
+        if r.municipality is None:
+            assert r.temperature is None and r.aqi is None
+        # vehicle_type dim covers every provider_id in the fixture
+        assert r.vehicle_type is not None
