@@ -34,22 +34,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 def write_bucketed(df: DataFrame, table: str, path: str,
                    keys: list[str], n_buckets: int,
-                   sort: bool = True) -> None:
+                   sort: bool = True,
+                   sort_keys: list[str] | None = None) -> None:
     """Materialize df as an external bucketed parquet table named
-    `table` at `path`, clustered (and optionally sorted) by `keys`."""
+    `table` at `path`, clustered by `keys` and (optionally) sorted by
+    `sort_keys` (default: the bucket keys). A sort_keys list that
+    extends the bucket keys (e.g. bucket on user_id, sort on
+    (user_id, ts, event_id)) serves window/as-of workloads: the scan
+    reports both the hash partitioning AND the finer sort order, so a
+    window partitioned on the bucket key needs neither Exchange nor
+    Sort."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     w = (df.repartition(n_buckets, *keys)
          .write.mode("overwrite").format("parquet").option("path", path)
          .bucketBy(n_buckets, *keys))
     if sort:
-        w = w.sortBy(*keys)
+        w = w.sortBy(*(sort_keys or keys))
     w.saveAsTable(table)
 
 
 def bucketed_view(spark: SparkSession, sf_dir: str, src_table: str,
                   load_fn, keys: list[str], n_buckets: int,
-                  base: str = "/tmp/dw_spark_bucketed") -> DataFrame:
+                  base: str = "/tmp/dw_spark_bucketed",
+                  sort_keys: list[str] | None = None) -> DataFrame:
     """Session-cached bucketed copy of a fixture table: materializes
     `{src_table}` bucketed by `keys` once per (sf_dir, n_buckets) per
     session, then returns the catalog-backed DataFrame (the catalog
@@ -60,9 +68,11 @@ def bucketed_view(spark: SparkSession, sf_dir: str, src_table: str,
     exchange-free.
     """
     digest = hashlib.md5(
-        f"{sf_dir}|{n_buckets}".encode()).hexdigest()[:8]
+        f"{sf_dir}|{n_buckets}|{','.join(sort_keys or keys)}".encode()
+    ).hexdigest()[:8]
     name = f"dw_bucketed_{src_table}_{digest}"
     if not spark.catalog.tableExists(name):
         write_bucketed(load_fn(spark, sf_dir, src_table), name,
-                       f"{base}/{digest}/{src_table}", keys, n_buckets)
+                       f"{base}/{digest}/{src_table}", keys, n_buckets,
+                       sort_keys=sort_keys)
     return spark.table(name)

@@ -124,8 +124,29 @@ ORDER BY trip_start
     tags=("flagship", "etl"),
 )
 def e1_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _present_sorted(trips_fact(spark, sf_dir))
+
+
+def _present_sorted(fact: DataFrame) -> DataFrame:
+    """e1's presentation projection + the reference's ORDER BY
+    trip_start (trips_lambda.py:163).
+
+    The global sort is NOT applied directly to the aggregate chain:
+    Spark's range-partitioned sort samples its child to pick range
+    boundaries, and because the window+aggregate share one stage with
+    no exchange between them and the sort, that sampling job would
+    re-execute the entire scan->window->agg pipeline (measured 2x e1
+    wall-clock at 256x amplification). Instead the fact — one row per
+    bike, orders of magnitude smaller than the event log at any scale
+    — is materialized with a lazy localCheckpoint, so the heavy chain
+    runs once and the sampling + sort touch only fact rows.
+    Trade-off: checkpoint blocks live in executor-local storage, so an
+    executor loss during the final sort fails the job (no lineage
+    replay) — acceptable for a presentation sort over the already-
+    small fact; the durable path is U1's merge-write, which persists
+    the fact before anything sorts it."""
     return (
-        trips_fact(spark, sf_dir)
+        fact
         .select(
             F.round("start_lat", 6).alias("start_lat"),
             F.round("start_lon", 6).alias("start_lon"),
@@ -134,6 +155,7 @@ def e1_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bike_id", "provider_id", "trip_start", "trip_end",
             "total_duration", "total_distance", "segment_count",
         )
+        .localCheckpoint(eager=False)
         .orderBy("trip_start")
     )
 
@@ -141,7 +163,12 @@ def e1_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
 def trips_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The validated trips fact table (reference all_trips,
     trips_lambda.py:52-84) as a DataFrame chain over the events log."""
-    events = load_table(spark, sf_dir, "events")
+    return trips_fact_from(load_table(spark, sf_dir, "events"))
+
+
+def trips_fact_from(events: DataFrame) -> DataFrame:
+    """trips_fact over an arbitrary events DataFrame (plain or
+    bucketed scan — e1b passes the bucketed layout through here)."""
     lat = (F.col("value") % 90).alias("lat")
     lon = ((F.col("event_id") % 36000) / 100.0 - 180.0).alias("lon")
 
@@ -192,6 +219,40 @@ def trips_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trip_aggregates.filter(
         (F.col("total_duration") >= 1) & (F.col("total_duration") <= 60)
         & (F.col("total_distance") > 0) & (F.col("segment_count") >= 2))
+
+
+@register(
+    "e1b_bucketed_trips",
+    oracle=_E1_FACT_SQL + """
+SELECT ROUND(start_lat, 6) AS start_lat, ROUND(start_lon, 6) AS start_lon,
+       ROUND(end_lat, 6) AS end_lat, ROUND(end_lon, 6) AS end_lon,
+       bike_id, provider_id, trip_start, trip_end,
+       total_duration, total_distance, segment_count
+FROM trips_fact
+ORDER BY trip_start
+""",
+    doc="E1b: e1's trip reconstruction over a BUCKETED events layout — "
+        "events hash-clustered on user_id and sorted by (user_id, ts, "
+        "event_id) at write time (operators/bucketing.py), so the lag "
+        "window and the per-bike aggregate run with NO Exchange and NO "
+        "Sort: the scan itself satisfies both the window's distribution "
+        "and its ordering. Same answer as e1 (identical oracle). This "
+        "is the prescribed layout for the reference's daily-recurring "
+        "sessionization (trips_lambda.py:218-221) at 100 TB — the "
+        "shuffle is paid once at ingest, exactly like the reference's "
+        "B-tree index on (bike_id, timestamp) (trips_lambda.py:81-84) "
+        "pays its maintenance on insert. The bucketed materialization "
+        "is session-cached per sf_dir (the warehouse's one-off ingest "
+        "write).",
+    tags=("flagship", "etl", "bucketed"),
+)
+def e1b_bucketed_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.bucketing import bucketed_view
+
+    events = bucketed_view(spark, sf_dir, "events", load_table,
+                           ["user_id"], 32,
+                           sort_keys=["user_id", "ts", "event_id"])
+    return _present_sorted(trips_fact_from(events))
 
 
 # --- E3: the fully-enriched fact table -------------------------------
