@@ -70,6 +70,13 @@ def attach_png_blob(df: DataFrame, text_col: str = "text",
         for pdf in batches:
             blobs = []
             for text in pdf[text_col]:
+                if text is None:
+                    # degrade per row, like the decode side's ok=false
+                    # (per-unit error isolation): an empty payload that
+                    # decode_images reports as ok=false, never a task
+                    # kill
+                    blobs.append(b"")
+                    continue
                 n = len(text.encode("utf-8"))  # bytes, = DuckDB strlen()
                 w, h = n % mod_w + 8, n % mod_h + 8
                 # cheap deterministic pixels: a byte ramp seeded by n
@@ -88,6 +95,30 @@ def attach_png_blob(df: DataFrame, text_col: str = "text",
     return (spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
             .mapInPandas(encode, schema="doc_id long, blob binary, "
                                         "media_type string, n_bytes long"))
+
+
+def png_blob_table(spark, sf_dir: str,
+                   base: str = "/tmp/dw_spark_png") -> DataFrame:
+    """Session-persistent PNG payload side table: attach_png_blob's
+    output materialized to parquet ONCE per sf_dir, then scanned.
+
+    A real media pipeline lands payloads at ingest; only this fixture
+    synthesizes them from text. Materializing the synthesis as a
+    one-off write (exactly like operators/bucketing.bucketed_view's
+    ingest-time layout) means queries downstream — and the benchmark —
+    measure the actual pipeline shape, scan -> decode -> plan, instead
+    of re-paying the per-row PNG *encode* on every run."""
+    import hashlib
+    import os
+
+    from data_warehouse_spark.io import load_table
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{base}/{digest}/png_blobs.parquet"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        attach_png_blob(load_table(spark, sf_dir, "documents")) \
+            .write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 def _stub_dims(n_bytes: "pd.Series") -> tuple["pd.Series", "pd.Series"]:

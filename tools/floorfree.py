@@ -48,12 +48,14 @@ from data_warehouse_spark.session import get_spark  # noqa: E402
 DEFAULT_QUERIES = {
     "a1_q1_pricing_summary": (16, 64),
     "w5_sessionize": (16, 64),
-    "e1_trips": (16, 64),
-    "j11_fact_fact_join": (16, 64),
+    "e1_trips": (16, 64, 256),
+    # e1's chain over the bucketed ingest layout (zero-exchange window)
+    "e1b_bucketed_trips": (16, 64, 256),
+    "j11_fact_fact_join": (16, 64, 256),
     # same oracle as j11: measures the bucketed co-located layout
     # against DuckDB's in-memory hash join (the bucketed write happens
     # in the untimed warm run, as it would in a warehouse's ingest)
-    "j12_bucketed_fact_join": (16, 64),
+    "j12_bucketed_fact_join": (16, 64, 256),
     "x3_cosine_topk": (16, 64),
     "x2c_ngram_jaccard": (4, 16),
 }
