@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.queries.registry import register
+from data_warehouse_spark.queries.util import money_sum, money_sum_sql
 from data_warehouse_spark.streaming.jobs import read_events_stream, start_memory_sink
 
 
@@ -189,11 +190,21 @@ def st5_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st6_stream_dedup",
-    oracle=None,  # stateful streaming -> rows-only (+ pytest vs batch)
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT DISTINCT ON (user_id, ts) user_id, ts, event_type
+      FROM events)
+GROUP BY event_type
+""",
     doc="ST6: stateful streaming dedup on the log PK (bike_lambda.py:46 "
         "PK(bike_id,timestamp) rejection) — dropDuplicates over a "
         "watermarked stream; the watermark bounds the dedup state at "
-        "100 TB. Output = per-type surviving-row counts.",
+        "100 TB. Output = per-type surviving-row counts. Oracle note: "
+        "Spark keeps an arbitrary row per duplicate key, so per-type "
+        "counts are engine-comparable only while (user_id, ts) never "
+        "collides across event_types — true of this fixture (verified "
+        "count(*) == count(distinct (user_id, ts))), and a microsecond-"
+        "resolution log makes cross-type collisions vanishingly rare.",
     tags=("streaming",),
 )
 def st6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,11 +219,25 @@ def st6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st7_foreach_upsert",
-    oracle=None,  # foreachBatch side effects -> rows-only (+ pytest)
+    oracle=f"""
+WITH merged AS (
+    SELECT DISTINCT ON (user_id, event_type, ts)
+           user_id, event_type, ts, value
+    FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       {money_sum_sql('value')} AS sum_value
+FROM merged GROUP BY event_type
+""",
     doc="ST7: foreachBatch micro-batch upsert sink — the reference's "
         "ON CONFLICT DO UPDATE load (trips_lambda.py:180-206) with "
-        "exact update-in-place semantics, per micro-batch. Returns the "
-        "final merged table state (per-user latest value).",
+        "exact update-in-place semantics, per micro-batch. The final "
+        "merged table state is deterministic (same upsert algebra as "
+        "U1: last-writer-wins per key, keys unique in this log), so it "
+        "IS oracle-checkable — the oracle replays the merge as a "
+        "key-dedup and aggregates the same final state. Sums run in "
+        "the integer cents domain so they are order-independent across "
+        "engines and shuffles.",
     tags=("streaming", "upsert"),
 )
 def st7_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +253,7 @@ def st7_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(target)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 6).alias("sum_value"))
+        money_sum("value").alias("sum_value"))
 
 
 @register(
