@@ -141,8 +141,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                   # referenced twice below (verify join + semi-join id
                   # prefilter); checkpoint so the banding join runs
                   # once — candidates are the tiny near-dup tail, so
-                  # the materialization is cheap at any corpus size
-                  .localCheckpoint())
+                  # the materialization is cheap at any corpus size.
+                  # eager=False keeps plan construction lazy (no job
+                  # until an action runs). Fault-tolerance trade, as in
+                  # graph.py: checkpoint blocks are executor-local with
+                  # no lineage replay, so losing an executor mid-query
+                  # fails the job (re-run) instead of recomputing — the
+                  # blocks here are only the candidate tail, so re-runs
+                  # are cheap relative to protecting them
+                  .localCheckpoint(eager=False))
 
     # exact verify: Jaccard over distinct shingles — computed ONLY for
     # docs that appear in some candidate pair (left-semi prefilter).
@@ -263,8 +270,11 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     sf0.1 — the duplicate compute pipelines across idle cores); at
     corpus scale the duplicated subtree is two full corpus scans while
     the materialized fingerprints are doc-count-sized, so the
-    checkpoint is the right default."""
-    fps = simhash_fingerprints(df, text_col, id_col).localCheckpoint()
+    checkpoint is the right default. eager=False defers the
+    materialization job to the first action; the fault-tolerance trade
+    (executor-local blocks, no lineage replay — an executor loss fails
+    the job and it re-runs) is the same one graph.py documents."""
+    fps = simhash_fingerprints(df, text_col, id_col).localCheckpoint(eager=False)
     return simhash_pairs_from_fingerprints(fps, id_col, max_hamming)
 
 

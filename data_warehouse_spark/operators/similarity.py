@@ -31,10 +31,21 @@ from data_warehouse_spark.io import spread_for_compute
 ARROW_MIN_PLAN_BYTES = 128 * 1024 * 1024
 
 
+# Optimizer estimates at/above this are the spark.sql.defaultSizeInBytes
+# "unknown" sentinel (Long.MaxValue by default) that non-file relations
+# (JDBC, RDD-backed, post-checkpoint scans) report — not a real size.
+_UNKNOWN_SIZE_FLOOR = 1 << 60
+
+
 def _plan_size_bytes(df: DataFrame) -> int:
     """Optimizer size estimate for df's plan (file-size based for
-    parquet scans) — free to read, no job runs."""
-    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    parquet scans) — free to read, no job runs. Returns 0 (= unknown,
+    routes kernel='auto' to the fixed-cost-free HOF path) when the
+    estimate is the defaultSizeInBytes sentinel: a tiny in-memory
+    relation would otherwise masquerade as a huge scan and pay Arrow
+    worker startup for nothing."""
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return 0 if size >= _UNKNOWN_SIZE_FLOOR else size
 
 
 def _dlit(x: float) -> str:
@@ -255,8 +266,16 @@ def cosine_topk_multi(df: DataFrame, vec_col: str, id_col: str,
                 sims = (m @ qm.T) / (np.sqrt((m * m).sum(axis=1))[:, None] * qn)
                 top = min(k, len(ids))
                 # candidate selection mirrors the final (rounded desc,
-                # id asc) rank so no eventual winner is dropped
+                # id asc) rank so no eventual winner is dropped.
+                # NaN sims (zero-norm or NaN-component embeddings) are
+                # mapped to +inf HERE because Spark's DESC ordering
+                # treats NaN as greatest: numpy's lexsort would sort
+                # them last and silently drop the row from candidates,
+                # making the two kernels disagree on degenerate
+                # vectors. This way both kernels surface them first —
+                # visibly, consistently — instead of diverging.
                 r = np.round(sims, 6)
+                r = np.where(np.isnan(r), np.inf, r)
                 out_q, out_i, out_s = [], [], []
                 for qi in range(qm.shape[0]):
                     sel = np.lexsort((ids, -r[:, qi]))[:top]
@@ -397,20 +416,70 @@ def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str,
             .filter(F.col("__rn") == 1).drop("__rn", "__sim", "cvec"))
 
 
+class IvfIndex:
+    """A built IVF index: the (tiny) centroid table plus the full
+    corpus with its cell assignment — the expensive parts of ANN
+    serving, computed ONCE and reused across probes.
+
+    `persist=True` (the serving default) caches both sides
+    MEMORY_AND_DISK, so repeated probes schedule against the cached
+    assignment instead of re-scoring the corpus against every centroid
+    per query — the difference between an index and a full re-build
+    per lookup. Call :meth:`unpersist` when done."""
+
+    def __init__(self, centroids: DataFrame, assigned: DataFrame,
+                 vec_col: str, id_col: str, dim: int | None):
+        self.centroids = centroids
+        self.assigned = assigned
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.dim = dim
+
+    def probe(self, query_vec: list[float], k: int = 20,
+              nprobe: int = 4) -> DataFrame:
+        """Approximate top-k for one query: rank this index's cells by
+        centroid similarity, brute-force only the nprobe best."""
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        best_cells = (self.centroids
+                      .select("cell",
+                              cosine(F.col("cvec"), q, self.dim).alias("csim"))
+                      .orderBy(F.col("csim").desc(), "cell").limit(nprobe)
+                      .select("cell"))
+        probed = self.assigned.join(F.broadcast(best_cells), on="cell")
+        return cosine_topk(probed, self.vec_col, self.id_col, query_vec, k)
+
+    def unpersist(self) -> None:
+        for side in (self.centroids, self.assigned):
+            try:
+                side.unpersist()
+            except Exception:
+                pass
+
+
+def build_ivf_index(df: DataFrame, vec_col: str, id_col: str,
+                    n_cells: int = 16, iters: int = 1,
+                    dim: int | None = None,
+                    persist: bool = True) -> IvfIndex:
+    """Build phase of IVF ANN: centroids + full-corpus cell assignment.
+    This is the one corpus-sized computation; every probe afterwards
+    touches only nprobe cells. At 100 TB the assignment would land in
+    a parquet/bucketed table at ingest (like operators/bucketing.py's
+    layouts); within a session, caching is the same idea."""
+    centroids = build_ivf_centroids(df, vec_col, id_col, n_cells,
+                                    iters=iters, dim=dim)
+    assigned = assign_cells(df, centroids, vec_col, id_col, dim=dim)
+    if persist:
+        centroids = centroids.persist()
+        assigned = assigned.persist()
+    return IvfIndex(centroids, assigned, vec_col, id_col, dim)
+
+
 def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
              query_vec: list[float], k: int = 20, n_cells: int = 16,
              nprobe: int = 4) -> DataFrame:
-    """Approximate top-k: score centroids against the query on the
-    driver-free plan (centroids are tiny), keep the nprobe best cells,
-    brute-force only inside them."""
-    dim = len(query_vec)
-    centroids = build_ivf_centroids(df, vec_col, id_col, n_cells, iters=1,
-                                    dim=dim)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    best_cells = (centroids
-                  .select("cell", cosine(F.col("cvec"), q, dim).alias("csim"))
-                  .orderBy(F.col("csim").desc(), "cell").limit(nprobe)
-                  .select("cell"))
-    assigned = assign_cells(df, centroids, vec_col, id_col, dim=dim)
-    probed = assigned.join(F.broadcast(best_cells), on="cell")
-    return cosine_topk(probed, vec_col, id_col, query_vec, k)
+    """One-shot convenience: build (unpersisted) + single probe.
+    Repeated queries should use build_ivf_index()/IvfIndex.probe() so
+    the corpus-sized assignment is paid once, not per call."""
+    idx = build_ivf_index(df, vec_col, id_col, n_cells=n_cells, iters=1,
+                          dim=len(query_vec), persist=False)
+    return idx.probe(query_vec, k=k, nprobe=nprobe)

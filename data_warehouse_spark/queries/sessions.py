@@ -16,6 +16,7 @@ from data_warehouse_spark.functions.geo import haversine_km, haversine_km_sql
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.operators.sessionize import sessionize
 from data_warehouse_spark.queries.registry import register
+from data_warehouse_spark.queries.util import money_sum_sql
 
 GAP_SECONDS = 14400  # 4 h; events fixture has ~7.5 h median inter-event gap
 
@@ -440,9 +441,9 @@ CARBON_SAVINGS_KG_PER_KM = 0.17
     oracle=_E1_FACT_SQL + f"""
 SELECT provider_id,
        COUNT(*) AS n_trips,
-       ROUND(SUM(total_distance), 6) AS total_km,
-       ROUND(ROUND(SUM(total_distance), 6) * {CARBON_SAVINGS_KG_PER_KM}, 6)
-           AS co2_saved_kg
+       {money_sum_sql('total_distance', 1_000_000)} AS total_km,
+       ROUND(({money_sum_sql('total_distance', 1_000_000)})
+             * {CARBON_SAVINGS_KG_PER_KM}, 6) AS co2_saved_kg
 FROM trips_fact
 GROUP BY provider_id
 ORDER BY provider_id
@@ -451,12 +452,18 @@ ORDER BY provider_id
         "(README.md:1-3) and declared-but-absent lambda_carbon_calc.py "
         "(README.md:15). Per-provider km ridden x published per-km "
         "CO2-saved-vs-car factor over the trips fact. Pure F3/F4 column "
-        "math + A1 rollup; distances are pre-rounded per bike so the "
-        "provider sum has few terms and stays bit-stable cross-engine.",
+        "math + A1 rollup. total_km sums in the integer MICRO-KM domain "
+        "(per-bike distances carry exactly 6 decimals after e1's "
+        "round): integer addition is order-independent, so the "
+        "provider sum is bit-identical across engines and shuffle "
+        "orders at any trip count — a float sum + ROUND could straddle "
+        "a rounding boundary once providers aggregate many bikes.",
     tags=("etl", "carbon"),
 )
 def e2_carbon_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    total_km = F.round(F.sum("total_distance"), 6)
+    from data_warehouse_spark.queries.util import money_sum
+
+    total_km = money_sum("total_distance", 1_000_000)
     return (
         trips_fact(spark, sf_dir)
         .groupBy("provider_id")

@@ -434,3 +434,31 @@ def test_a9_pivot_missing_cell_is_zero(spark):
     assert out[1995].urgent == 14.75 and out[1995].low == 0.0
     assert out[1996].low == 7.0 and out[1996].urgent == 0.0
     assert out[1996].not_specified == 0.0
+
+
+def test_ivf_index_build_probe_reuses_assignment(spark, sf_dir):
+    """The serving shape of ANN: build once, probe many. A probe's plan
+    must read the CACHED cell assignment (InMemoryRelation), not
+    re-derive the corpus-sized assign/centroid subtree per query; two
+    probes must agree with the one-shot ivf_topk on the same query."""
+    from data_warehouse_spark.operators.similarity import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q0 = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    q1 = list(emb.filter(F.col("vec_id") == 1).select("embedding").first()[0])
+
+    idx = build_ivf_index(emb, "embedding", "vec_id", n_cells=8, iters=1)
+    try:
+        first = idx.probe(q0, k=10, nprobe=4)
+        plan = first._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan, (
+            "probe does not reuse the persisted assignment:\n" + plan)
+        got0 = {r.vec_id for r in first.collect()}
+        got1 = {r.vec_id for r in idx.probe(q1, k=10, nprobe=4).collect()}
+        one_shot = {r.vec_id for r in
+                    ivf_topk(emb, "embedding", "vec_id", q0, k=10,
+                             n_cells=8, nprobe=4).collect()}
+        assert got0 == one_shot  # same quantizer -> same answer
+        assert 1 in got1         # second probe finds its own query vector
+    finally:
+        idx.unpersist()
