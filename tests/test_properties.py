@@ -101,3 +101,65 @@ def test_a8_approx_within_bounds(spark, sf_dir):
         assert abs(a.approx_users - e.users) <= max(2, 0.1 * e.users), et
         spread = abs(e.median) + 1e-9
         assert abs(a.approx_median_value - e.median) <= 0.05 * spread + 0.01, et
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard():
+    """X2's only correctness net (it stays rows-only for the driver):
+    quantified recall against brute-force exact Jaccard.
+
+    40 planted (base, mutated) pairs with controlled similarity; a pair
+    whose true word-3-gram Jaccard is j becomes an LSH candidate with
+    probability p(j) = 1 - (1 - j^r)^b over the hash draw (b=8 bands,
+    r=4 rows). The hash functions are fixed (salted xxhash64), so the
+    test is deterministic; the assertion allows finite-sample slack
+    under the theoretical mean. Reported jaccard values must equal the
+    brute-force computation exactly (the operator exact-verifies its
+    candidates, so this is equality, not approximation)."""
+    from data_warehouse_spark.operators.dedup import minhash_lsh_pairs
+    from data_warehouse_spark.session import get_spark
+
+    spark = get_spark("tests")
+
+    def shingles(text: str, n: int = 3) -> set:
+        toks = text.strip().lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def jaccard(a: set, b: set) -> float:
+        return len(a & b) / len(a | b)
+
+    rng = random.Random(7)
+    rows, truth = [], {}
+    n_tokens = 30
+    for i in range(40):
+        base = [f"a{i}w{j}" for j in range(n_tokens)]
+        mutated = list(base)
+        for j in rng.sample(range(n_tokens), k=i % 5):  # 0..4 edits
+            mutated[j] = f"x{i}w{j}"
+        a, b = " ".join(base), " ".join(mutated)
+        rows += [(2 * i, a), (2 * i + 1, b)]
+        truth[(2 * i, 2 * i + 1)] = jaccard(shingles(a), shingles(b))
+
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_lsh_pairs(corpus, "text", "doc_id",
+                                      num_hashes=32, bands=8,
+                                      jaccard_threshold=0.5).collect()}
+
+    # reported jaccard == brute force, for every returned planted pair
+    for pair, j in got.items():
+        if pair in truth:
+            assert abs(j - round(truth[pair], 6)) < 1e-9, (pair, j, truth[pair])
+
+    # recall floor: banding theory gives mean p(j) over eligible pairs;
+    # allow 0.15 finite-sample slack below it
+    eligible = {p: j for p, j in truth.items() if j >= 0.65}
+    assert len(eligible) >= 15  # the corpus actually plants enough signal
+    found = sum(1 for p in eligible if p in got)
+    recall = found / len(eligible)
+    mean_p = sum(1 - (1 - j ** 4) ** 8 for j in eligible.values()) / len(eligible)
+    assert recall >= mean_p - 0.15, (
+        f"recall {recall:.3f} below banding bound {mean_p:.3f} - 0.15")
+    # and the near-identical tail must never be missed: p(j>=0.9) > 0.999
+    for pair, j in truth.items():
+        if j >= 0.9:
+            assert pair in got, f"missed near-identical pair {pair} (j={j:.3f})"
