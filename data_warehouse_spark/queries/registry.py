@@ -56,47 +56,47 @@ _QUERY_MODULES = [
 # This list IS the round's window, in order; load_all() puts these names
 # first and everything else after, in registration order.
 #
-# Round-4 rotation: rounds 1-2 verified the relational/window/scalar
-# core, round 3 verified the warehouse/streaming/UDF/LLM/multimodal set
-# — but the driver regenerated fixtures at round-3 start, so the r1/r2
-# rows are stale, and a8/a9/a10 have never been in any window. This
-# window re-verifies, on the current fixture generation:
-#   - the 44 r1/r2-only queries (relational 23 incl. a8/a9/a10,
-#     windows 6, scalars 11, joins j4/j5/j7/j8/j10/j11),
-#   - e2_carbon_savings (new this round),
-#   - x3_cosine_topk and mm2_image_resize (code touched this round —
-#     r3 green rows predate the change).
-# Everything outside was hash-green in CORRECTNESS_r03 on the current
-# fixtures with unchanged code.
-#
-# Round-5 rotation TODO: x3c_multi_topk (added r4, oracle wired, local
-# parity green) has no driver row yet — swap it into the next window
-# along with anything this round's code changes touch.
+# Round-5 rotation: round 4 re-verified the relational/window/scalar/
+# join core on the current fixture generation (CORRECTNESS_r04, all
+# green) — those rows are current and their code is unchanged, so they
+# rotate OUT. This window certifies, on current code:
+#   - every query whose implementation changed in round 4 AFTER its r3
+#     row was recorded: u4 (merge.py SCD2 late-update), x2c + x8
+#     (dedup.py candidate prefilter/checkpoints), st1-st9 (jobs.py/
+#     io.py NTZ guards), mm1/mm3/mm4 (multimodal plumbing);
+#   - x3c_multi_topk (added r4 after the window was pinned — first
+#     driver row ever);
+#   - everything round 5 added or touched: e3_enriched_trips + the
+#     e1b bucketed variant (new), e1/e2 (sessions.py sort fix +
+#     micro-km sums), mm2 (side-table scan), st6/st7 (new oracles),
+#     x3/x4 (similarity kernel routing + NaN consistency);
+#   - backfill: the oldest remaining rows (r3) — sources, UDFs, u1/u2,
+#     the LLM text battery, w5/j12/j9/j6 and the j1-j3 dim joins.
+# Everything outside was hash-green in CORRECTNESS_r04 on the current
+# fixtures with code unchanged since.
 DRIVER_WINDOW = [
-    # relational core (incl. never-driver-checked a8/a9/a10)
-    "s1_scan_filter", "s7_scan_full",
-    "p1_project", "p2_range_predicate", "p3_between_computed",
-    "p5_or_inequality", "p6_having",
-    "a1_q1_pricing_summary", "a2_count_by_key", "a3_global_agg",
-    "a4_distinct", "a5_rollup", "a6_stats",
-    "o1_global_sort", "o2_topk",
-    "set1_union_all", "set2_union_distinct", "set3_intersect",
-    "set4_except",
-    "a7_salted_agg", "a8_approx_agg", "a9_pivot", "a10_unpivot",
-    # window functions
-    "w1_lag", "p4_null_predicate", "w2_lead_first_last", "w3_ranking",
-    "w4_running_agg", "o2_topk_per_group",
-    # scalar functions
-    "f1_timezone", "f2_epoch_diff", "f3_haversine", "f5_cast",
-    "f6_date_format", "f7_current_timestamp", "f8_strings", "f9_json",
-    "f10_null_handling", "f11_arrays", "f12_case",
-    # new this round
-    "e2_carbon_savings",
-    # joins last driver-checked in r1/r2
-    "j4_semi_join", "j4_anti_join", "j5_range_join", "j7_cross_join",
-    "j8_two_source_merge", "j10_star_join", "j11_fact_fact_join",
-    # code changed this round -> r3 rows predate the change
-    "x3_cosine_topk", "mm2_image_resize",
+    # round-4/5 code changes + first-ever rows
+    "e1_trips", "e1b_bucketed_trips", "e2_carbon_savings",
+    "e3_enriched_trips",
+    "u4_scd2_dimension", "x2c_ngram_jaccard", "x8_dup_components",
+    "x3_cosine_topk", "x3c_multi_topk", "x4_pairwise_sim",
+    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
+    "st4_session_window", "st5_watermark_late_drop", "st6_stream_dedup",
+    "st7_foreach_upsert", "st8_custom_stateful", "st9_stream_stream_join",
+    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
+    "mm4_feature_ann",
+    # backfill: oldest current rows (r3), sources/UDFs/warehouse first
+    "u1_upsert", "u2_dedup_latest",
+    "s2_rest_json_source", "s3_parallel_fetch", "s4_csv_roundtrip",
+    "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
+    "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
+    "udf4_udtf_words",
+    "j9_spatial_join", "j6_asof_join",
+    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
+    "x1_exact_dedup", "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
+    "x6_token_freq", "x7_tfidf", "x10_repetition_filter",
+    "x9_stratified_split",
+    "w5_sessionize", "j12_bucketed_fact_join",
 ]
 
 

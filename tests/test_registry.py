@@ -6,36 +6,38 @@ from __future__ import annotations
 
 from data_warehouse_spark.queries.registry import DRIVER_WINDOW, load_all
 
-# Round-4 window: queries whose only driver rows are r1/r2 (stale — the
-# driver regenerated fixtures at round-3 start), never-checked
-# a8/a9/a10, the new carbon query, and the two queries whose code was
-# touched this round (their r3 green rows predate the change).
+# Round-5 window: every query whose code changed after its last green
+# driver row (r4 changes: u4/x2c/x8/st*/mm*; r5 changes: e1/e2/mm2/
+# st6/st7/x3/x4 + new e1b/e3), x3c's first-ever row, and backfill with
+# the oldest remaining (r3) rows. The round-4-verified relational core
+# rotates out: its rows are current and its code unchanged.
 MUST_BE_WINDOWED = {
-    # relational / windows / scalars / sets — last checked r1/r2
-    "s1_scan_filter", "s7_scan_full",
-    "p1_project", "p2_range_predicate", "p3_between_computed",
-    "p4_null_predicate", "p5_or_inequality", "p6_having",
-    "a1_q1_pricing_summary", "a2_count_by_key", "a3_global_agg",
-    "a4_distinct", "a5_rollup", "a6_stats", "a7_salted_agg",
-    "o1_global_sort", "o2_topk", "o2_topk_per_group",
-    "set1_union_all", "set2_union_distinct", "set3_intersect",
-    "set4_except",
-    "w1_lag", "w2_lead_first_last", "w3_ranking", "w4_running_agg",
-    "f1_timezone", "f2_epoch_diff", "f3_haversine", "f5_cast",
-    "f6_date_format", "f7_current_timestamp", "f8_strings", "f9_json",
-    "f10_null_handling", "f11_arrays", "f12_case",
-    "j4_semi_join", "j4_anti_join", "j5_range_join", "j7_cross_join",
-    "j8_two_source_merge", "j10_star_join", "j11_fact_fact_join",
-    # never in any driver window before round 4
-    "a8_approx_agg", "a9_pivot", "a10_unpivot",
-    # new in round 4
-    "e2_carbon_savings",
-    # code changed in round 4 — must be driver re-verified
-    "x3_cosine_topk", "mm2_image_resize",
+    # round-4/5 code changes + first-ever rows
+    "e1_trips", "e1b_bucketed_trips", "e2_carbon_savings",
+    "e3_enriched_trips",
+    "u4_scd2_dimension", "x2c_ngram_jaccard", "x8_dup_components",
+    "x3_cosine_topk", "x3c_multi_topk", "x4_pairwise_sim",
+    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
+    "st4_session_window", "st5_watermark_late_drop", "st6_stream_dedup",
+    "st7_foreach_upsert", "st8_custom_stateful", "st9_stream_stream_join",
+    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
+    "mm4_feature_ann",
+    # backfill — oldest current rows (r3)
+    "u1_upsert", "u2_dedup_latest",
+    "s2_rest_json_source", "s3_parallel_fetch", "s4_csv_roundtrip",
+    "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
+    "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
+    "udf4_udtf_words",
+    "j9_spatial_join", "j6_asof_join",
+    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
+    "x1_exact_dedup", "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
+    "x6_token_freq", "x7_tfidf", "x10_repetition_filter",
+    "x9_stratified_split",
+    "w5_sessionize", "j12_bucketed_fact_join",
 }
 
 
-def test_driver_window_is_exactly_the_round4_set():
+def test_driver_window_is_exactly_the_round5_set():
     # DRIVER_WINDOW is the explicit first-50 contract; it must hold
     # every query that needs (re-)verification this round and fit the
     # driver's 50-entry budget.
