@@ -70,8 +70,10 @@ _QUERY_MODULES = [
 #     e1b bucketed variant (new), e1/e2 (sessions.py sort fix +
 #     micro-km sums), mm2 (side-table scan), st6/st7 (new oracles),
 #     x3/x4 (similarity kernel routing + NaN consistency);
+#   - u5/u6 (maintenance ops, new r5) — first driver rows;
 #   - backfill: the oldest remaining rows (r3) — sources, UDFs, u1/u2,
-#     the LLM text battery, w5/j12/j9/j6 and the j1-j3 dim joins.
+#     the LLM text battery, w5/j12/j9/j6/j3 (j1/j2 stay outside:
+#     r3-green, stock Catalyst, code unchanged).
 # Everything outside was hash-green in CORRECTNESS_r04 on the current
 # fixtures with code unchanged since.
 DRIVER_WINDOW = [
@@ -91,8 +93,9 @@ DRIVER_WINDOW = [
     "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
     "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
     "udf4_udtf_words",
-    "j9_spatial_join", "j6_asof_join",
-    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
+    "j9_spatial_join", "j6_asof_join", "j3_left_join",
+    # new this round (maintenance ops) — first driver rows
+    "u5_delete_keys", "u6_compaction",
     "x1_exact_dedup", "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
     "x6_token_freq", "x7_tfidf", "x10_repetition_filter",
     "x9_stratified_split",

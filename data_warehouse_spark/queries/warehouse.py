@@ -308,3 +308,82 @@ def u4_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = changed.unionByName(noop).unionByName(fresh)
     return scd2_apply(dim, updates, keys=["c_custkey"],
                       attrs=["c_mktsegment", "c_nationkey"])
+
+
+@register(
+    "u5_delete_keys",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND((value)*100) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_value
+FROM events
+WHERE user_id % 7 <> 0
+GROUP BY event_type
+""",
+    doc="U5 [cap]: key-scoped DELETE (GDPR-style erasure / retention) "
+        "over a dt-partitioned fact — the load-side operator the "
+        "reference's append-only design never needed but any "
+        "production warehouse (and any training-data pipeline under "
+        "erasure duties) does. operators/maintenance.delete_by_keys: "
+        "column-pruned semi-join finds the partitions holding doomed "
+        "rows, anti-join rewrites ONLY those partitions via dynamic "
+        "partition overwrite, fully-emptied partition dirs are dropped "
+        "explicitly. The key list is a DataFrame (a join at any batch "
+        "size, never an isin literal). Query: build the partitioned "
+        "table, erase every user_id divisible by 7, aggregate the "
+        "surviving state; the oracle states the survivor set directly.",
+    tags=("upsert", "maintenance"),
+)
+def u5_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.io import write_partitioned
+    from data_warehouse_spark.operators.maintenance import delete_by_keys
+    from data_warehouse_spark.queries.util import money_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="dws_u5_") + "/events_dt"
+    write_partitioned(ev, path, ts_col="ts")
+    doomed = ev.filter(F.col("user_id") % 7 == 0).select("user_id")
+    delete_by_keys(spark, path, doomed, keys=["user_id"])
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum("value").alias("sum_value"))
+
+
+@register(
+    "u6_compaction",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND((value)*100) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_value
+FROM events
+GROUP BY event_type
+""",
+    doc="U6 [cap]: small-file compaction (OPTIMIZE) of a dt-partitioned "
+        "table — the periodic maintenance a micro-batched sink needs "
+        "(the reference commits batches of TWO rows, air_lambda.py:"
+        "90-98; at warehouse scale every commit is a file and scan "
+        "cost grows with file count). operators/maintenance."
+        "compact_partitions folds each partition to one file (hash-"
+        "repartition on dt -> one write task per date) via dynamic "
+        "partition overwrite; content is untouched, which is exactly "
+        "what the oracle certifies: the post-compaction aggregate "
+        "equals the plain events aggregate. pytest additionally "
+        "asserts the file count actually collapses.",
+    tags=("maintenance",),
+)
+def u6_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.io import write_partitioned
+    from data_warehouse_spark.operators.maintenance import compact_partitions
+    from data_warehouse_spark.queries.util import money_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="dws_u6_") + "/events_dt"
+    # fragment deliberately: ~8 files per partition, the micro-batch
+    # accretion pattern compaction exists to undo
+    write_partitioned(ev.repartition(8), path, ts_col="ts")
+    compact_partitions(spark, path)
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum("value").alias("sum_value"))

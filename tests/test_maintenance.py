@@ -1,0 +1,91 @@
+"""Table-maintenance operators (operators/maintenance.py): key-scoped
+delete and small-file compaction over dt-partitioned parquet."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_warehouse_spark.io import load_table, write_partitioned
+from data_warehouse_spark.operators.maintenance import (
+    compact_partitions, delete_by_keys,
+)
+
+
+def _part_files(path: str) -> dict[str, set]:
+    out: dict[str, set] = {}
+    for d in os.listdir(path):
+        if d.startswith("dt="):
+            out[d] = {f for f in os.listdir(os.path.join(path, d))
+                      if f.endswith(".parquet")}
+    return out
+
+
+def test_delete_by_keys_scoped_rewrite(spark, sf_dir, tmp_path):
+    """Deletes exactly the doomed keys; partitions without doomed rows
+    keep their original files byte-for-byte (no rewrite); partitions
+    whose every row is deleted disappear from disk."""
+    target = str(tmp_path / "fact")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    write_partitioned(ev, target, ts_col="ts")
+
+    # doom EVERY event of one day (that partition must vanish) plus a
+    # few events of a second day (that partition rewrites; the rest
+    # must keep their files untouched) — event_id keys are day-local,
+    # unlike user_id, whose owners are active in every partition
+    days = [r.dt for r in ev.select(F.to_date("ts").alias("dt"))
+            .distinct().orderBy("dt").limit(2).collect()]
+    a_day, b_day = days
+    doomed = (ev.filter(F.to_date("ts") == F.lit(a_day)).select("event_id")
+              .union(ev.filter(F.to_date("ts") == F.lit(b_day))
+                     .select("event_id").limit(3)))
+
+    before = _part_files(target)
+    n_before = spark.read.parquet(target).count()
+    n_doomed = doomed.distinct().count()
+
+    delete_by_keys(spark, target, doomed, keys=["event_id"])
+
+    after = _part_files(target)
+    back = spark.read.parquet(target)
+    assert back.count() == n_before - n_doomed
+    assert back.join(doomed, on="event_id", how="left_semi").count() == 0
+    # the fully-doomed day's directory is gone
+    assert f"dt={a_day}" not in after
+    # at least one untouched partition kept its exact original files
+    untouched = [d for d in before
+                 if d in after and before[d] == after[d]]
+    assert untouched, "every partition was rewritten — not a scoped delete"
+
+
+def test_delete_by_keys_noop_on_absent_keys(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "fact")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    write_partitioned(ev, target, ts_col="ts")
+    before = _part_files(target)
+    ghosts = spark.createDataFrame([(-1,), (-2,)], "event_id long")
+    delete_by_keys(spark, target, ghosts, keys=["event_id"])
+    assert _part_files(target) == before  # zero partitions rewritten
+
+
+def test_compact_partitions_collapses_files(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    write_partitioned(ev.repartition(8), target, ts_col="ts")
+
+    frag = _part_files(target)
+    assert max(len(v) for v in frag.values()) > 1  # genuinely fragmented
+    rows_before = {tuple(r) for r in spark.read.parquet(target)
+                   .drop("dt").collect()}
+
+    compact_partitions(spark, target)
+
+    compacted = _part_files(target)
+    assert set(compacted) == set(frag)            # same partitions
+    assert all(len(v) == 1 for v in compacted.values())  # one file each
+    rows_after = {tuple(r) for r in spark.read.parquet(target)
+                  .drop("dt").collect()}
+    assert rows_after == rows_before              # content untouched
