@@ -13,6 +13,9 @@ execution, no Python. Two search paths:
                        the nprobe nearest cells only. The scale path:
                        search cost drops by ~n_cells/nprobe.
   cosine_pairs_blocked X4: pairwise sims within a blocking key.
+  cosine_lsh_pairs     X2d: near-dup pairs with NO blocking key —
+                       sign-random-projection (Charikar) banding +
+                       exact-cosine verify of the candidate tail.
 """
 
 from __future__ import annotations
@@ -373,6 +376,115 @@ def cosine_pairs_blocked(df: DataFrame, vec_col: str, id_col: str,
     return (a.join(b, on="block")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("block", "id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def hyperplane_band_values(df: DataFrame, vec_col: str, id_col: str,
+                           num_bits: int = 128, band_bits: int = 8,
+                           seed: int = 7) -> DataFrame:
+    """Sign-random-projection (SimHash-for-vectors, Charikar STOC'02)
+    band values: project each embedding onto `num_bits` seeded Gaussian
+    hyperplanes, take sign bits, and pack each run of `band_bits`
+    consecutive bits into one integer band value. Returns
+    (id_col, bands array<int>) with num_bits/band_bits entries.
+
+    Two vectors agree on any one bit with probability 1 - theta/pi
+    (theta = their angle), so a full band matches with p_bit^band_bits
+    — the cosine analogue of MinHash banding.
+
+    Plan shape: one mapInArrow pass — the (batch x dim) @ (dim x
+    num_bits) sign matmul runs on the zero-copy Arrow values buffer,
+    like _arrow_query_scan. The hyperplanes are regenerated per worker
+    from the fixed seed (a dim x num_bits float64 array — microseconds,
+    no broadcast needed, deterministic everywhere)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if num_bits % band_bits:
+        raise ValueError("num_bits must be a multiple of band_bits")
+    n_bands = num_bits // band_bits
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("bands", T.ArrayType(T.IntegerType(), False)),
+    ])
+    powers = 1 << np.arange(band_bits, dtype=np.int64)
+
+    def fingerprint_batches(batches):
+        planes = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column(b.schema.get_field_index(id_col))
+            emb = b.column(b.schema.get_field_index(vec_col))
+            lens = np.diff(emb.offsets.to_numpy())
+            if not (emb.null_count == 0 and len(lens)
+                    and (lens == lens[0]).all()):
+                raise ValueError("null/ragged embeddings in batch")
+            dim = int(lens[0])
+            if planes is None or planes.shape[0] != dim:
+                planes = (np.random.RandomState(seed)
+                          .standard_normal((dim, num_bits)))
+            m = (emb.flatten().to_numpy(zero_copy_only=False)
+                 .reshape(-1, dim).astype(np.float64))
+            signs = (m @ planes) > 0                      # n x num_bits
+            vals = (signs.reshape(-1, n_bands, band_bits)
+                    .astype(np.int64) @ powers)           # n x n_bands
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(list(vals.astype(np.int32)),
+                               type=pa.list_(pa.int32()))],
+                names=[id_col, "bands"])
+
+    return df.select(id_col, vec_col).mapInArrow(
+        fingerprint_batches, out_schema)
+
+
+def cosine_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
+                     threshold: float = 0.9, num_bits: int = 128,
+                     band_bits: int = 8, seed: int = 7) -> DataFrame:
+    """Embedding-cosine near-dup pairs WITHOUT a blocking key — the
+    mandate's fifth dedup family. Random-hyperplane LSH proposes
+    candidates (any of num_bits/band_bits sign-bit bands identical);
+    exact cosine verifies them, so every output value is exact and only
+    recall is probabilistic: p(detect) = 1 - (1 - p_bit^band_bits)^bands
+    with p_bit = 1 - arccos(cos)/pi — 1 - 2e-10 at cos 0.99 for the
+    128/8 default, tapering fast below the threshold.
+
+    Scale shape mirrors minhash_lsh_pairs: signature scan -> band
+    explode -> bucket equi-join -> distinct candidate pairs (the tiny
+    near-dup tail, lazily checkpointed because two consumers hang off
+    it) -> exact verify joined back to the embeddings of candidate ids
+    only (left-semi prefilter). Never a cross join; the quadratic term
+    is bounded by bucket occupancy, and at 100 TB the 2^band_bits
+    bucket space per band keeps random collisions at n^2 / 2^band_bits
+    per band only for vectors that genuinely agree on 8 sign bits."""
+    df = spread_for_compute(df)
+    fps = hyperplane_band_values(df, vec_col, id_col, num_bits,
+                                 band_bits, seed)
+    banded = fps.select(
+        id_col, F.posexplode("bands").alias("band", "val"))
+    left = banded.withColumnRenamed(id_col, "id_a")
+    right = banded.withColumnRenamed(id_col, "id_b")
+    candidates = (left.join(right, on=["band", "val"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b")
+                  .distinct()
+                  # two consumers below (semi-prefilter + verify join);
+                  # same lazy-checkpoint rationale as dedup.py
+                  .localCheckpoint(eager=False))
+    cand_ids = (candidates.select(F.col("id_a").alias(id_col))
+                .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    sided = (df.join(cand_ids, on=id_col, how="left_semi")
+             .select(F.col(id_col), F.col(vec_col),
+                     _norm(vec_col).alias("nrm")))
+    a = sided.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("va"), F.col("nrm").alias("na"))
+    b = sided.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"))
+    sim = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (candidates.join(a, on="id_a").join(b, on="id_b")
+            .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
 
 

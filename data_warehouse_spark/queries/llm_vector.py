@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.operators.similarity import (
-    cosine, cosine_pairs_blocked, cosine_topk, cosine_topk_multi, ivf_topk,
+    cosine, cosine_lsh_pairs, cosine_pairs_blocked, cosine_topk,
+    cosine_topk_multi, ivf_topk,
 )
 from data_warehouse_spark.queries.registry import register
 
@@ -141,6 +142,55 @@ def x3c_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_multi(emb, vec_col="embedding", id_col="vec_id",
                              query_vecs=_query_vecs(spark, sf_dir, (0, 1, 2)),
                              k=20)
+
+
+# Deterministic near-dup planting for x2d: the fixture's embeddings
+# have no natural near-dup pairs (max pairwise cosine ~0.51), so the
+# query unions each vector with a perturbed copy v' = 0.9*v +
+# 0.1*roll(v) (cast back to float32). cos(v, v') >= 0.9938 for ANY v,
+# so every planted pair clears the 0.9 threshold while every cross
+# pair stays below ~0.56 — the 0.9 gate separates them at any fixture
+# generation. Both engines build the copy with the same double-domain
+# expression cast to FLOAT, so inputs are bit-identical.
+_PERTURB_SPARK = (
+    "transform(sequence(1, 64), i -> CAST(0.9D * element_at(embedding, i)"
+    " + 0.1D * element_at(embedding, (i % 64) + 1) AS FLOAT))")
+_PERTURB_DUCK = (
+    "list_transform(range(1, 65), i -> CAST(0.9::DOUBLE * embedding[i]"
+    " + 0.1::DOUBLE * embedding[(i % 64) + 1] AS FLOAT))")
+
+
+@register(
+    "x2d_cosine_lsh",
+    oracle=f"""
+WITH u AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, {_PERTURB_DUCK} FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) AS cos_sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.9
+""",
+    doc="X2d [ext]: embedding-cosine near-dup WITHOUT a blocking key — "
+        "random-hyperplane LSH (operators/similarity.py:"
+        "cosine_lsh_pairs) proposes candidates, exact cosine verifies. "
+        "Oracle-able despite being an LSH: outputs are exact-verified "
+        "(values = brute force by construction) and the planted pairs "
+        "sit at cos >= 0.9938 where the 128-bit/8-band miss "
+        "probability is ~2e-10 per pair — deterministic in practice at "
+        "every fixture generation, unlike recall at the threshold "
+        "itself (quantified instead in tests/test_properties.py).",
+    tags=("ext", "vector", "dedup"),
+)
+def x2d_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
+                        F.expr(_PERTURB_SPARK).alias("embedding"))
+    union = emb.unionByName(copies)
+    return cosine_lsh_pairs(union, vec_col="embedding", id_col="vec_id",
+                            threshold=0.9)
 
 
 @register(

@@ -93,9 +93,12 @@ DRIVER_WINDOW = [
     "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
     "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
     "udf4_udtf_words",
-    "j9_spatial_join", "j6_asof_join", "j3_left_join",
-    # new this round (maintenance ops) — first driver rows
-    "u5_delete_keys", "u6_compaction",
+    "j9_spatial_join", "j6_asof_join",
+    # new this round (maintenance + cosine-LSH dedup) — first driver
+    # rows. x2d takes the slot j3_left_join held: j3 joins j1/j2
+    # outside (r3-green, stock Catalyst, code unchanged) while x2d has
+    # never been driver-checked.
+    "u5_delete_keys", "u6_compaction", "x2d_cosine_lsh",
     "x1_exact_dedup", "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
     "x6_token_freq", "x7_tfidf", "x10_repetition_filter",
     "x9_stratified_split",

@@ -103,6 +103,65 @@ def test_a8_approx_within_bounds(spark, sf_dir):
         assert abs(a.approx_median_value - e.median) <= 0.05 * spread + 0.01, et
 
 
+def test_cosine_lsh_recall_vs_exact_cosine():
+    """X2d's recall net: planted pairs at controlled cosine, quantified
+    against the sign-random-projection banding bound
+    p(detect) = 1 - (1 - p_bit^r)^b with p_bit = 1 - arccos(c)/pi
+    (r=8 bits/band, b=16 bands at the 128-bit default). The hyperplanes
+    are seeded, so the run is deterministic; the assertion allows
+    finite-sample slack under the theoretical mean. Returned cos_sim
+    must equal brute force exactly (candidates are exact-verified)."""
+    import numpy as np
+
+    from data_warehouse_spark.operators.similarity import cosine_lsh_pairs
+    from data_warehouse_spark.session import get_spark
+
+    spark = get_spark("tests")
+    rng = np.random.RandomState(3)
+    dim, n_pairs = 64, 40
+    rows, truth = [], {}
+    for i in range(n_pairs):
+        target = 0.80 + 0.19 * (i / (n_pairs - 1))  # cosines 0.80..0.99
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        w = rng.standard_normal(dim)
+        w -= (w @ v) * v
+        w /= np.linalg.norm(w)
+        u = target * v + math.sqrt(1 - target * target) * w
+        a32 = v.astype(np.float32)
+        b32 = u.astype(np.float32)
+        # truth from the float32-cast vectors, double accumulation —
+        # exactly what the operator computes
+        ad, bd = a32.astype(np.float64), b32.astype(np.float64)
+        c = float((ad @ bd) / (np.linalg.norm(ad) * np.linalg.norm(bd)))
+        rows += [(2 * i, [float(x) for x in a32]),
+                 (2 * i + 1, [float(x) for x in b32])]
+        truth[(2 * i, 2 * i + 1)] = c
+
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b): r.cos_sim
+           for r in cosine_lsh_pairs(corpus, "embedding", "vec_id",
+                                     threshold=0.8).collect()}
+
+    # exact-verify: every returned planted pair carries the brute-force value
+    for pair, c in got.items():
+        if pair in truth:
+            assert abs(c - round(truth[pair], 6)) < 2e-6, (pair, c, truth[pair])
+
+    eligible = {p: c for p, c in truth.items() if c >= 0.8}
+    assert len(eligible) >= 35
+    found = sum(1 for p in eligible if p in got)
+    recall = found / len(eligible)
+    mean_p = sum(1 - (1 - (1 - math.acos(min(c, 1.0)) / math.pi) ** 8) ** 16
+                 for c in eligible.values()) / len(eligible)
+    assert recall >= mean_p - 0.15, (
+        f"recall {recall:.3f} below banding bound {mean_p:.3f} - 0.15")
+    # the near-identical tail must never be missed: p(detect) > 0.9998
+    for pair, c in truth.items():
+        if c >= 0.95:
+            assert pair in got, f"missed near-identical pair {pair} (c={c:.3f})"
+
+
 def test_minhash_lsh_recall_vs_exact_jaccard():
     """X2's only correctness net (it stays rows-only for the driver):
     quantified recall against brute-force exact Jaccard.

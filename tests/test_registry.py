@@ -28,8 +28,8 @@ MUST_BE_WINDOWED = {
     "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
     "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
     "udf4_udtf_words",
-    "j9_spatial_join", "j6_asof_join", "j3_left_join",
-    "u5_delete_keys", "u6_compaction",
+    "j9_spatial_join", "j6_asof_join",
+    "u5_delete_keys", "u6_compaction", "x2d_cosine_lsh",
     "x1_exact_dedup", "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
     "x6_token_freq", "x7_tfidf", "x10_repetition_filter",
     "x9_stratified_split",
