@@ -104,6 +104,9 @@ DRIVER_WINDOW = [
     "x9_stratified_split",
     "w5_sessionize", "j12_bucketed_fact_join",
 ]
+# TODO(round 6): rotate in s9_jsonl_roundtrip / s10_orc_roundtrip
+# (added after this round's window was pinned; local parity green,
+# no driver row yet).
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.operators.merge import dedup_latest, upsert
 from data_warehouse_spark.queries.registry import register
+from data_warehouse_spark.queries.util import cents
 from data_warehouse_spark.sources.rest_json import (
     fetch_air_quality, gbfs_sample_frame, parse_gbfs,
 )
@@ -191,6 +192,64 @@ def s5_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("append").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "s9_jsonl_roundtrip",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc
+FROM documents GROUP BY lang
+""",
+    doc="S9 [cap]: JSON-lines sink + source roundtrip — the raw-payload "
+        "landing format an ingest pipeline writes before shredding "
+        "(sources/files.py:read_json_lines; the reference ingests "
+        "parsed REST JSON, air_lambda.py). Writes real JSONL to a temp "
+        "dir including the free-text column (exercising JSON string "
+        "escaping), reads it back with an explicit schema — never "
+        "inferSchema, which would double the scan at 100 TB — and "
+        "aggregates, so the oracle certifies the full write->read "
+        "cycle preserved every row.",
+    tags=("sink",),
+)
+def s9_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="dws_jsonl_")
+    docs.select("doc_id", "text", "lang", "n_chars") \
+        .write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, n_chars long").json(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"))
+
+
+@register(
+    "s10_orc_roundtrip",
+    oracle="""
+SELECT o_orderstatus AS status, COUNT(*) AS n,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="S10 [cap]: ORC sink + source roundtrip — the second columnar "
+        "format a Spark warehouse serves alongside parquet (native "
+        "writer, predicate pushdown and column pruning both apply). "
+        "Integer-cents sum per parity_notes rule (exact under any "
+        "parallelism), certifying the write->read cycle bit-preserved "
+        "the money column.",
+    tags=("sink",),
+)
+def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="dws_orc_")
+    orders.select("o_orderkey", "o_orderstatus", "o_totalprice") \
+        .write.mode("overwrite").orc(out)
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double").orc(out)
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("o_totalprice")).alias("total_cents"))
 
 
 @register(
