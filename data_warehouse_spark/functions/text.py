@@ -91,3 +91,34 @@ def rolling_fingerprint(text: Column, window: int = 8) -> Column:
     idx = F.sequence(F.lit(1), n)
     grams = F.transform(idx, lambda i: F.xxhash64(F.substr(text, i, F.lit(window))))
     return F.array_min(grams)
+
+
+# PII patterns shared by the Spark expressions and the DuckDB oracle.
+# Conservative, dialect-portable subset (Java regex and RE2 agree on
+# every construct used: literal classes, {m,n}, \d, \b): emails, IPv4,
+# and international-format phone numbers. Order matters — emails are
+# redacted before phones so a digit-bearing local part can't be half
+# eaten by the phone pattern.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every email / IPv4 / +international phone occurrence
+    with a typed placeholder token — the scrubbing pass a training-data
+    pipeline runs before text ships. Pure chained regexp_replace:
+    whole-stage codegen, no UDF, no Python."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per PII class (for audit reporting alongside
+    the redaction itself)."""
+    return [F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS]

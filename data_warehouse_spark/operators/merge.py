@@ -149,6 +149,64 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, keys: list[str],
         .unionByName(new_version).unionByName(inserted)
 
 
+_ROLLUP_MERGES = {
+    # sum/count merge: null on a side means "key absent there", which
+    # contributes zero — but two absent sides stay null (can't happen
+    # off a full-outer join; kept for algebraic closure).
+    "sum": lambda a, b: F.when(a.isNull() & b.isNull(), F.lit(None))
+                         .otherwise(F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))),
+    # least/greatest skip nulls (return the other side) by definition
+    "min": lambda a, b: F.least(a, b),
+    "max": lambda a, b: F.greatest(a, b),
+}
+
+
+def incremental_rollup(existing: DataFrame | None, delta: DataFrame,
+                       keys: list[str],
+                       merges: dict[str, str]) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: merge a new
+    batch's PRE-AGGREGATED delta into an existing rollup so the nightly
+    report never re-scans history — the reference's dashboards
+    (README.md:81-83) recompute from scratch every run; at 100 TB the
+    rollup is maintained, not rebuilt.
+
+    `merges` maps each measure column to its merge op: only MERGEABLE
+    (commutative-monoid) aggregates qualify — sum, count-as-sum, min,
+    max. avg/stddev must be carried as (sum, count) / (sum, sum2,
+    count) and finalized at read time; medians/distincts need sketches
+    (A8) — the same decomposition every incremental-view engine uses.
+
+    Plan shape: one full-outer hash join on the grouping keys between
+    two already-aggregated (group-cardinality-sized) tables — the raw
+    batch is aggregated upstream with map-side combine, history is
+    never touched. Equivalence to the full recompute is the oracle
+    contract of u7 and holds exactly when the measures are integer-
+    domain (parity_notes rule on float sums).
+    """
+    bad = set(merges.values()) - set(_ROLLUP_MERGES)
+    if bad:
+        raise ValueError(f"non-mergeable rollup ops: {bad}; decompose "
+                         "into sum/min/max (+count) first")
+    if existing is None:
+        return delta
+    e = existing.select(
+        *[F.col(k).alias(f"__ek_{k}") for k in keys],
+        *[F.col(c).alias(f"__e_{c}") for c in merges])
+    d = delta.select(
+        *[F.col(k).alias(f"__dk_{k}") for k in keys],
+        *[F.col(c).alias(f"__d_{c}") for c in merges])
+    cond = None
+    for k in keys:
+        eq = e[f"__ek_{k}"].eqNullSafe(d[f"__dk_{k}"])
+        cond = eq if cond is None else cond & eq
+    joined = e.join(d, on=cond, how="full_outer")
+    out_keys = [F.coalesce(F.col(f"__ek_{k}"), F.col(f"__dk_{k}")).alias(k)
+                for k in keys]
+    out_vals = [_ROLLUP_MERGES[op](F.col(f"__e_{c}"), F.col(f"__d_{c}")).alias(c)
+                for c, op in merges.items()]
+    return joined.select(*out_keys, *out_vals)
+
+
 def merge_into_partitioned(spark, target_path: str, new: DataFrame,
                            keys: list[str], ts_col: str) -> None:
     """The 100 TB upsert: MERGE `new` into a dt-partitioned parquet

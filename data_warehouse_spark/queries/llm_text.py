@@ -547,3 +547,66 @@ def x9_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.withColumn("split", split)
             .groupBy("lang", "source", "split")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{7,15}\b"
+
+# The fixture corpus carries no PII, so the query PLANTS a
+# deterministic email + phone + IPv4 per document (same string
+# expression in both engines) and then redacts — certifying the
+# scrub end-to-end, not just on clean text.
+def _pii_suffix_spark() -> tuple:
+    # built lazily: Column construction needs an active SparkContext
+    return (
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +41"),
+        (F.lit(1000000) + F.col("doc_id") % 1000000).cast("string"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +41'"
+    " || CAST(1000000 + doc_id % 1000000 AS VARCHAR)"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+
+@register(
+    "x11_pii_redaction",
+    oracle=f"""
+WITH planted AS (
+    SELECT doc_id, text || {_PII_SUFFIX_SQL} AS t FROM documents
+)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '{_PII_EMAIL}', '<EMAIL>', 'g'),
+            '{_PII_IPV4}', '<IP>', 'g'),
+            '{_PII_PHONE}', '<PHONE>', 'g')) AS red_hash,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phone
+FROM planted
+""",
+    doc="X11 [ext]: PII redaction — the scrubbing pass a training-data "
+        "pipeline runs before text ships (emails / IPv4 / international "
+        "phones -> typed placeholder tokens, functions/text.py:"
+        "redact_pii). Pure chained regexp_replace in whole-stage "
+        "codegen — no UDF; patterns restricted to the Java-regex/RE2 "
+        "common dialect so the DuckDB oracle runs the IDENTICAL "
+        "expressions. Output is md5(redacted) + per-class audit counts, "
+        "so the hash compare certifies byte-identical redacted text.",
+    tags=("ext", "text"),
+)
+def x11_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.functions.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), *_pii_suffix_spark()).alias("t"))
+    return planted.select(
+        "doc_id",
+        F.md5(redact_pii(F.col("t")).cast("binary")).alias("red_hash"),
+        *[c.cast("int").alias(n) for c, n in zip(
+            pii_counts(F.col("t")), ("n_email", "n_ipv4", "n_phone"))])

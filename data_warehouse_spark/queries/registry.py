@@ -104,9 +104,10 @@ DRIVER_WINDOW = [
     "x9_stratified_split",
     "w5_sessionize", "j12_bucketed_fact_join",
 ]
-# TODO(round 6): rotate in s9_jsonl_roundtrip / s10_orc_roundtrip
-# (added after this round's window was pinned; local parity green,
-# no driver row yet).
+# TODO(round 6): rotate in s9_jsonl_roundtrip, s10_orc_roundtrip,
+# u7_incremental_rollup, a11_cube, x11_pii_redaction (all added after
+# this round's window was pinned; local parity green, no driver rows
+# yet).
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

@@ -275,6 +275,31 @@ def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a11_cube",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {money_sum_sql('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="A11 [cap]: CUBE grouping sets — all 2^k dimension subsets in "
+        "one pass (the dashboard cross-tab A5's ROLLUP only "
+        "prefix-covers). Spark plans this as a single Expand + one "
+        "hash aggregate: rows replicate 4x BEFORE the exchange but "
+        "partial aggregation collapses each (subset, group) per task, "
+        "so the shuffle carries one row per group per task — the same "
+        "scale shape as a plain groupBy, not 4 scans.",
+    tags=("agg",),
+)
+def a11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
     "a6_stats",
     oracle=f"""
 SELECT c_mktsegment,

@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_warehouse_spark.io import load_table
-from data_warehouse_spark.operators.merge import dedup_latest, upsert
+from data_warehouse_spark.operators.merge import (
+    dedup_latest, incremental_rollup, upsert,
+)
 from data_warehouse_spark.queries.registry import register
 from data_warehouse_spark.queries.util import cents
 from data_warehouse_spark.sources.rest_json import (
@@ -192,6 +194,50 @@ def s5_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("append").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "u7_incremental_rollup",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events GROUP BY event_type
+""",
+    doc="U7 [cap]: incremental materialized-aggregate maintenance — a "
+        "batch's pre-aggregated delta full-outer-merged into the "
+        "existing rollup (operators/merge.py:incremental_rollup), so "
+        "the nightly report never re-scans history (the reference's "
+        "dashboards recompute from scratch, README.md:81-83). The "
+        "oracle is the FULL recompute over all events: merge-equals-"
+        "rebuild is the contract, and it holds exactly because the "
+        "measures are mergeable monoids in integer domain (count-as-"
+        "sum, cents sum, min, max).",
+    tags=("merge",),
+)
+def u7_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "event_type", "value")
+    # deterministic history/new-batch split: the 20% "tonight's batch"
+    history = ev.filter(F.col("event_id") % 5 != 0)
+    batch = ev.filter(F.col("event_id") % 5 == 0)
+
+    def roll(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("sum_cents"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"))
+
+    merged = incremental_rollup(
+        roll(history), roll(batch), keys=["event_type"],
+        merges={"n": "sum", "sum_cents": "sum",
+                "min_value": "min", "max_value": "max"})
+    return merged.select(
+        "event_type", "n", "sum_cents",
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"))
 
 
 @register(

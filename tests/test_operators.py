@@ -462,3 +462,73 @@ def test_ivf_index_build_probe_reuses_assignment(spark, sf_dir):
         assert 1 in got1         # second probe finds its own query vector
     finally:
         idx.unpersist()
+
+
+def test_incremental_rollup_merge_equals_rebuild(spark):
+    """U7's contract: folding per-batch deltas through incremental_rollup
+    equals the one-shot aggregate, for any batch split — including
+    batches that introduce brand-new keys (full-outer null sides)."""
+    import random
+
+    from data_warehouse_spark.operators.merge import incremental_rollup
+
+    rng = random.Random(11)
+    rows = [(f"k{rng.randrange(6)}", rng.randrange(-50, 50), i % 3)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "key string, v long, batch int")
+
+    def roll(part):
+        return part.groupBy("key").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"))
+
+    merges = {"n": "sum", "s": "sum", "lo": "min", "hi": "max"}
+    acc = None
+    for b in range(3):
+        acc = incremental_rollup(acc, roll(df.filter(F.col("batch") == b)),
+                                 keys=["key"], merges=merges)
+    got = {r.key: (r.n, r.s, r.lo, r.hi) for r in acc.collect()}
+    want = {r.key: (r.n, r.s, r.lo, r.hi) for r in roll(df).collect()}
+    assert got == want
+
+    # a delta with an unseen key survives the full-outer merge intact
+    extra = roll(spark.createDataFrame([("brand_new", 7, 9)],
+                                       "key string, v long, batch int"))
+    merged = incremental_rollup(acc, extra, keys=["key"], merges=merges)
+    got2 = {r.key: (r.n, r.s, r.lo, r.hi) for r in merged.collect()}
+    assert got2["brand_new"] == (1, 7, 7, 7)
+    assert got2["k0"] == want["k0"]
+
+    # non-mergeable aggregates are rejected loudly, not silently wrong
+    try:
+        incremental_rollup(acc, extra, keys=["key"], merges={"n": "avg"})
+        raise AssertionError("avg must be rejected")
+    except ValueError:
+        pass
+
+
+def test_redact_pii_removes_every_occurrence(spark):
+    """After redact_pii, no PII pattern matches anywhere; placeholders
+    appear exactly where the audit counts said they would."""
+    from data_warehouse_spark.functions.text import (
+        PII_PATTERNS, pii_counts, redact_pii,
+    )
+
+    rows = [
+        (1, "mail a.b+c@x-corp.co.uk and 192.168.1.1 then +41791234567 ok"),
+        (2, "no pii here, just 1.2 versions and a plus + sign"),
+        (3, "double jane@ex.org bob@ex.org 10.0.0.1 10.0.0.2"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = df.select(
+        "id", redact_pii(F.col("text")).alias("red"),
+        *pii_counts(F.col("text"))).collect()
+    by_id = {r.id: r for r in out}
+    for _, pat, token in PII_PATTERNS:
+        leftover = df.sparkSession.createDataFrame(
+            [(r.red,) for r in out], "red string") \
+            .filter(F.regexp_count("red", F.lit(pat)) > 0).count()
+        assert leftover == 0, f"unredacted {pat}"
+    assert by_id[1].n_email == 1 and by_id[1].n_ipv4 == 1 and by_id[1].n_phone == 1
+    assert by_id[2].red == rows[1][1]  # clean text passes through unchanged
+    assert by_id[3].red.count("<EMAIL>") == 2 and by_id[3].red.count("<IP>") == 2
