@@ -318,3 +318,38 @@ def st9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return spark.sql("SELECT user_id, click_id, purchase_id, click_ts, "
                      "purchase_ts, purchase_value FROM st9_out")
+
+
+@register(
+    "st10_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    doc="ST10: stream-static enrichment join, run as a REAL streaming "
+        "query — the events stream joins a broadcast customer dimension "
+        "(the canonical enrich-then-aggregate serving shape; the "
+        "reference's Lambdas re-query the dim per poll). The static "
+        "side is planned once per micro-batch as a broadcast hash join "
+        "— no state store involvement at all, unlike st9 — so dim "
+        "updates between batches are picked up while stream state stays "
+        "ZERO beyond the aggregate itself. Integer-cents sum keeps the "
+        "result bit-stable under any micro-batch partitioning.",
+    tags=("streaming", "join"),
+)
+def st10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.queries.util import cents
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"))
+    enriched = stream.join(F.broadcast(dim), on="user_id")
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("value")).alias("sum_cents"))
+    q = start_memory_sink(agg, "st10_out", "complete")
+    q.awaitTermination()
+    return spark.sql("SELECT segment, n, sum_cents FROM st10_out")
