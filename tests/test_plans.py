@@ -130,3 +130,41 @@ def test_x3_small_scan_kernel_stays_jvm_side(spark):
                    "FlatMapsInPandas", "MapInPandas"):
         assert marker not in plan, marker
     assert uses_take_ordered(q(spark, "x3_cosine_topk"))
+
+
+def test_a11_cube_is_one_expand_pass(spark):
+    # CUBE must plan as a single Expand + partial/final hash aggregate,
+    # never 2^k scans of the fact table
+    plan = executed_plan(q(spark, "a11_cube"))
+    assert plan.count("Expand") >= 1
+    assert plan.count("FileScan") == 1
+    assert has_partial_aggregation(q(spark, "a11_cube"))
+
+
+def test_u7_rollup_merge_never_rescans_history(spark):
+    # the merge joins two pre-aggregated (group-sized) tables; both
+    # sides must be aggregated BELOW the join, with partial aggregation
+    # bounding what the exchanges carry
+    plan = executed_plan(q(spark, "u7_incremental_rollup"))
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos < 0:
+        join_pos = plan.find("HashJoin")
+    assert join_pos >= 0
+    assert has_partial_aggregation(q(spark, "u7_incremental_rollup"))
+    assert "CartesianProduct" not in plan
+
+
+def test_x11_redaction_stays_in_codegen(spark):
+    # the scrub is chained regexp_replace projections: no Python
+    # evaluation anywhere in the plan
+    plan = executed_plan(q(spark, "x11_pii_redaction"))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "PythonMapInArrow", "MapInArrow"):
+        assert marker not in plan, marker
+    assert "WholeStageCodegen" in codegen_text(q(spark, "x11_pii_redaction"))
+
+
+def test_x2d_cosine_lsh_no_cartesian(spark):
+    # LSH candidates come from a band-bucket equi-join; exact verify
+    # joins only candidate ids — a cross join must never appear
+    assert_no_cartesian(q(spark, "x2d_cosine_lsh"))
