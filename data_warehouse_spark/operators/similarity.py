@@ -457,7 +457,13 @@ def cosine_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
     only (left-semi prefilter). Never a cross join; the quadratic term
     is bounded by bucket occupancy, and at 100 TB the 2^band_bits
     bucket space per band keeps random collisions at n^2 / 2^band_bits
-    per band only for vectors that genuinely agree on 8 sign bits."""
+    per band only for vectors that genuinely agree on 8 sign bits —
+    band_bits is the scale knob and should track log2(n) (8 bits suits
+    ~1e5-1e6 rows; 16-24 at web scale, with num_bits scaled to keep the
+    band count). Zero-norm embeddings collide in every band (all-zero
+    signs) but their exact cosine is NaN, so the verify filter drops
+    them — they are never reported, consistently with cosine_topk's
+    NaN policy being confined to ranking."""
     df = spread_for_compute(df)
     fps = hyperplane_band_values(df, vec_col, id_col, num_bits,
                                  band_bits, seed)

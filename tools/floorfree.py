@@ -58,6 +58,16 @@ DEFAULT_QUERIES = {
     "j12_bucketed_fact_join": (16, 64, 256),
     "x3_cosine_topk": (16, 64),
     "x2c_ngram_jaccard": (4, 16),
+    # round-5 additions, all data-dominated with hash-verified oracles:
+    # CUBE (Expand x4 of lineitem-shaped orders), incremental rollup
+    # (events agg + group-sized merge), PII scrub (regex scan over
+    # documents). x2d is deliberately ABSENT: its 8-bit default bands
+    # are sized for ~1e5-1e6 rows (SCALE.md) and its brute-force oracle
+    # is quadratic for DuckDB — neither side measures engine throughput
+    # at amplified scale.
+    "a11_cube": (16, 64),
+    "u7_incremental_rollup": (16, 64),
+    "x11_pii_redaction": (16, 64),
 }
 
 # (key columns salted as key*n+copy) per amplified table; text gets a
