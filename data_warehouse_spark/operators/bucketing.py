@@ -76,3 +76,58 @@ def bucketed_view(spark: SparkSession, sf_dir: str, src_table: str,
                        f"{base}/{digest}/{src_table}", keys, n_buckets,
                        sort_keys=sort_keys)
     return spark.table(name)
+
+
+def zorder_cell(col, lo: float, hi: float, bits: int = 16):
+    """Map a numeric column onto [0, 2^bits) cells over the DATA's
+    observed [lo, hi] range. Normalizing to the observed range (not a
+    theoretical domain) is load-bearing: if one dimension only spans a
+    sliver of its domain, its varying bits sit below the other
+    dimension's and the curve degenerates to single-column ordering.
+    lo/hi come from one tiny min/max aggregate at write time — the
+    same bounded parameter collect the engine allows for query
+    vectors."""
+    from pyspark.sql import functions as F
+
+    span = (hi - lo) or 1.0
+    raw = F.floor((col - F.lit(lo)) / F.lit(span) * (1 << bits))
+    return F.least(F.greatest(raw, F.lit(0)),
+                   F.lit((1 << bits) - 1)).cast("long")
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton/Z-order key: interleave the low `bits` bits of two
+    non-negative integer cell coordinates (build them with
+    zorder_cell). Pure shift/and/or column expressions — whole-stage
+    codegen, no UDF.
+
+    Sorting a table by this key clusters rows that are close in BOTH
+    dimensions into the same files and row groups, so parquet min-max
+    stats on the original columns become selective for 2-D range
+    predicates — the OPTIMIZE ZORDER layout pattern, built from
+    primitives. Bucketing (above) optimizes equi-joins on one key;
+    z-ordering optimizes multi-dimensional range scans.
+    """
+    from pyspark.sql import functions as F
+
+    out = None
+    for b in range(bits):
+        xb = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        yb = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b)
+        term = xb.bitwiseOR(yb)
+        out = term if out is None else out.bitwiseOR(term)
+    return out
+
+
+def write_zordered(df: DataFrame, path: str, zcol, n_files: int = 32) -> None:
+    """Materialize df clustered by a z-order key: range-partition on
+    the key (so files cover disjoint key ranges), sort within each
+    partition (so row groups are tight), drop the key, write parquet.
+    The data content is untouched — only physical row order changes;
+    the payoff is row-group min-max pruning on the z-ordered columns
+    at read time, with no index structure to maintain."""
+    (df.withColumn("__z", zcol)
+       .repartitionByRange(n_files, "__z")
+       .sortWithinPartitions("__z")
+       .drop("__z")
+       .write.mode("overwrite").parquet(path))

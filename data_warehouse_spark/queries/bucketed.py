@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.operators.bucketing import bucketed_view
 from data_warehouse_spark.queries.registry import register
-from data_warehouse_spark.queries.util import money_sum, money_sum_sql
+from data_warehouse_spark.queries.util import cents, money_sum, money_sum_sql
 
 # One scan task per bucket on the read side: match the local harness's
 # core count (on a cluster this would be thousands — buckets should be
@@ -57,3 +57,60 @@ def j12_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("o_orderpriority").alias("priority"))
             .agg(F.count(F.lit(1)).alias("n_items"),
                  money_sum("l_extendedprice").alias("revenue")))
+
+
+@register(
+    "u8_zorder_scan",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM (
+    SELECT event_id, value,
+           value % 90 AS lat,
+           (event_id % 36000) / 100.0 - 180.0 AS lon
+    FROM events
+)
+WHERE lat >= 10 AND lat < 20 AND lon >= -50 AND lon < -30
+""",
+    doc="U8 [cap]: Z-ORDER clustered layout + 2-D range scan — the "
+        "multi-dimensional complement of the bucketed layouts (j12 "
+        "optimizes equi-joins, e1b windows; z-order optimizes box "
+        "predicates). The events log (with its derived coordinates "
+        "materialized) is rewritten sorted by an interleaved-bit "
+        "Morton key (operators/bucketing.py:zorder_key — pure "
+        "shift/and/or codegen expressions), then a lat/lon box query "
+        "runs against the rewritten files: range-partitioned, "
+        "z-sorted files give parquet row-group min-max stats real "
+        "selectivity on BOTH columns at once (tests/test_bucketing.py "
+        "quantifies the per-file span shrink vs a round-robin write). "
+        "Content identity under the rewrite + filter correctness is "
+        "what the oracle certifies.",
+    tags=("layout", "scan"),
+)
+def u8_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_warehouse_spark.operators.bucketing import (
+        write_zordered, zorder_cell, zorder_key,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value",
+        F.expr("value % 90").alias("lat"),
+        F.expr("(event_id % 36000) / 100.0 - 180.0").alias("lon"))
+    # 16-bit cells over the DATA's observed bounds (one tiny agg):
+    # normalizing to the theoretical domain would let a narrow
+    # dimension degenerate the curve to single-column order
+    b = ev.agg(F.min("lat"), F.max("lat"), F.min("lon"), F.max("lon")).first()
+    xi = zorder_cell(F.col("lat"), b[0], b[1])
+    yi = zorder_cell(F.col("lon"), b[2], b[3])
+    out = tempfile.mkdtemp(prefix="dws_zorder_")
+    write_zordered(ev, out, zorder_key(xi, yi), n_files=32)
+    back = spark.read.parquet(out)
+    return (back.filter((F.col("lat") >= 10) & (F.col("lat") < 20)
+                        & (F.col("lon") >= -50) & (F.col("lon") < -30))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(cents("value")).alias("sum_cents"),
+                 F.min("event_id").alias("min_id"),
+                 F.max("event_id").alias("max_id")))

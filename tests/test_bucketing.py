@@ -46,3 +46,55 @@ def test_j12_matches_j11_and_joins_without_exchange(spark):
     assert "Sort [o_orderkey" not in plan
     # the final 5-group aggregate is the only shuffle left
     assert plan.count("Exchange") <= 2  # agg exchange (+AQE read wrapper)
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """U8's payoff, quantified: after the z-order rewrite each file
+    covers a small box in (lat, lon) space, so parquet min-max stats
+    prune 2-D range predicates. A round-robin write gives every file
+    the FULL span of both columns (no pruning possible); the z-ordered
+    files must shrink the mean per-file span of BOTH dimensions by at
+    least 2x. Content identity is also asserted — layout must never
+    change data."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.io import load_table
+    from data_warehouse_spark.operators.bucketing import (
+        write_zordered, zorder_cell, zorder_key,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id",
+        F.expr("value % 90").alias("lat"),
+        F.expr("(event_id % 36000) / 100.0 - 180.0").alias("lon"))
+    b = ev.agg(F.min("lat"), F.max("lat"), F.min("lon"), F.max("lon")).first()
+    xi = zorder_cell(F.col("lat"), b[0], b[1])
+    yi = zorder_cell(F.col("lon"), b[2], b[3])
+
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "rr")
+    write_zordered(ev, zdir, zorder_key(xi, yi), n_files=16)
+    ev.repartition(16).write.mode("overwrite").parquet(rdir)
+
+    def mean_spans(path):
+        tot_lat = tot_lon = n = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            row = (spark.read.parquet(f)
+                   .agg(F.max("lat") - F.min("lat"),
+                        F.max("lon") - F.min("lon")).first())
+            if row[0] is None:
+                continue
+            tot_lat += row[0]; tot_lon += row[1]; n += 1
+        assert n >= 8, f"too few files under {path}"
+        return tot_lat / n, tot_lon / n
+
+    z_lat, z_lon = mean_spans(zdir)
+    r_lat, r_lon = mean_spans(rdir)
+    assert z_lat * 2 <= r_lat, (z_lat, r_lat)
+    assert z_lon * 2 <= r_lon, (z_lon, r_lon)
+
+    # layout changed, content did not
+    a = sorted(r.event_id for r in spark.read.parquet(zdir).collect())
+    b = sorted(r.event_id for r in ev.select("event_id").collect())
+    assert a == b
