@@ -284,18 +284,28 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     doc="A11 [cap]: CUBE grouping sets — all 2^k dimension subsets in "
         "one pass (the dashboard cross-tab A5's ROLLUP only "
-        "prefix-covers). Spark plans this as a single Expand + one "
-        "hash aggregate: rows replicate 4x BEFORE the exchange but "
-        "partial aggregation collapses each (subset, group) per task, "
-        "so the shuffle carries one row per group per task — the same "
-        "scale shape as a plain groupBy, not 4 scans.",
+        "prefix-covers). Planned two-stage: a plain groupBy at the "
+        "finest granularity first (COUNT and integer-cents SUM are "
+        "mergeable monoids), then CUBE over the group-cardinality base "
+        "table. The Expand's 2^k replication therefore hits tens of "
+        "pre-aggregated rows, not the fact table — naive .cube() pushes "
+        "4x the scan volume through the exchange (measured 5.3x DuckDB "
+        "floor-free at 256x; this shape re-lands on plain-groupBy "
+        "economics). Per-grouping-set results are identical: each set's "
+        "groups are unions of base cells, and NULL data values form "
+        "their own base cell exactly as they form their own group in "
+        "the one-stage plan.",
     tags=("agg",),
 )
 def a11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        money_sum("o_totalprice").alias("sum_price"),
+    base = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(cents("o_totalprice")).alias("_sum_cents"),
+    )
+    return base.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum("_n").alias("n"),
+        (F.sum("_sum_cents") / F.lit(100.0)).alias("sum_price"),
     )
 
 

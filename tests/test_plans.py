@@ -134,11 +134,16 @@ def test_x3_small_scan_kernel_stays_jvm_side(spark):
 
 def test_a11_cube_is_one_expand_pass(spark):
     # CUBE must plan as a single Expand + partial/final hash aggregate,
-    # never 2^k scans of the fact table
+    # never 2^k scans of the fact table — and the Expand must replicate
+    # the group-cardinality base aggregate, not the fact table: below
+    # the Expand there has to be another HashAggregate (the finest-
+    # granularity pre-aggregation), not the bare scan.
     plan = executed_plan(q(spark, "a11_cube"))
     assert plan.count("Expand") >= 1
     assert plan.count("FileScan") == 1
     assert has_partial_aggregation(q(spark, "a11_cube"))
+    below_expand = plan.split("Expand", 1)[1]
+    assert "HashAggregate" in below_expand
 
 
 def test_u7_rollup_merge_never_rescans_history(spark):
