@@ -9,7 +9,7 @@ DuckDB lacks) are rows-only with pytest invariants instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_spark.functions.text import (
@@ -18,7 +18,8 @@ from data_warehouse_spark.functions.text import (
 )
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.operators.dedup import (
-    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs,
+    _shingles, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
+    simhash_near_pairs,
 )
 from data_warehouse_spark.queries.registry import register
 
@@ -117,6 +118,154 @@ def x2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id",
                                block_col="lang", n=2, threshold=0.1)
+
+
+@register(
+    "x2e_incremental_dedup",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+), batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents
+    WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0
+), idx AS (
+    SELECT sha256(text) AS h, MIN(doc_id) AS dup_of
+    FROM corpus GROUP BY sha256(text)
+)
+SELECT b.doc_id, i.dup_of, i.dup_of IS NOT NULL AS is_dup
+FROM (SELECT doc_id, sha256(text) AS h FROM batch) b
+LEFT JOIN idx i ON b.h = i.h
+""",
+    doc="X2e: incremental corpus dedup — the production shape of X1: a "
+        "new crawl batch is checked against the EXISTING corpus instead "
+        "of re-deduping everything (corpus = doc_id % 10 != 0; batch = "
+        "the held-out tenth plus exact re-arrivals of every 7th corpus "
+        "doc under new ids). The corpus side collapses to a "
+        "(content_hash, canonical_id) index via group-by BEFORE the "
+        "join, so the batch left-join probes one row per distinct "
+        "content — at 100 TB that index is the persisted artifact "
+        "(bucketed by hash, j12-style) and each daily batch joins "
+        "shuffle-once against it; the corpus text itself is never "
+        "rescanned. Uniform 256-bit keys — no skew.",
+    tags=("ext", "dedup"),
+)
+def x2e_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    rearrivals = (corpus.filter(F.col("doc_id") % 7 == 0)
+                  .withColumn("doc_id", F.col("doc_id") + 2000000))
+    batch = docs.filter(F.col("doc_id") % 10 == 0).unionByName(rearrivals)
+    idx = (corpus.groupBy(F.sha2("text", 256).alias("h"))
+           .agg(F.min("doc_id").alias("dup_of")))
+    return (batch.select("doc_id", F.sha2("text", 256).alias("h"))
+            .join(idx, on="h", how="left")
+            .select("doc_id", "dup_of",
+                    F.col("dup_of").isNotNull().alias("is_dup")))
+
+
+@register(
+    "x13_decontaminate",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS l FROM documents
+), grams AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(l) - 3, 0) + 1),
+               i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]
+                    || ' ' || l[i + 3]))) AS g
+    FROM toks
+), eval_grams AS (
+    SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0
+), train AS (
+    SELECT * FROM grams WHERE doc_id % 37 <> 0
+), sizes AS (
+    SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id
+), shared AS (
+    SELECT t.doc_id, COUNT(*) AS n_shared
+    FROM train t JOIN eval_grams e ON t.g = e.g GROUP BY t.doc_id
+)
+SELECT s.doc_id, n_shared, n_grams,
+       ROUND(n_shared * 1.0 / n_grams, 6) AS overlap_frac
+FROM shared s JOIN sizes z USING (doc_id)
+""",
+    doc="X13: benchmark decontamination — flag every training document "
+        "sharing ANY distinct word 4-gram with the eval set (docs with "
+        "doc_id % 37 == 0 stand in for the benchmark; the any-long-"
+        "n-gram-collision rule is the GPT-3/Gopher decontamination "
+        "recipe, with n shrunk to the synthetic corpus' ~50-word docs). "
+        "The eval side reduces to a DISTINCT gram set and is "
+        "explicitly broadcast: real benchmarks are fixed-size (MMLU, "
+        "GSM8K, ...), so at 100 TB the corpus-sided gram explode "
+        "streams map-only against the broadcast set — no corpus "
+        "shuffle at all before the per-doc count aggregation, which "
+        "shuffles counts on doc ids, not gram text.",
+    tags=("ext", "text", "dedup"),
+)
+def x13_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles("text", 4))).alias("g"))
+    eval_grams = (grams.filter(F.col("doc_id") % 37 == 0)
+                  .select("g").distinct())
+    train = grams.filter(F.col("doc_id") % 37 != 0)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (train.join(F.broadcast(eval_grams), on="g")
+              .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared")))
+    frac = F.col("n_shared") / F.col("n_grams")
+    return (shared.join(sizes, on="doc_id")
+            .select("doc_id", "n_shared", "n_grams",
+                    F.round(frac, 6).alias("overlap_frac")))
+
+
+@register(
+    "x14_token_budget_sample",
+    oracle=f"""
+WITH sized AS (
+    SELECT lang, doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS k
+    FROM documents
+), cum AS (
+    SELECT lang, doc_id, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_tokens
+    FROM sized
+)
+SELECT lang, doc_id, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= 2000
+""",
+    doc="X14: token-budget sampling — every training mix is specified "
+        "as 'B tokens of stratum S'; this selects a deterministic, "
+        "engine/partitioning-stable subset per language whose token "
+        "counts cumulatively fit a 2000-token budget. Docs are ordered "
+        "by md5(doc_id) (x9's reproducible-shuffle idiom — no rand()), "
+        "and a framed running sum admits docs while under budget. The "
+        "window partitions by stratum, so one reducer sorts each "
+        "stratum's (hash, count) pairs — counts only, never text; at "
+        "100 TB with few strata the exact form range-partitions within "
+        "the stratum and two-phase prefix-sums the per-range subtotals "
+        "(or: pick a hash cutoff from a cumulative histogram and keep "
+        "the selection map-only at ~budget accuracy). The md5 ordering "
+        "makes any prefix of the order an unbiased sample, which is "
+        "what justifies the cutoff shortcut.",
+    tags=("ext", "text", "sampling"),
+)
+def x14_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang", "doc_id",
+        word_count("text").cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"))
+    w = (Window.partitionBy("lang").orderBy("k")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= 2000)
+            .select("lang", "doc_id", "n_tokens", "cum_tokens"))
 
 
 @register(

@@ -106,9 +106,10 @@ DRIVER_WINDOW = [
 ]
 # TODO(round 6): rotate in s9_jsonl_roundtrip, s10_orc_roundtrip,
 # u7_incremental_rollup, a11_cube, x11_pii_redaction,
-# st10_stream_static_join, x12_dedup_corpus, u8_zorder_scan (all
-# added after this round's window was pinned; local parity green, no
-# driver rows yet).
+# st10_stream_static_join, x12_dedup_corpus, u8_zorder_scan,
+# x2e_incremental_dedup, x13_decontaminate, x14_token_budget_sample,
+# w6_distribution (all added after this round's window was pinned;
+# local parity green, no driver rows yet).
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

@@ -118,6 +118,36 @@ def w3_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w6_distribution",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cum_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""",
+    doc="W6 [cap]: distribution window functions — ntile/percent_rank/"
+        "cume_dist (quartile bucketing and percentile placement, the "
+        "per-stratum score-normalization shape quality-filter "
+        "pipelines use). Total order via the (value, key) tie-break "
+        "makes every row its own peer group, so all three are "
+        "deterministic and engine-portable. Same single-shuffle "
+        "WindowExec shape as W3.",
+    tags=("window",),
+)
+def w6_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@register(
     "w4_running_agg",
     oracle="""
 SELECT o_orderkey, o_custkey, o_orderdate,

@@ -1,0 +1,72 @@
+"""Semantic tests for the round-5 additions to the LLM-pipeline query
+battery (x13 decontamination, x14 token-budget sampling, x2e
+incremental dedup) and the w6 distribution windows — invariants the
+DuckDB parity hash can't express (class structure, budget bounds,
+golden re-derivation in plain Python)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from data_warehouse_spark.io import load_table
+from data_warehouse_spark.queries.registry import load_all
+
+
+def _q(name):
+    return load_all()[name].fn
+
+
+def test_x13_decontaminate_never_flags_eval_docs(spark, sf_dir):
+    rows = _q("x13_decontaminate")(spark, sf_dir).collect()
+    assert all(r.doc_id % 37 != 0 for r in rows)
+    assert all(1 <= r.n_shared <= r.n_grams for r in rows)
+    assert all(0.0 < r.overlap_frac <= 1.0 for r in rows)
+
+
+def test_x14_budget_sample_matches_python_rederivation(spark, sf_dir):
+    got = {(r.lang, r.doc_id, r.n_tokens, r.cum_tokens)
+           for r in _q("x14_token_budget_sample")(spark, sf_dir).collect()}
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("lang", "doc_id", "text").collect()
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        n_tokens = len(r.text.strip().lower().split())
+        k = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        by_lang.setdefault(r.lang, []).append((k, r.doc_id, n_tokens))
+    want = set()
+    for lang, items in by_lang.items():
+        cum = 0
+        for k, doc_id, n_tokens in sorted(items):
+            cum += n_tokens
+            if cum > 2000:
+                break
+            want.add((lang, doc_id, n_tokens, cum))
+    assert got == want and got  # non-empty at sf0.001
+
+
+def test_x2e_incremental_dedup_classes(spark, sf_dir):
+    rows = _q("x2e_incremental_dedup")(spark, sf_dir).collect()
+    rearrivals = [r for r in rows if r.doc_id >= 2000000]
+    fresh = [r for r in rows if r.doc_id < 2000000]
+    assert rearrivals and fresh
+    # every re-arrival maps back to its original corpus doc
+    assert all(r.is_dup and r.dup_of == r.doc_id - 2000000
+               for r in rearrivals)
+    # the held-out tenth is unseen content (fixture corpus is dup-free)
+    assert all((not r.is_dup) and r.dup_of is None for r in fresh)
+
+
+def test_w6_distribution_bounds_and_quartile_balance(spark, sf_dir):
+    rows = _q("w6_distribution")(spark, sf_dir).collect()
+    assert all(1 <= r.quartile <= 4 for r in rows)
+    assert all(0.0 <= r.pct_rank <= 1.0 for r in rows)
+    assert all(0.0 < r.cum_dist <= 1.0 for r in rows)
+    # ntile balance: within a segment, bucket sizes differ by <= 1
+    sizes: dict[tuple, int] = {}
+    for r in rows:
+        sizes[(r.c_mktsegment, r.quartile)] = \
+            sizes.get((r.c_mktsegment, r.quartile), 0) + 1
+    for seg in {s for s, _ in sizes}:
+        counts = [n for (s, _), n in sizes.items() if s == seg]
+        assert max(counts) - min(counts) <= 1
