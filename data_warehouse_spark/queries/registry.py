@@ -109,7 +109,8 @@ DRIVER_WINDOW = [
 # st10_stream_static_join, x12_dedup_corpus, u8_zorder_scan,
 # x2e_incremental_dedup, x13_decontaminate, x14_token_budget_sample,
 # w6_distribution (all added after this round's window was pinned;
-# local parity green, no driver rows yet).
+# local parity green, no driver rows yet). a12_sketch_rollup is
+# rows-only by design (sketch estimates are library-specific).
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

@@ -241,6 +241,43 @@ def u7_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a12_sketch_rollup",
+    oracle=None,  # HLL estimates are sketch-library-specific ->
+    # rows-only; tests/test_llm_queries.py asserts the estimate lands
+    # within the sketch's error bound of DuckDB-checkable exact
+    # distincts, and that union-of-daily-sketches == one global sketch.
+    doc="A12 [cap]: mergeable-sketch distinct rollup — the distinct-"
+        "count complement of U7, whose merge contract explicitly "
+        "excludes COUNT(DISTINCT) because it is not a monoid on raw "
+        "values. Datasketches HLL makes it one: per-(event_type, day) "
+        "user sketches aggregate in one pass (hll_sketch_agg, "
+        "map-side combined like any agg buffer), then hll_union_agg "
+        "merges days into per-type totals WITHOUT rescanning events. "
+        "At 100 TB the daily sketch table (a few KB per group) is the "
+        "persisted artifact: any date-range distinct query unions "
+        "sketches instead of re-shuffling raw user ids, and late "
+        "partitions fold in by re-sketching one day. Estimates are "
+        "deterministic (no RNG in HLL), so results are stable across "
+        "runs and partitionings.",
+    tags=("agg", "merge"),
+)
+def a12_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type"), F.to_date("ts").alias("day"), F.col("user_id"))
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.count(F.lit(1)).alias("n_events"))
+    return (daily.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(
+                     F.hll_union_agg("sk", F.lit(False)))
+                 .alias("est_distinct_users"),
+                 F.sum("n_events").alias("n_events"),
+                 F.count(F.lit(1)).alias("n_days"))
+            .select("event_type", "est_distinct_users",
+                    "n_events", "n_days"))
+
+
+@register(
     "s9_jsonl_roundtrip",
     oracle="""
 SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,

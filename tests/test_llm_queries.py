@@ -57,6 +57,29 @@ def test_x2e_incremental_dedup_classes(spark, sf_dir):
     assert all((not r.is_dup) and r.dup_of is None for r in fresh)
 
 
+def test_a12_sketch_rollup_accuracy_and_merge_equals_rebuild(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    rows = _q("a12_sketch_rollup")(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r.event_type: r.n for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        # lgConfigK=12 -> relative standard error ~1.6%; allow 3 sigma
+        assert abs(r.est_distinct_users - exact[r.event_type]) \
+            <= max(3, 0.05 * exact[r.event_type])
+    # merge-equals-rebuild: union of daily sketches == one global sketch
+    direct = {r.event_type: r.est for r in
+              ev.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+              .collect()}
+    for r in rows:
+        assert r.est_distinct_users == direct[r.event_type]
+
+
 def test_w6_distribution_bounds_and_quartile_balance(spark, sf_dir):
     rows = _q("w6_distribution")(spark, sf_dir).collect()
     assert all(1 <= r.quartile <= 4 for r in rows)

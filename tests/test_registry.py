@@ -64,4 +64,4 @@ def test_every_query_has_fn_and_most_have_oracles():
     assert no_oracle <= {"f7_current_timestamp", "st6_stream_dedup",
                          "st7_foreach_upsert", "x2_minhash_lsh",
                          "x2b_simhash", "x3b_ivf_topk", "x5d_fingerprint",
-                         "a8_approx_agg"}
+                         "a8_approx_agg", "a12_sketch_rollup"}

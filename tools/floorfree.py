@@ -68,6 +68,15 @@ DEFAULT_QUERIES = {
     "a11_cube": (16, 64),
     "u7_incremental_rollup": (16, 64),
     "x11_pii_redaction": (16, 64),
+    # late round-5 additions: decontamination (gram explode + broadcast
+    # eval set — amplification's copy-cliques make ~every doc overlap,
+    # a worst-case-dense but realistic join), incremental dedup
+    # (sha256 + group + shuffle join on uniform keys). x14 is absent:
+    # its output is budget-bounded (~200 rows at any multiplier) and
+    # the per-stratum window is counts-only — floor-dominated by
+    # construction, like u7.
+    "x13_decontaminate": (16, 64, 256),
+    "x2e_incremental_dedup": (16, 64, 256),
 }
 
 # (key columns salted as key*n+copy) per amplified table; text gets a
