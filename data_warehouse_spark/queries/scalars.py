@@ -261,3 +261,85 @@ def f12_case(spark: SparkSession, sf_dir: str) -> DataFrame:
              .when(F.col("o_totalprice") < 200000, "medium")
              .otherwise("large"))
     return orders.groupBy(band.alias("band")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "a13_histogram",
+    oracle="""
+WITH binned AS (
+    SELECT o_orderpriority,
+           CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 50000.0),
+                               0), 11) AS INT) AS bucket,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders
+)
+SELECT o_orderpriority, bucket, COUNT(*) AS n,
+       CAST(SUM(price_c) AS BIGINT) / 100.0 AS sum_price
+FROM binned GROUP BY o_orderpriority, bucket
+""",
+    doc="A13 [cap]: equi-width histogram binning + per-bin rollup (the "
+        "distribution-profiling pass any data-quality report runs). "
+        "The bin id is explicit clamped floor arithmetic — IEEE double "
+        "ops are bit-identical across engines, so the assignment "
+        "itself is oracle-verified (Spark's width_bucket / DuckDB's "
+        "missing twin would each hide engine-specific edge handling). "
+        "Pure codegen projection + one group-sized aggregate: the same "
+        "scan-shaped plan as a1 at any scale.",
+    tags=("agg", "scalar"),
+)
+def a13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.queries.util import cents
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(F.floor((F.col("o_totalprice") - F.lit(0.0)) / F.lit(50000.0)),
+                   F.lit(0)),
+        F.lit(11)).cast("int")
+    return (orders.select(
+        "o_orderpriority", bucket.alias("bucket"),
+        cents("o_totalprice").alias("price_c"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum("price_c") / F.lit(100.0)).alias("sum_price")))
+
+
+@register(
+    "f13_url_parse",
+    oracle="""
+WITH urls AS (
+    SELECT c_custkey,
+           'https://' || lower(replace(c_mktsegment, ' ', '')) ||
+           '.example.com/cust/' || CAST(c_custkey AS VARCHAR) ||
+           '?seg=' || lower(c_mktsegment) AS url
+    FROM customer
+)
+SELECT c_custkey,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, 'seg=([^&#]*)', 1) AS seg
+FROM urls
+""",
+    doc="F13 [cap]: URL parsing — host/path/query-param extraction, the "
+        "first shredding pass over any web-crawl corpus. URLs are "
+        "synthesized deterministically from customer columns (the "
+        "fixtures carry none), then parsed with Spark's parse_url "
+        "(java.net.URI under codegen); the oracle re-derives the same "
+        "components with anchored regexes, so the parse itself is "
+        "cross-checked rather than assumed. Map-only: no shuffle at "
+        "any scale.",
+    tags=("scalar", "text"),
+)
+def f13_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower(F.replace(F.col("c_mktsegment"), F.lit(" "), F.lit(""))),
+        F.lit(".example.com/cust/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?seg="), F.lower(F.col("c_mktsegment")))
+    with_url = cust.select("c_custkey", url.alias("url"))
+    return with_url.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("seg")).alias("seg"),
+    )
