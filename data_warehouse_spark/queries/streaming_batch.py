@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.queries.registry import register
-from data_warehouse_spark.queries.util import money_sum, money_sum_sql
+from data_warehouse_spark.queries.util import cents, money_sum, money_sum_sql
 from data_warehouse_spark.streaming.jobs import read_events_stream, start_memory_sink
 
 
@@ -215,6 +215,49 @@ def st6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_memory_sink(counts, "st6_out", "complete")
     q.awaitTermination()
     return spark.sql("SELECT event_type, n FROM st6_out")
+
+
+@register(
+    "st11_dedup_retries",
+    oracle=f"""
+WITH retried AS (
+    SELECT event_id, event_type, value FROM events
+    UNION ALL
+    SELECT event_id, event_type, value FROM events WHERE event_id % 4 = 0
+), merged AS (
+    SELECT DISTINCT event_id, event_type, value FROM retried
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       {money_sum_sql('value')} AS sum_value
+FROM merged GROUP BY event_type
+""",
+    doc="ST11 [cap]: at-least-once retry dedup via "
+        "dropDuplicatesWithinWatermark — every 4th event is re-"
+        "delivered 90 s later (same event_id, LATER event time: the "
+        "delivery-retry shape ST6 cannot express, since its key "
+        "includes ts). ts stays OUT of the dedup key, yet state is "
+        "still watermark-evicted — plain dropDuplicates on a ts-less "
+        "key would grow state forever. Survivor choice is arbitrary "
+        "but the retry differs only in ts, so the per-type count + "
+        "exact-cents sum output is survivor-invariant and therefore "
+        "oracle-checkable. REAL streaming run (AvailableNow).",
+    tags=("streaming",),
+)
+def st11_dedup_retries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.streaming.jobs import dedup_retries_stream
+    cols = ["event_id", "event_type", "ts", "value"]
+    stream = read_events_stream(spark, sf_dir).select(*cols)
+    retries = (read_events_stream(spark, sf_dir).select(*cols)
+               .filter(F.col("event_id") % 4 == 0)
+               .withColumn("ts", F.col("ts") + F.expr("INTERVAL 90 SECONDS")))
+    merged = dedup_retries_stream(stream.unionByName(retries),
+                                  keys=["event_id"], watermark="10 minutes")
+    counts = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"))
+    q = start_memory_sink(counts, "st11_out", "complete")
+    q.awaitTermination()
+    return spark.sql("SELECT event_type, n, sum_value FROM st11_out")
 
 
 @register(

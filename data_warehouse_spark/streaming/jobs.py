@@ -102,6 +102,24 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["user_id", "ts"])
 
 
+def dedup_retries_stream(events: DataFrame, keys: list[str],
+                         watermark: str = "10 minutes") -> DataFrame:
+    """ST11: at-least-once ingest dedup — dropDuplicatesWithinWatermark.
+
+    Distinct semantic from ST6: there the duplicate carries the SAME
+    event time (the key includes ts), so plain dropDuplicates evicts
+    state at the watermark. Here a retry re-delivers the same logical
+    key with a DIFFERENT (later) timestamp — the delivery-retry shape
+    of every at-least-once source — so ts cannot be part of the key
+    and plain dropDuplicates would hold key state forever.
+    dropDuplicatesWithinWatermark guarantees dedup of duplicates whose
+    event times fall within the watermark delay of each other while
+    still evicting state, which is exactly the retry contract
+    (retries arrive seconds-to-minutes later, not days)."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
 def attribution_join(clicks: DataFrame, purchases: DataFrame,
                      horizon: str = "2 hours",
                      watermark: str = "1 hour") -> DataFrame:

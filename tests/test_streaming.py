@@ -158,3 +158,18 @@ def test_st9_stream_stream_join_matches_batch(spark, sf_dir):
                  "c_user = p_user AND purchase_ts >= click_ts "
                  "AND purchase_ts <= click_ts + INTERVAL 2 hours")).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_st11_retry_dedup_drops_every_redelivery(spark, sf_dir):
+    """The retried stream carries 1.25x the events; after
+    dropDuplicatesWithinWatermark the per-type counts must equal the
+    raw log's (every retry dropped, no original lost)."""
+    from data_warehouse_spark.queries.registry import load_all
+
+    out = {(r.event_type, r.n) for r in
+           load_all()["st11_dedup_retries"].fn(spark, sf_dir).collect()}
+    raw = {(r.event_type, r.n) for r in
+           load_table(spark, sf_dir, "events")
+           .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    assert out == raw and len(out) > 0
