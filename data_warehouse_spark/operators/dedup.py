@@ -6,7 +6,7 @@ so they shuffle on content-derived keys and scale horizontally; no
 driver-side similarity matrices.
 
   exact_dedup           sha2(text) group-by             (X1)
-  minhash_signatures    k-permutation MinHash via salted xxhash64
+  minhash_signatures    MinHash via (a*h+b) mod p over one xxhash64
   minhash_lsh_pairs     banding -> bucket join -> candidate pairs (X2)
   simhash_fingerprints  64-bit SimHash
   simhash_near_pairs    chunk-banding + hamming verify
@@ -35,7 +35,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_copies")))
 
 
-def _shingles(text_col: str, n: int = 3) -> F.Column:
+def shingles(text_col: str, n: int = 3) -> F.Column:
     """Word n-gram shingles as an array column (lowercased, whitespace
     tokenized) — built-in expressions only.
 
@@ -99,7 +99,7 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     """
     df = spread_for_compute(df)
     sh = (df.select(F.col(id_col),
-                    F.explode(_shingles(text_col, shingle_n)).alias("__s"))
+                    F.explode(shingles(text_col, shingle_n)).alias("__s"))
           .select(F.col(id_col),
                   F.xxhash64("__s").bitwiseAND(F.lit(0x7FFFFFFF))
                   .alias("__h")))
@@ -186,7 +186,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     in_pairs = df.join(cand_ids, on=id_col, how="left_semi")
     sh = (in_pairs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(_shingles(text_col, shingle_n)))
+        F.explode(F.array_distinct(shingles(text_col, shingle_n)))
         .alias("shingle")))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # join the b-side on (id_b, shingle) so the hash join emits only the
@@ -348,7 +348,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             return exact.unionByName(routed)
     grams = spread_for_compute(df).select(
         F.col(id_col).alias("id"), F.col(block_col).alias("block"),
-        F.explode(F.array_distinct(_shingles(text_col, n))).alias("g"))
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("g"))
     # one explicit shuffle on the join key: both self-join sides and the
     # size aggregate hang off the same exchange, so the expensive
     # shingle explode is computed once (AQE reuses the exchange) instead

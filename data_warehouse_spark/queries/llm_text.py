@@ -18,7 +18,7 @@ from data_warehouse_spark.functions.text import (
 )
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.operators.dedup import (
-    _shingles, exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
+    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, shingles,
     simhash_near_pairs,
 )
 from data_warehouse_spark.queries.registry import register
@@ -208,15 +208,21 @@ def x13_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(_shingles("text", 4))).alias("g"))
+        F.explode(F.array_distinct(shingles("text", 4))).alias("g"))
     eval_grams = (grams.filter(F.col("doc_id") % 37 == 0)
-                  .select("g").distinct())
+                  .select("g").distinct().withColumn("__hit", F.lit(1)))
     train = grams.filter(F.col("doc_id") % 37 != 0)
-    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    shared = (train.join(F.broadcast(eval_grams), on="g")
-              .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared")))
+    # ONE corpus pass: the left join against the (distinct, broadcast)
+    # eval set tags matches without duplicating rows, so n_grams and
+    # n_shared come out of the same aggregate — exploding the corpus
+    # twice and re-joining per-doc counts would double the dominant
+    # cost at scale.
     frac = F.col("n_shared") / F.col("n_grams")
-    return (shared.join(sizes, on="doc_id")
+    return (train.join(F.broadcast(eval_grams), on="g", how="left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.count("__hit").alias("n_shared"))
+            .filter(F.col("n_shared") >= 1)
             .select("doc_id", "n_shared", "n_grams",
                     F.round(frac, 6).alias("overlap_frac")))
 
@@ -475,8 +481,6 @@ FROM wstats w JOIN gstats g ON w.doc_id = g.doc_id
     tags=("ext", "text"),
 )
 def x10_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_warehouse_spark.operators.dedup import _shingles
-
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
@@ -485,7 +489,7 @@ def x10_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     wstats = wc.groupBy("doc_id").agg(
         F.sum("c").alias("n_words"), F.count(F.lit(1)).alias("n_distinct"))
     grams = docs.select(
-        "doc_id", F.explode(_shingles("text", 2)).alias("g"))
+        "doc_id", F.explode(shingles("text", 2)).alias("g"))
     gc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     gstats = gc.groupBy("doc_id").agg(
         F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram"))

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.queries.registry import register
-from data_warehouse_spark.queries.util import cents, money_sum, money_sum_sql
+from data_warehouse_spark.queries.util import money_sum, money_sum_sql
 from data_warehouse_spark.streaming.jobs import read_events_stream, start_memory_sink
 
 
@@ -254,7 +254,7 @@ def st11_dedup_retries(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   keys=["event_id"], watermark="10 minutes")
     counts = merged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"))
+        money_sum("value").alias("sum_value"))
     q = start_memory_sink(counts, "st11_out", "complete")
     q.awaitTermination()
     return spark.sql("SELECT event_type, n, sum_value FROM st11_out")

@@ -7,6 +7,7 @@ golden re-derivation in plain Python)."""
 from __future__ import annotations
 
 import hashlib
+import re
 
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.queries.registry import load_all
@@ -18,6 +19,7 @@ def _q(name):
 
 def test_x13_decontaminate_never_flags_eval_docs(spark, sf_dir):
     rows = _q("x13_decontaminate")(spark, sf_dir).collect()
+    assert rows  # the fixtures plant near-dups, so hits must exist
     assert all(r.doc_id % 37 != 0 for r in rows)
     assert all(1 <= r.n_shared <= r.n_grams for r in rows)
     assert all(0.0 < r.overlap_frac <= 1.0 for r in rows)
@@ -31,7 +33,11 @@ def test_x14_budget_sample_matches_python_rederivation(spark, sf_dir):
         .select("lang", "doc_id", "text").collect()
     by_lang: dict[str, list] = {}
     for r in docs:
-        n_tokens = len(r.text.strip().lower().split())
+        # mirror word_count = size(split(lower(trim(text)), '\s+')):
+        # re.split on the trimmed string yields [''] (count 1) for
+        # empty text, exactly as Spark's split does — str.split()
+        # would yield 0 and shift every later cum_tokens in the lang
+        n_tokens = len(re.split(r"\s+", r.text.strip().lower()))
         k = hashlib.md5(str(r.doc_id).encode()).hexdigest()
         by_lang.setdefault(r.lang, []).append((k, r.doc_id, n_tokens))
     want = set()
@@ -82,6 +88,7 @@ def test_a12_sketch_rollup_accuracy_and_merge_equals_rebuild(spark, sf_dir):
 
 def test_w6_distribution_bounds_and_quartile_balance(spark, sf_dir):
     rows = _q("w6_distribution")(spark, sf_dir).collect()
+    assert rows
     assert all(1 <= r.quartile <= 4 for r in rows)
     assert all(0.0 <= r.pct_rank <= 1.0 for r in rows)
     assert all(0.0 < r.cum_dist <= 1.0 for r in rows)
