@@ -1,0 +1,51 @@
+"""Declarative data-validation report — the reference's declared-but-
+absent ``utils/data_validation.py`` (``/root/reference/README.md:21``),
+re-expressed engine-side.
+
+The reference's actual validity machinery is DB constraints and inline
+SQL filters (PK/UNIQUE rejection ``bike_lambda.py:46``,
+``trips_lambda.py:73-74``; semantic bounds ``trips_lambda.py:128,
+160-162``). Spark enforces none of that declaratively, so the engine
+provides the audit as an operator: named boolean rules evaluated in ONE
+scan, plus optional key-uniqueness, emitted as a long-format
+(rule, n_violations, n_rows) report.
+
+Scale shape: every row rule is a conditional-sum aggregate — map-side
+combined, one row per task reaches the exchange, so the report costs
+one scan at any corpus size. Key uniqueness rides the SAME aggregate as
+``count - count(distinct struct(keys))`` (Spark plans the distinct via
+Expand over the one aggregation — no second scan). NULL rule results
+count as violations (``when(pred, 0).otherwise(1)``): a check that
+cannot evaluate is a failed check, the conservative audit contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def validation_report(df: DataFrame, rules: dict[str, Column],
+                      unique_key: list[str] | None = None) -> DataFrame:
+    """Evaluate named pass-predicates over ``df`` in one aggregate.
+
+    Returns a DataFrame of (rule string, n_violations long, n_rows
+    long), one row per rule (plus ``<col,...>_unique`` when
+    ``unique_key`` is given). A row violates a rule when its predicate
+    is false OR null.
+    """
+    if not rules:
+        raise ValueError("validation_report needs at least one rule")
+    aggs = [F.sum(F.when(pred, 0).otherwise(1)).cast("long").alias(name)
+            for name, pred in rules.items()]
+    rule_names = list(rules)
+    if unique_key:
+        uniq_name = "_".join(unique_key) + "_unique"
+        aggs.append((F.count(F.lit(1))
+                     - F.countDistinct(F.struct(*unique_key)))
+                    .cast("long").alias(uniq_name))
+        rule_names.append(uniq_name)
+    aggs.append(F.count(F.lit(1)).cast("long").alias("__n"))
+    wide = df.agg(*aggs)
+    return (wide.unpivot(["__n"], rule_names, "rule", "n_violations")
+            .select("rule", "n_violations", F.col("__n").alias("n_rows")))

@@ -108,9 +108,9 @@ DRIVER_WINDOW = [
 # u7_incremental_rollup, a11_cube, x11_pii_redaction,
 # st10_stream_static_join, x12_dedup_corpus, u8_zorder_scan,
 # x2e_incremental_dedup, x13_decontaminate, x14_token_budget_sample,
-# w6_distribution, a13_histogram, f13_url_parse, st11_dedup_retries
-# (all added after this round's window was pinned; local parity green,
-# no driver rows yet).
+# w6_distribution, a13_histogram, f13_url_parse, st11_dedup_retries,
+# dq1_validation_report (all added after this round's window was
+# pinned; local parity green, no driver rows yet).
 # a12_sketch_rollup is rows-only by design (sketch estimates are
 # library-specific).
 

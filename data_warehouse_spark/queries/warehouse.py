@@ -241,6 +241,93 @@ def u7_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq1_validation_report",
+    oracle="""
+WITH redelivered AS (
+    SELECT event_id, ts, event_type, value, props FROM events
+    UNION ALL
+    SELECT event_id, ts, event_type, value, props FROM events
+    WHERE event_id % 499 = 0
+), corrupted AS (
+    SELECT event_id,
+           CASE WHEN event_id % 991 = 0 THEN NULL ELSE ts END AS ts,
+           CASE WHEN event_id % 1009 = 0 THEN 'unknown'
+                ELSE event_type END AS event_type,
+           CASE WHEN event_id % 997 = 0 THEN -value ELSE value END AS value,
+           CASE WHEN event_id % 1013 = 0 THEN '{}' ELSE props END AS props
+    FROM redelivered
+)
+SELECT rule, n_violations, n_rows FROM (
+    SELECT 'ts_not_null' AS rule,
+           CAST(COUNT(*) FILTER (WHERE (ts IS NOT NULL) IS NOT TRUE) AS BIGINT) AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM corrupted
+    UNION ALL
+    SELECT 'value_positive',
+           CAST(COUNT(*) FILTER (WHERE (value > 0) IS NOT TRUE) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM corrupted
+    UNION ALL
+    SELECT 'event_type_in_domain',
+           CAST(COUNT(*) FILTER (WHERE (event_type IN
+               ('click','error','purchase','signup','view')) IS NOT TRUE) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM corrupted
+    UNION ALL
+    SELECT 'purchase_props_have_k',
+           CAST(COUNT(*) FILTER (WHERE (event_type <> 'purchase'
+               OR json_extract_string(props, '$.k') IS NOT NULL) IS NOT TRUE) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM corrupted
+    UNION ALL
+    SELECT 'event_id_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM corrupted
+)
+""",
+    doc="DQ1: declarative data-validation report — the reference's "
+        "declared utils/data_validation.py (README.md:21), whose "
+        "actual machinery is DB constraints + inline validity filters "
+        "(bike_lambda.py:46, trips_lambda.py:128,160-162). The fixture "
+        "log is clean, so the query PLANTS deterministic corruption "
+        "(the x11 pattern — null timestamps, negative amounts, "
+        "out-of-domain types, emptied JSON, re-delivered PK dups, all "
+        "keyed on event_id primes) and certifies the checks catch "
+        "exactly those rows. All row rules evaluate in ONE scan "
+        "(operators/validation.py); NULL rule results count as "
+        "violations on both engines (IS NOT TRUE / when-otherwise).",
+    tags=("warehouse",),
+)
+def dq1_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.validation import validation_report
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "ts", "event_type", "value", "props")
+    log = ev.unionByName(ev.filter(F.col("event_id") % 499 == 0))
+    eid = F.col("event_id")
+    log = (log
+           .withColumn("ts", F.when(eid % 991 == 0, None).otherwise(F.col("ts")))
+           .withColumn("event_type", F.when(eid % 1009 == 0, "unknown")
+                       .otherwise(F.col("event_type")))
+           .withColumn("value", F.when(eid % 997 == 0, -F.col("value"))
+                       .otherwise(F.col("value")))
+           .withColumn("props", F.when(eid % 1013 == 0, "{}")
+                       .otherwise(F.col("props"))))
+    return validation_report(
+        log,
+        rules={
+            "ts_not_null": F.col("ts").isNotNull(),
+            "value_positive": F.col("value") > 0,
+            "event_type_in_domain": F.col("event_type").isin(
+                "click", "error", "purchase", "signup", "view"),
+            "purchase_props_have_k":
+                (F.col("event_type") != "purchase")
+                | F.get_json_object("props", "$.k").isNotNull(),
+        },
+        unique_key=["event_id"])
+
+
+@register(
     "a12_sketch_rollup",
     oracle=None,  # HLL estimates are sketch-library-specific ->
     # rows-only; tests/test_llm_queries.py asserts the estimate lands

@@ -100,3 +100,46 @@ def test_w6_distribution_bounds_and_quartile_balance(spark, sf_dir):
     for seg in {s for s, _ in sizes}:
         counts = [n for (s, _), n in sizes.items() if s == seg]
         assert max(counts) - min(counts) <= 1
+
+
+def test_validation_report_operator_semantics(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.operators.validation import validation_report
+
+    df = spark.createDataFrame([
+        Row(k=1, v=10.0), Row(k=2, v=-1.0), Row(k=2, v=None),
+    ])
+    out = {r.rule: (r.n_violations, r.n_rows) for r in validation_report(
+        df, rules={"v_positive": F.col("v") > 0}, unique_key=["k"]
+    ).collect()}
+    # NULL predicate counts as a violation; dup key counted once
+    assert out == {"v_positive": (2, 3), "k_unique": (1, 3)}
+
+
+def test_dq1_catches_exactly_the_planted_corruption(spark, sf_dir):
+    got = {r.rule: r.n_violations for r in
+           _q("dq1_validation_report")(spark, sf_dir).collect()}
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "event_type", "props").collect()
+    ids = [r.event_id for r in ev] + \
+        [r.event_id for r in ev if r.event_id % 499 == 0]
+    n_dups = sum(1 for r in ev if r.event_id % 499 == 0)
+    # re-derive each plant from the raw log (each corrupted copy of a
+    # re-delivered id violates twice — once per copy)
+    want = {
+        "ts_not_null": sum(1 for i in ids if i % 991 == 0),
+        "value_positive": sum(1 for i in ids if i % 997 == 0),
+        "event_type_in_domain": sum(1 for i in ids if i % 1009 == 0),
+        "event_id_unique": n_dups,
+    }
+    by_id_purchase = {r.event_id: r.event_type == "purchase" for r in ev}
+    # an id hit by BOTH plants (e.g. 0) has its type corrupted to
+    # 'unknown' first, so the purchase-scoped props rule passes on it
+    want["purchase_props_have_k"] = sum(
+        1 for i in ids
+        if i % 1013 == 0 and i % 1009 != 0 and by_id_purchase[i])
+    assert got == want
+    assert sum(got.values()) > 0  # plants exist at this sf
