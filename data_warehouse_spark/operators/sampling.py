@@ -1,0 +1,59 @@
+"""Distributed deterministic sampling primitives (SURVEY §2.12 X9/X14).
+
+`token_budget_sample_scalable` is the 100 TB form of the x14 query's
+windowed running sum. The naive spelling —
+``SUM(w) OVER (PARTITION BY stratum ORDER BY key)`` — funnels every row
+of a stratum through ONE reducer, so a 5-language corpus uses 5 cores
+no matter the cluster. This operator computes the identical prefix sum
+with a classic two-phase decomposition:
+
+  1. range-partition rows by (stratum, key) into `coarse` chunks and
+     tag each row with its chunk id — chunks hold contiguous key
+     ranges, so the global per-stratum order is (chunk, key);
+  2. aggregate one (stratum, chunk) subtotal per chunk (map-side
+     combined — the only full-data shuffle carries chunk-count rows);
+  3. run the running sum over the TINY subtotal table (its window
+     touches #chunks rows, not #rows) to get each chunk's offset;
+  4. broadcast-join offsets back and window WITHIN (stratum, chunk) —
+     parallelism is now strata x chunks instead of strata.
+
+Chunk boundaries come from range-partition sampling and are NOT
+deterministic — but the result is: every boundary placement yields the
+same contiguous per-stratum order, and prefix sums are associative, so
+offset + within-chunk sum reproduces the single-window value exactly
+(property-tested against the naive window in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_budget_sample_scalable(df: DataFrame, stratum: str, key: str,
+                                 weight: str, budget: int,
+                                 coarse: int = 32) -> DataFrame:
+    """Rows of each stratum in ``key`` order while cumulative
+    ``weight`` stays within ``budget`` — same semantics as the
+    single-window form, with per-stratum work spread over ``coarse``
+    range chunks. Returns (stratum, key, weight, cum) rows.
+    """
+    ranged = (df.select(stratum, key, weight)
+              .repartitionByRange(coarse, F.col(stratum), F.col(key))
+              .withColumn("__chunk", F.spark_partition_id()))
+    subtotals = (ranged.groupBy(stratum, "__chunk")
+                 .agg(F.sum(weight).alias("__sub")))
+    # chunk ids ascend with the range order within a stratum, so the
+    # offset is the running subtotal of all earlier chunks
+    w_off = (Window.partitionBy(stratum).orderBy("__chunk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = subtotals.withColumn(
+        "__off", F.coalesce(F.sum("__sub").over(w_off), F.lit(0)))
+    w_in = (Window.partitionBy(stratum, "__chunk").orderBy(key)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return (ranged
+            .join(F.broadcast(offsets.select(stratum, "__chunk", "__off")),
+                  on=[stratum, "__chunk"])
+            .withColumn("cum", F.col("__off") + F.sum(weight).over(w_in))
+            .filter(F.col("cum") <= budget)
+            .select(stratum, key, weight, "cum"))

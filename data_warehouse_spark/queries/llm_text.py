@@ -252,13 +252,15 @@ FROM cum WHERE cum_tokens <= 2000
         "by md5(doc_id) (x9's reproducible-shuffle idiom — no rand()), "
         "and a framed running sum admits docs while under budget. The "
         "window partitions by stratum, so one reducer sorts each "
-        "stratum's (hash, count) pairs — counts only, never text; at "
-        "100 TB with few strata the exact form range-partitions within "
-        "the stratum and two-phase prefix-sums the per-range subtotals "
-        "(or: pick a hash cutoff from a cumulative histogram and keep "
-        "the selection map-only at ~budget accuracy). The md5 ordering "
-        "makes any prefix of the order an unbiased sample, which is "
-        "what justifies the cutoff shortcut.",
+        "stratum's (hash, count) pairs — counts only, never text. The "
+        "100 TB form is IMPLEMENTED as operators/sampling.py:"
+        "token_budget_sample_scalable — a two-phase distributed prefix "
+        "sum (range-chunk subtotals, offsets off the tiny subtotal "
+        "table, within-chunk windows) property-tested equal to this "
+        "window at several chunk counts; alternatively a hash cutoff "
+        "from a cumulative histogram keeps selection map-only at "
+        "~budget accuracy (the md5 ordering makes any prefix an "
+        "unbiased sample, which justifies the cutoff shortcut).",
     tags=("ext", "text", "sampling"),
 )
 def x14_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

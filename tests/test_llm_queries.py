@@ -143,3 +143,32 @@ def test_dq1_catches_exactly_the_planted_corruption(spark, sf_dir):
         if i % 1013 == 0 and i % 1009 != 0 and by_id_purchase[i])
     assert got == want
     assert sum(got.values()) > 0  # plants exist at this sf
+
+
+def test_scalable_budget_sample_equals_single_window(spark, sf_dir):
+    """The two-phase prefix sum (operators/sampling.py) must reproduce
+    the naive one-reducer-per-stratum window EXACTLY — same rows, same
+    cum values — while parallelizing across range chunks."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.functions.text import word_count
+    from data_warehouse_spark.operators.sampling import (
+        token_budget_sample_scalable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.md5(F.col("doc_id").cast("string")).alias("k"),
+        word_count("text").cast("long").alias("w"))
+
+    naive_w = (Window.partitionBy("lang").orderBy("k")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    naive = {(r.lang, r.k, r.w, r.cum) for r in
+             docs.withColumn("cum", F.sum("w").over(naive_w))
+             .filter(F.col("cum") <= 2000).collect()}
+
+    for coarse in (1, 7, 32):
+        scaled = {(r.lang, r.k, r.w, r.cum) for r in
+                  token_budget_sample_scalable(
+                      docs, "lang", "k", "w", 2000, coarse=coarse).collect()}
+        assert scaled == naive and naive
