@@ -30,8 +30,11 @@ from data_warehouse_spark.io import spread_for_compute
 # Python workers to feed, ~0.2 s less fixed cost); above it the Arrow
 # numpy matmul wins (measured 1.2 s vs 2.0 s HOF on a 3.2M x 64 scan —
 # the HOF lambda is interpreted per element, while the Arrow path is
-# bounded by scan+ship at ~1.4 GB/s and computes for free).
-ARROW_MIN_PLAN_BYTES = 128 * 1024 * 1024
+# bounded by scan+ship at ~1.4 GB/s and computes for free). Round-5
+# re-measurement put the crossover ABOVE a 512k x 64 scan (131 MB:
+# HOF 0.50 s vs Arrow 0.58 s best-of-3) and below 3.2M x 64 (820 MB:
+# Arrow wins 1.7x), so the cut sits at 256 MB.
+ARROW_MIN_PLAN_BYTES = 256 * 1024 * 1024
 
 
 # Optimizer estimates at/above this are the spark.sql.defaultSizeInBytes
