@@ -222,3 +222,45 @@ def test_minhash_lsh_recall_vs_exact_jaccard():
     for pair, j in truth.items():
         if j >= 0.9:
             assert pair in got, f"missed near-identical pair {pair} (j={j:.3f})"
+
+
+def test_two_phase_prefix_sum_equals_window_on_random_strata(spark):
+    """operators/sampling.py must agree with the naive per-stratum
+    window on adversarial shapes: strata of wildly different sizes
+    (incl. size 1), zero weights, duplicate weights, budgets that cut
+    mid-stratum and budgets nothing fits under."""
+    from pyspark.sql import Window
+
+    from data_warehouse_spark.operators.sampling import (
+        token_budget_sample_scalable,
+    )
+
+    rng = random.Random(777)
+    rows = []
+    for s, size in (("a", 1), ("b", 37), ("c", 400), ("d", 3)):
+        for i in range(size):
+            rows.append((s, f"k{rng.randrange(10**9):09d}_{s}{i}",
+                         rng.choice([0, 1, 1, 5, 40, 900])))
+    df = spark.createDataFrame(rows, "stratum string, k string, w long")
+
+    for budget in (0, 7, 100, 10**6):
+        naive_w = (Window.partitionBy("stratum").orderBy("k")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+        naive = {(r.stratum, r.k, r.w, r.cum) for r in
+                 df.withColumn("cum", F.sum("w").over(naive_w))
+                 .filter(F.col("cum") <= budget).collect()}
+        scaled = {(r.stratum, r.k, r.w, r.cum) for r in
+                  token_budget_sample_scalable(
+                      df, "stratum", "k", "w", budget, coarse=5).collect()}
+        assert scaled == naive
+        # prefix closure: everything selected sorts before everything
+        # dropped, per stratum
+        per = {}
+        for (s, k, _, _) in naive:
+            per.setdefault(s, set()).add(k)
+        all_keys = {}
+        for s, k, _ in rows:
+            all_keys.setdefault(s, []).append(k)
+        for s, sel in per.items():
+            cut = max(sel)
+            assert all(k in sel for k in all_keys[s] if k <= cut)
