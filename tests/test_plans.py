@@ -173,3 +173,52 @@ def test_x2d_cosine_lsh_no_cartesian(spark):
     # LSH candidates come from a band-bucket equi-join; exact verify
     # joins only candidate ids — a cross join must never appear
     assert_no_cartesian(q(spark, "x2d_cosine_lsh"))
+
+
+def test_x13_eval_set_broadcasts(spark):
+    # decontamination's corpus side must stream against a BROADCAST
+    # eval gram set — a shuffled corpus-vs-eval join would move the
+    # whole corpus explode at 100 TB
+    plan = executed_plan(q(spark, "x13_decontaminate"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert_no_cartesian(q(spark, "x13_decontaminate"))
+    assert has_partial_aggregation(q(spark, "x13_decontaminate"))
+
+
+def test_x2e_corpus_index_aggregates_below_join(spark):
+    # the (content_hash, canonical) index must be a group-by BELOW the
+    # batch join — joining raw corpus text rows would shuffle the
+    # corpus instead of its distinct-content index
+    plan = executed_plan(q(spark, "x2e_incremental_dedup"))
+    join_pos = min([p for p in (plan.find("SortMergeJoin"),
+                                plan.find("ShuffledHashJoin"),
+                                plan.find("BroadcastHashJoin")) if p >= 0],
+                   default=-1)
+    assert join_pos >= 0
+    assert "HashAggregate" in plan[join_pos:]
+    assert_no_cartesian(q(spark, "x2e_incremental_dedup"))
+
+
+def test_dq1_row_rules_are_one_aggregate_pass(spark):
+    # all row rules + uniqueness ride ONE aggregation over the
+    # (unioned) log: no per-rule scan fan-out. The union contributes
+    # two scans of the same file; anything beyond that means a rule
+    # re-scanned the input.
+    plan = executed_plan(q(spark, "dq1_validation_report"))
+    assert plan.count("FileScan") <= 2
+    assert has_partial_aggregation(q(spark, "dq1_validation_report"))
+
+
+def test_a13_histogram_is_scan_shaped(spark):
+    # bin assignment is a codegen projection: one scan, partial+final
+    # agg, no Python, no join
+    plan = executed_plan(q(spark, "a13_histogram"))
+    assert plan.count("FileScan") == 1
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "Join"):
+        assert marker not in plan, marker
+    assert has_partial_aggregation(q(spark, "a13_histogram"))
+
+
+def test_f13_url_parse_is_map_only(spark):
+    # parse_url must stay a projection: no shuffle anywhere
+    assert count_exchanges(q(spark, "f13_url_parse")) == 0
