@@ -277,6 +277,57 @@ def x14_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x14b_token_budget_scalable",
+    oracle=f"""
+WITH sized AS (
+    SELECT lang, doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS k
+    FROM documents
+), cum AS (
+    SELECT lang, doc_id, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_tokens
+    FROM sized
+)
+SELECT lang, doc_id, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= 2000
+""",
+    doc="X14b: x14's selection computed by the DISTRIBUTED two-phase "
+        "prefix sum (operators/sampling.py) instead of the naive "
+        "one-reducer-per-stratum window — range-chunk subtotals, "
+        "offsets over the chunk-count-sized table, windows within "
+        "(stratum, chunk), so parallelism is strata x chunks. The "
+        "oracle is IDENTICAL to x14's single-window SQL: the hash "
+        "compare certifies that the decomposition is value-exact (the "
+        "prefix sum is boundary-invariant even though range-partition "
+        "boundaries are sampled), not merely approximately right.",
+    tags=("ext", "text", "sampling"),
+)
+def x14b_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.sampling import (
+        token_budget_sample_scalable,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+        F.col("doc_id"),
+        word_count("text").cast("long").alias("n_tokens"))
+    # carry doc_id through the sampler by keying on (k, doc_id) is not
+    # needed: k = md5(doc_id) is injective over the fixture ids, so
+    # join doc_id back over the (collision-free) hash key
+    out = token_budget_sample_scalable(
+        sized.select("lang", "k", "n_tokens"),
+        stratum="lang", key="k", weight="n_tokens", budget=2000)
+    return (out.join(sized.select("lang", "k", "doc_id"), on=["lang", "k"])
+            .select("lang", "doc_id",
+                    F.col("n_tokens").alias("n_tokens"),
+                    F.col("cum").alias("cum_tokens")))
+
+
+@register(
     "x5_text_stats",
     oracle=f"""
 SELECT doc_id,
