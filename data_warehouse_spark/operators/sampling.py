@@ -11,17 +11,32 @@ with a classic two-phase decomposition:
      tag each row with its chunk id — chunks hold contiguous key
      ranges, so the global per-stratum order is (chunk, key);
   2. aggregate one (stratum, chunk) subtotal per chunk (map-side
-     combined — the only full-data shuffle carries chunk-count rows);
+     combined, so the subtotal exchange carries chunk-count rows);
   3. run the running sum over the TINY subtotal table (its window
      touches #chunks rows, not #rows) to get each chunk's offset;
   4. broadcast-join offsets back and window WITHIN (stratum, chunk) —
      parallelism is now strata x chunks instead of strata.
 
+Shuffle budget, honestly: full data moves TWICE (the range partition,
+then the within-chunk window's hash exchange on (stratum, chunk) —
+Catalyst cannot know each chunk already sits in one range partition).
+That is still the winning trade against the naive window whenever
+strata are few: two balanced all-data shuffles beat one shuffle that
+serializes on #strata reducers.
+
 Chunk boundaries come from range-partition sampling and are NOT
-deterministic — but the result is: every boundary placement yields the
-same contiguous per-stratum order, and prefix sums are associative, so
-offset + within-chunk sum reproduces the single-window value exactly
-(property-tested against the naive window in tests).
+deterministic across plan instances — but the result is: every
+boundary placement yields the same contiguous per-stratum order, and
+prefix sums are associative, so offset + within-chunk sum reproduces
+the single-window value exactly (property-tested against the naive
+window in tests). The `ranged` subtree is persist()ed because BOTH the
+subtotal branch and the probe branch consume it: sharing one cached
+plan instance guarantees one boundary sample regardless of whether
+exchange reuse fires (with reuse off, two un-shared subtrees would
+sample boundaries independently and chunk ids could diverge between
+offsets and probes — silently wrong cums). At warehouse scale the same
+role is played by materializing the chunked table, the multi-consumer-
+intermediate norm (see x7's tf note).
 """
 
 from __future__ import annotations
@@ -35,25 +50,33 @@ def token_budget_sample_scalable(df: DataFrame, stratum: str, key: str,
                                  coarse: int = 32) -> DataFrame:
     """Rows of each stratum in ``key`` order while cumulative
     ``weight`` stays within ``budget`` — same semantics as the
-    single-window form, with per-stratum work spread over ``coarse``
-    range chunks. Returns (stratum, key, weight, cum) rows.
+    single-window form (including NULL as its own stratum), with
+    per-stratum work spread over ``coarse`` range chunks. Returns
+    (stratum, key, weight, cum) rows.
     """
     ranged = (df.select(stratum, key, weight)
               .repartitionByRange(coarse, F.col(stratum), F.col(key))
-              .withColumn("__chunk", F.spark_partition_id()))
+              .withColumn("__chunk", F.spark_partition_id())
+              .persist())
     subtotals = (ranged.groupBy(stratum, "__chunk")
                  .agg(F.sum(weight).alias("__sub")))
     # chunk ids ascend with the range order within a stratum, so the
     # offset is the running subtotal of all earlier chunks
     w_off = (Window.partitionBy(stratum).orderBy("__chunk")
              .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = subtotals.withColumn(
-        "__off", F.coalesce(F.sum("__sub").over(w_off), F.lit(0)))
+    offsets = (subtotals
+               .withColumn("__off",
+                           F.coalesce(F.sum("__sub").over(w_off), F.lit(0)))
+               .select(F.col(stratum).alias("__s"),
+                       F.col("__chunk").alias("__c"), "__off"))
     w_in = (Window.partitionBy(stratum, "__chunk").orderBy(key)
             .rowsBetween(Window.unboundedPreceding, 0))
+    # null-safe on the stratum: a NULL stratum is a real window
+    # partition in the naive form, and a plain equi-join would drop it
     return (ranged
-            .join(F.broadcast(offsets.select(stratum, "__chunk", "__off")),
-                  on=[stratum, "__chunk"])
+            .join(F.broadcast(offsets),
+                  on=[F.col(stratum).eqNullSafe(F.col("__s")),
+                      F.col("__chunk") == F.col("__c")])
             .withColumn("cum", F.col("__off") + F.sum(weight).over(w_in))
             .filter(F.col("cum") <= budget)
             .select(stratum, key, weight, "cum"))

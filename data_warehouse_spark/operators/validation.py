@@ -36,11 +36,20 @@ def validation_report(df: DataFrame, rules: dict[str, Column],
     """
     if not rules:
         raise ValueError("validation_report needs at least one rule")
-    aggs = [F.sum(F.when(pred, 0).otherwise(1)).cast("long").alias(name)
+    # coalesce: SUM over zero rows is NULL, but an empty input must
+    # report 0 violations per rule, not an un-gateable NULL
+    aggs = [F.coalesce(F.sum(F.when(pred, 0).otherwise(1)), F.lit(0))
+            .cast("long").alias(name)
             for name, pred in rules.items()]
     rule_names = list(rules)
+    if "__n" in rules:
+        raise ValueError("rule name '__n' collides with the internal "
+                         "total-count column")
     if unique_key:
         uniq_name = "_".join(unique_key) + "_unique"
+        if uniq_name in rules:
+            raise ValueError(f"rule name {uniq_name!r} collides with the "
+                             "derived uniqueness check")
         aggs.append((F.count(F.lit(1))
                      - F.countDistinct(F.struct(*unique_key)))
                     .cast("long").alias(uniq_name))

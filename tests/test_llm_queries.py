@@ -172,3 +172,47 @@ def test_scalable_budget_sample_equals_single_window(spark, sf_dir):
                   token_budget_sample_scalable(
                       docs, "lang", "k", "w", 2000, coarse=coarse).collect()}
         assert scaled == naive and naive
+
+
+def test_scalable_budget_sample_keeps_null_stratum(spark):
+    """NULL is a real window partition in the naive form; the two-phase
+    join must be null-safe on the stratum or the whole NULL stratum
+    silently vanishes (round-5 review finding)."""
+    from pyspark.sql import Row
+
+    from data_warehouse_spark.operators.sampling import (
+        token_budget_sample_scalable,
+    )
+
+    df = spark.createDataFrame(
+        [Row(s=None, k="k1", w=5), Row(s=None, k="k2", w=5),
+         Row(s="en", k="k1", w=5)],
+        "s string, k string, w long")
+    got = {(r.s, r.k, r.cum) for r in token_budget_sample_scalable(
+        df, "s", "k", "w", budget=100, coarse=3).collect()}
+    assert got == {(None, "k1", 5), (None, "k2", 10), ("en", "k1", 5)}
+
+
+def test_validation_report_empty_input_reports_zero_not_null(spark):
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.operators.validation import validation_report
+
+    empty = spark.createDataFrame([], "k int, v double")
+    out = {r.rule: (r.n_violations, r.n_rows) for r in validation_report(
+        empty, rules={"v_pos": F.col("v") > 0}, unique_key=["k"]).collect()}
+    assert out == {"v_pos": (0, 0), "k_unique": (0, 0)}
+
+
+def test_validation_report_rejects_colliding_rule_names(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.operators.validation import validation_report
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError):
+        validation_report(df, rules={"k_unique": F.col("k") > 0},
+                          unique_key=["k"])
+    with pytest.raises(ValueError):
+        validation_report(df, rules={"__n": F.col("k") > 0})

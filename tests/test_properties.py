@@ -169,8 +169,9 @@ def test_minhash_lsh_recall_vs_exact_jaccard():
     40 planted (base, mutated) pairs with controlled similarity; a pair
     whose true word-3-gram Jaccard is j becomes an LSH candidate with
     probability p(j) = 1 - (1 - j^r)^b over the hash draw (b=8 bands,
-    r=4 rows). The hash functions are fixed (salted xxhash64), so the
-    test is deterministic; the assertion allows finite-sample slack
+    r=4 rows). The hash functions are fixed (seeded (a*h+b) mod p over
+    one xxhash64 per shingle — dedup._minhash_coeffs), so the test is
+    deterministic; the assertion allows finite-sample slack
     under the theoretical mean. Reported jaccard values must equal the
     brute-force computation exactly (the operator exact-verifies its
     candidates, so this is equality, not approximation)."""
