@@ -31,7 +31,16 @@ def connected_components(edges: DataFrame, src: str, dst: str,
                          max_iters: int = 25) -> DataFrame:
     """(id, component_id) for every node appearing in `edges`;
     component_id = min node id reachable. Raises if not converged
-    within max_iters (diameter-bound exceeded — raise max_iters)."""
+    within max_iters (diameter-bound exceeded — raise max_iters).
+
+    Storage note: each round's eager localCheckpoint snapshots the
+    (2-column) label table to executor-local blocks. Rebinding
+    `labels`/`stepped` drops the Python reference each round, and once
+    the py4j proxy is collected Spark's ContextCleaner frees the
+    blocks — so live storage is bounded by GC lag (typically 1-2
+    snapshots), not by rounds x labels. The lineage truncation is why
+    checkpoint (not persist) is required here: without it the plan
+    doubles per round and analysis time explodes."""
     # Materialize the symmetrized edge list ONCE: edges is typically the
     # output of an expensive pair-generation pipeline (X2c at sf0.1 is
     # ~3 s), and without this checkpoint every round's join — plus the

@@ -43,7 +43,13 @@ def upsert(old: DataFrame, new: DataFrame, keys: list[str],
         new = dedup_latest(new, keys, order_col)
     else:
         new = new.dropDuplicates(keys)
-    survivors = old.join(new.select(*keys).distinct(), on=keys, how="left_anti")
+    # null-safe anti join: a NULL key is one key value under the PK
+    # contract (dropDuplicates above already treats it so); a plain
+    # equi anti-join would never match NULL=NULL and keep the old
+    # NULL-key row alongside the new one
+    nk = new.select(*keys).distinct()
+    cond = [old[k].eqNullSafe(nk[k]) for k in keys]
+    survivors = old.join(nk, on=cond, how="left_anti")
     return survivors.unionByName(new)
 
 
@@ -98,8 +104,17 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, keys: list[str],
                          "attribute in `attrs`")
     if not keys:
         raise ValueError("scd2_apply needs at least one key column")
+    # An update without an effective timestamp cannot be versioned
+    # (its valid_from would be NULL) — drop it rather than emit a
+    # malformed row; upstream loads should gate on dq1's
+    # validation_report to catch these before the merge.
+    updates = updates.filter(F.col(eff_ts_col).isNotNull())
     updates = dedup_latest(updates, keys, eff_ts_col)
-    history = dim.filter(~F.col(current_col))
+    # NULL is_current rows are malformed dim state (e.g. an outer-join-
+    # built dim): route them through the untouched-history branch so
+    # they are preserved verbatim, never silently dropped by both
+    # boolean filters
+    history = dim.filter(~F.coalesce(F.col(current_col), F.lit(False)))
     cur = dim.filter(F.col(current_col))
 
     u = updates.select(
@@ -223,9 +238,21 @@ def merge_into_partitioned(spark, target_path: str, new: DataFrame,
     rewrites one or two partitions of an arbitrarily large fact table.
     Requires spark.sql.sources.partitionOverwriteMode=dynamic (set here
     per-write via the DataFrameWriter option).
-    """
-    from pyspark.sql import functions as F
 
+    PRECONDITION — keys must determine the date: a key's corrected
+    version must land on the SAME dt as its stored version, because
+    only the batch's own partitions are read back (that is the whole
+    point); a correction that moves a key across dates leaves the old
+    date's row in place (two rows for the key). The reference satisfies
+    this by construction — its PK is (bike_id, trip_start) and dt =
+    date(trip_start), so the date is part of the key. Keys whose ts can
+    be revised need a full MERGE (upsert over the whole table), not the
+    partition-scoped one.
+
+    Within a batch, the newest row per key wins (order_col=ts_col fed
+    to upsert) — the deterministic form of the reference's
+    last-writer-wins ON CONFLICT DO UPDATE.
+    """
     new_dt = new.withColumn("dt", F.to_date(F.col(ts_col)))
     # bounded driver-side list: one entry per calendar day touched by
     # the batch (the reference's window is 1-2 days); guard so a
@@ -242,8 +269,16 @@ def merge_into_partitioned(spark, target_path: str, new: DataFrame,
     # new-rows-only, and the dynamic partition overwrite then silently
     # dropped the old rows of every touched partition.
     if target_exists(spark, target_path):
-        old = spark.read.parquet(target_path).filter(F.col("dt").isin(dates))
-        merged = upsert(old, new_dt.select(*old.columns), keys=keys)
+        # NULL-dt (null ts) rows land in the default partition; isin()
+        # never matches NULL, so without the explicit isNull branch the
+        # dynamic overwrite would rewrite that partition from the new
+        # rows alone and silently drop every stored NULL-ts row
+        dt_filter = F.col("dt").isin([d for d in dates if d is not None])
+        if any(d is None for d in dates):
+            dt_filter = dt_filter | F.col("dt").isNull()
+        old = spark.read.parquet(target_path).filter(dt_filter)
+        merged = upsert(old, new_dt.select(*old.columns), keys=keys,
+                        order_col=ts_col)
     else:
         merged = new_dt
 

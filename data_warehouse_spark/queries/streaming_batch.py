@@ -290,7 +290,7 @@ def st7_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = tempfile.mkdtemp(prefix="dws_st7_") + "/t"
     stream = read_events_stream(spark, sf_dir)
     latest = stream.select("user_id", "event_type", "ts", "value")
-    q = run_foreach_batch_upsert(spark, latest, target,
+    q = run_foreach_batch_upsert(latest, target,
                                  keys=["user_id", "event_type", "ts"])
     q.awaitTermination()
     back = spark.read.parquet(target)

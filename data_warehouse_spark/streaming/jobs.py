@@ -27,6 +27,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from data_warehouse_spark.operators.merge import merge_into_partitioned
 
+# single source of truth for the streaming events schema;
+# read_events_stream swaps the ts declaration per fixture encoding
 EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
                  "event_type string, value double, props string")
 
@@ -46,8 +48,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     ts_decl = {"bigint": "long", "timestamp_ntz": "timestamp_ntz"}.get(
         ts_type, "timestamp")
     raw = (spark.readStream.format("parquet")
-           .schema(f"event_id long, ts {ts_decl}, user_id long, "
-                   "event_type string, value double, props string")
+           .schema(EVENTS_SCHEMA.replace("ts timestamp", f"ts {ts_decl}"))
            .option("maxFilesPerTrigger", max_files)
            # file stream sources take a directory; the glob filter picks
            # out the events log from the fixture dir
@@ -158,8 +159,8 @@ def start_memory_sink(df: DataFrame, name: str, output_mode: str) -> StreamingQu
             .outputMode(output_mode).trigger(availableNow=True).start())
 
 
-def run_foreach_batch_upsert(spark: SparkSession, events: DataFrame,
-                             target_path: str, keys: list[str],
+def run_foreach_batch_upsert(events: DataFrame, target_path: str,
+                             keys: list[str],
                              ts_col: str = "ts") -> StreamingQuery:
     """ST7: micro-batch upsert sink — the reference's ON CONFLICT load
     (trips_lambda.py:180-206) per micro-batch via foreachBatch.
@@ -221,7 +222,14 @@ def running_user_stats(events: DataFrame, watermark: str = "1 hour",
             s += float(pdf["value"].sum())
             last = max(last, int(pdf["ts"].astype("int64").max()))
         state.update((n, s, last))
-        state.setTimeoutTimestamp(last // 1_000_000 + idle_gap_ms)
+        # clamp: a row admitted late (within the watermark delay) can
+        # put last+gap BEHIND the already-advanced global watermark,
+        # and GroupState rejects a timeout <= watermark with an
+        # IllegalArgumentException that kills the whole query — expire
+        # such users at the next watermark tick instead
+        timeout = last // 1_000_000 + idle_gap_ms
+        state.setTimeoutTimestamp(
+            max(timeout, state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                             "sum_value": [s],
                             "last_ts": [pd.Timestamp(last, unit="ns")],

@@ -532,3 +532,61 @@ def test_redact_pii_removes_every_occurrence(spark):
     assert by_id[1].n_email == 1 and by_id[1].n_ipv4 == 1 and by_id[1].n_phone == 1
     assert by_id[2].red == rows[1][1]  # clean text passes through unchanged
     assert by_id[3].red.count("<EMAIL>") == 2 and by_id[3].red.count("<IP>") == 2
+
+
+def test_upsert_null_key_is_one_key_value(spark):
+    """The PK contract holds for a NULL key too: the anti-join is
+    null-safe, so a new NULL-key row REPLACES the old one instead of
+    duplicating it (round-5 review finding)."""
+    old = spark.createDataFrame([Row(k=None, v="old"), Row(k=1, v="a")],
+                                "k int, v string")
+    new = spark.createDataFrame([Row(k=None, v="new")], "k int, v string")
+    got = {(r.k, r.v) for r in upsert(old, new, ["k"]).collect()}
+    assert got == {(None, "new"), (1, "a")}
+
+
+def test_merge_into_partitioned_preserves_null_ts_rows(spark, tmp_path):
+    """NULL-ts rows live in the default partition; the merge must read
+    them back before dynamically overwriting that partition (round-5
+    review finding: isin() never matches NULL dt)."""
+    import datetime as dt
+
+    from data_warehouse_spark.operators.merge import merge_into_partitioned
+
+    target = str(tmp_path / "t")
+    t0 = dt.datetime(2024, 1, 10, 12)
+    first = spark.createDataFrame(
+        [Row(event_id=1, ts=t0, v="a"), Row(event_id=2, ts=None, v="b")],
+        "event_id long, ts timestamp, v string")
+    merge_into_partitioned(spark, target, first, keys=["event_id"],
+                           ts_col="ts")
+    # second batch touches the null partition with a DIFFERENT key:
+    # the old null-ts row must survive
+    second = spark.createDataFrame(
+        [Row(event_id=3, ts=None, v="c")],
+        "event_id long, ts timestamp, v string")
+    merge_into_partitioned(spark, target, second, keys=["event_id"],
+                           ts_col="ts")
+    got = {(r.event_id, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_scd2_preserves_null_current_and_drops_null_eff_updates(spark):
+    import datetime as dt
+
+    from data_warehouse_spark.operators.merge import scd2_apply
+
+    t0 = dt.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [Row(k=1, a="x", valid_from=t0, valid_to=None, is_current=True),
+         Row(k=2, a="y", valid_from=t0, valid_to=None, is_current=None)],
+        "k int, a string, valid_from timestamp, valid_to timestamp, "
+        "is_current boolean")
+    ups = spark.createDataFrame(
+        [Row(k=9, a="z", eff_ts=None)],  # malformed: no effective ts
+        "k int, a string, eff_ts timestamp")
+    out = scd2_apply(dim, ups, keys=["k"], attrs=["a"])
+    rows = {(r.k, r.a, r.is_current) for r in out.collect()}
+    # malformed update dropped (no all-NULL row), NULL-is_current row
+    # preserved verbatim in the history branch
+    assert rows == {(1, "x", True), (2, "y", None)}

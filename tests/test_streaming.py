@@ -60,7 +60,7 @@ def test_st7_foreach_batch_upsert(spark, sf_dir):
     target = tempfile.mkdtemp(prefix="dws_st7_")
     shutil.rmtree(target, ignore_errors=True)
     stream = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
-    q = run_foreach_batch_upsert(spark, stream, target + "/t", ["user_id", "ts"])
+    q = run_foreach_batch_upsert(stream, target + "/t", ["user_id", "ts"])
     q.awaitTermination()
     ev = load_table(spark, sf_dir, "events")
     written = spark.read.parquet(target + "/t")
