@@ -77,8 +77,30 @@ def scan_events_range(spark: SparkSession, sf_dir: str,
     import datetime as dt
 
     def ns(ts: str) -> int:
-        d = dt.datetime.fromisoformat(ts).replace(tzinfo=dt.timezone.utc)
-        return int(d.timestamp() * 1_000_000) * 1000
+        # integer arithmetic end to end: datetime.timestamp() is a
+        # double with ~0.25 us resolution at current epochs, so
+        # int(ts*1e6) can truncate a fractional-second boundary by 1 us
+        # (the same ±1 us class load_table's ns->us comment guards).
+        # Inputs carrying an explicit offset are honored; naive inputs
+        # mean UTC by this function's contract.
+        d = dt.datetime.fromisoformat(ts)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=dt.timezone.utc)
+        delta = d - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 \
+            + delta.microseconds
+        return micros * 1000
+
+    def _require_utc_session() -> None:
+        # same invariant load_table enforces loudly: the NTZ cast and
+        # plain-timestamp literals below go through the SESSION
+        # timezone — a non-UTC session would silently shift the range
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            raise RuntimeError(
+                f"scan_events_range requires session timeZone UTC, got "
+                f"{tz!r} — use session.get_spark() or pin "
+                "spark.sql.session.timeZone=UTC")
 
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(raw.dtypes).get("ts")
@@ -91,11 +113,13 @@ def scan_events_range(spark: SparkSession, sf_dir: str,
         # Filter in the native NTZ domain so PushedFilters reaches the
         # scan (an NTZ literal compares file-native, no cast above it),
         # then normalize to TIMESTAMP exactly like load_table.
+        _require_utc_session()
         raw = raw.filter(
             (F.col("ts") >= F.lit(start_utc).cast("timestamp_ntz"))
             & (F.col("ts") < F.lit(end_utc).cast("timestamp_ntz")))
         raw = raw.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
         return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    _require_utc_session()
     return raw.filter((F.col("ts") >= F.lit(start_utc).cast("timestamp"))
                       & (F.col("ts") < F.lit(end_utc).cast("timestamp")))
 
@@ -156,8 +180,14 @@ def write_bucketed(df: DataFrame, table: str, path: str, key: str,
     For the sessionization workload this removes the one shuffle the
     W5/E1 plans contain — the repeated-daily-run optimization the
     reference approximates with its B-tree index on (bike_id, ts)
-    (trips_lambda.py:81-84)."""
-    writer = df.write.bucketBy(n_buckets, key)
-    if sort_cols:
-        writer = writer.sortBy(*sort_cols)
-    writer.option("path", path).mode("overwrite").saveAsTable(table)
+    (trips_lambda.py:81-84).
+
+    Thin single-key wrapper over operators.bucketing.write_bucketed —
+    one implementation owns the load-bearing mechanics (the
+    pre-repartition that gives one file per bucket, without which the
+    scan cannot report sort order, plus the DROP TABLE guard)."""
+    from data_warehouse_spark.operators.bucketing import (
+        write_bucketed as _write_bucketed,
+    )
+    _write_bucketed(df, table, path, keys=[key], n_buckets=n_buckets,
+                    sort=True, sort_keys=sort_cols or [key])

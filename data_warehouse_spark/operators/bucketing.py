@@ -56,20 +56,33 @@ def write_bucketed(df: DataFrame, table: str, path: str,
 
 def bucketed_view(spark: SparkSession, sf_dir: str, src_table: str,
                   load_fn, keys: list[str], n_buckets: int,
-                  base: str = "/tmp/dw_spark_bucketed",
+                  base: str | None = None,
                   sort_keys: list[str] | None = None) -> DataFrame:
     """Session-cached bucketed copy of a fixture table: materializes
     `{src_table}` bucketed by `keys` once per (sf_dir, n_buckets) per
     session, then returns the catalog-backed DataFrame (the catalog
     entry is what carries the bucketing metadata into the planner).
 
+    The default storage path is PROCESS-UNIQUE: the cache check is the
+    in-memory catalog, which never survives the session, so a shared
+    fixed path bought no cross-run reuse — it only let two concurrent
+    sessions overwrite each other's files mid-read. Pass an explicit
+    `base` only for a single-writer managed location.
+
     At 100 TB this write is the one-off ETL step a warehouse already
     performs on ingest; every subsequent join on `keys` is
     exchange-free.
     """
+    if base is None:
+        import os
+        base = f"/tmp/dw_spark_bucketed_{os.getpid()}"
+    # digest covers the bucket keys AND the sort keys independently:
+    # hashing only one of them would collide two layouts that differ in
+    # the other (e.g. same sort, different cluster key), silently
+    # serving a table whose co-location assumption is wrong
     digest = hashlib.md5(
-        f"{sf_dir}|{n_buckets}|{','.join(sort_keys or keys)}".encode()
-    ).hexdigest()[:8]
+        f"{sf_dir}|{n_buckets}|{','.join(keys)}|{','.join(sort_keys or keys)}"
+        .encode()).hexdigest()[:8]
     name = f"dw_bucketed_{src_table}_{digest}"
     if not spark.catalog.tableExists(name):
         write_bucketed(load_fn(spark, sf_dir, src_table), name,

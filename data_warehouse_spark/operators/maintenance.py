@@ -47,14 +47,23 @@ def delete_by_keys(spark: SparkSession, target_path: str,
     be arbitrarily large (a join, never an isin literal). At 100 TB
     this is one column-pruned scan + a hash join per affected
     partition's rewrite.
+
+    Key matching is NULL-SAFE (a NULL key value is one erasable key,
+    same as upsert's PK contract — plain SQL IN semantics would
+    silently skip it), and the default (NULL-dt) partition is handled:
+    isin() never matches NULL, so both the slice filter and the
+    emptied-directory cleanup carry an explicit NULL branch — without
+    it, doomed NULL-date rows would survive a "successful" erasure.
     """
     if not target_exists(spark, target_path):
         raise FileNotFoundError(f"delete target does not exist: {target_path}")
     dk = delete_keys.select(*keys).distinct()
     target = spark.read.parquet(target_path)
 
+    semi_cond = [target[k].eqNullSafe(dk[k]) for k in keys]
     affected = [r[dt_col] for r in
-                (target.select(dt_col, *keys).join(dk, on=keys, how="left_semi")
+                (target.select(dt_col, *keys)
+                 .join(dk, on=semi_cond, how="left_semi")
                  .select(dt_col).distinct().limit(10_001).collect())]
     if len(affected) > 10_000:
         raise ValueError("delete touches >10000 partitions; that is a "
@@ -62,8 +71,15 @@ def delete_by_keys(spark: SparkSession, target_path: str,
     if not affected:
         return
 
-    slice_df = target.filter(F.col(dt_col).isin(affected))
-    kept = slice_df.join(dk, on=keys, how="left_anti")
+    dt_filter = F.col(dt_col).isin([d for d in affected if d is not None])
+    if any(d is None for d in affected):
+        dt_filter = dt_filter | F.col(dt_col).isNull()
+    slice_df = target.filter(dt_filter)
+    anti_cond = [slice_df[k].eqNullSafe(dk[k]) for k in keys]
+    # persist: the kept plan (affected-partition scan + anti join) has
+    # two consumers — the surviving-partition collect and the write —
+    # and would otherwise execute twice back-to-back
+    kept = slice_df.join(dk, on=anti_cond, how="left_anti").persist()
     # partitions emptied entirely will be absent from `kept`, and
     # dynamic overwrite would leave their old files in place — find
     # them BEFORE the write (afterwards the kept plan's source files
@@ -73,11 +89,13 @@ def delete_by_keys(spark: SparkSession, target_path: str,
     (kept.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(dt_col).parquet(target_path))
+    kept.unpersist()
 
     fs, _ = _fs(spark, target_path)
     for dt in set(affected) - surviving:
+        part_dir = "__HIVE_DEFAULT_PARTITION__" if dt is None else str(dt)
         dir_path = spark._jvm.org.apache.hadoop.fs.Path(
-            f"{target_path}/{dt_col}={dt}")
+            f"{target_path}/{dt_col}={part_dir}")
         fs.delete(dir_path, True)
     # the session's FileStatusCache still lists the replaced files; a
     # later read of the same path would chase deleted parquet parts

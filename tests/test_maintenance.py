@@ -89,3 +89,31 @@ def test_compact_partitions_collapses_files(spark, sf_dir, tmp_path):
     rows_after = {tuple(r) for r in spark.read.parquet(target)
                   .drop("dt").collect()}
     assert rows_after == rows_before              # content untouched
+
+
+def test_delete_by_keys_erases_null_dt_and_null_key_rows(spark, tmp_path):
+    """GDPR erasure must reach the default (NULL-dt) partition and
+    NULL-valued keys: isin() never matches NULL and plain equi joins
+    skip NULL keys, so both carry explicit handling (round-5 review
+    findings)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from data_warehouse_spark.operators.maintenance import delete_by_keys
+
+    target = str(tmp_path / "t")
+    t0 = dt.datetime(2024, 1, 10, 12)
+    rows = [Row(user_id=1, ts=t0, v="keep"),
+            Row(user_id=2, ts=None, v="doom-null-dt"),
+            Row(user_id=None, ts=t0, v="doom-null-key"),
+            Row(user_id=3, ts=None, v="keep-null-dt")]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, v string")
+    (df.withColumn("dt", F.to_date("ts"))
+     .write.mode("overwrite").partitionBy("dt").parquet(target))
+
+    dk = spark.createDataFrame([Row(user_id=2), Row(user_id=None)],
+                               "user_id int")
+    delete_by_keys(spark, target, dk, keys=["user_id"])
+    got = {(r.user_id, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "keep"), (3, "keep-null-dt")}
