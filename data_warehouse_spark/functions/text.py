@@ -23,6 +23,11 @@ LANG_MARKERS = {
 
 
 def word_tokens(text: Column) -> Column:
+    """SQL split semantics, deliberately: empty/whitespace-only text
+    yields [''] (size 1), matching DuckDB's string_split_regex — the
+    oracles, the x14 budget windows, and the Python rederivation tests
+    all rely on this exact cross-engine agreement. Callers that need
+    true-zero empty-doc counts should filter on trim(text) = ''."""
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
@@ -119,6 +124,16 @@ def redact_pii(text: Column) -> Column:
 
 def pii_counts(text: Column) -> list[Column]:
     """One count column per PII class (for audit reporting alongside
-    the redaction itself)."""
-    return [F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
-            for name, pat, _ in PII_PATTERNS]
+    the redaction itself).
+
+    Each pattern is counted on the PROGRESSIVELY-REDACTED text — the
+    same order redact_pii applies — so the counts equal what the
+    redaction actually replaced. Counting every class on the raw text
+    would double-count overlaps (e.g. '+123...@x.com' is one <EMAIL>
+    replacement, but the phone pattern also matches its local part)."""
+    cols = []
+    cur = text
+    for name, pat, token in PII_PATTERNS:
+        cols.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return cols

@@ -84,16 +84,17 @@ def attach_png_blob(df: DataFrame, text_col: str = "text",
                 blobs.append(encode_png(w, h, px.astype(np.uint8)
                                         .tobytes(), color_type=2))
             yield pd.DataFrame({
-                "doc_id": pdf[id_col],
+                id_col: pdf[id_col],
                 "blob": blobs,
                 "media_type": "image/png",
                 "n_bytes": [len(b) for b in blobs],
             })
 
+    id_type = dict(df.dtypes)[id_col]
     # encode is CPU-heavy per row; a small fixture table arrives as one
     # file split and would serialize on one core without the spread
     return (spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
-            .mapInPandas(encode, schema="doc_id long, blob binary, "
+            .mapInPandas(encode, schema=f"{id_col} {id_type}, blob binary, "
                                         "media_type string, n_bytes long"))
 
 
@@ -163,13 +164,16 @@ def decode_images(df: DataFrame, codec: str = "stub") -> DataFrame:
 
     def run_stub(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            n = pdf["blob"].map(len)
+            # NULL blobs degrade per-row (ok=false) like the png/pil
+            # kernels — len(None) would kill the whole Arrow batch
+            ok = pdf["blob"].notna()
+            n = pdf["blob"].map(lambda b: 0 if b is None else len(b))
             w, h = _stub_dims(n)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "width": w.astype("int32"),
-                "height": h.astype("int32"),
-                "ok": pd.Series(True, index=pdf.index),
+                "width": w.where(ok, 0).astype("int32"),
+                "height": h.where(ok, 0).astype("int32"),
+                "ok": ok,
             })
 
     def run_png(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -245,9 +249,16 @@ def sample_frames(df: DataFrame, frame_every_bytes: int = 1024) -> DataFrame:
     sampled frame — a UDTF-shaped explode driven by metadata. The frame
     index table is rows-per-KiB here; a real video pipeline derives it
     from duration x fps, then a mapInPandas stage extracts each frame's
-    pixels from the blob. Output is (doc_id, frame_idx, byte_offset)."""
-    n_frames = (F.col("n_bytes") / frame_every_bytes).cast("int") + 1
-    return (df.select("doc_id", "n_bytes",
-                      F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"))
+    pixels from the blob. Output is (doc_id, frame_idx, byte_offset).
+
+    Frame count is ceil(n_bytes / frame_every_bytes): every offset is
+    strictly inside the payload (floor(n/every)+1 would emit an
+    offset == n_bytes on exact multiples — a read past the end), and
+    empty payloads yield zero frames, not one."""
+    n_frames = F.ceil(F.col("n_bytes")
+                      / F.lit(float(frame_every_bytes))).cast("int")
+    return (df.filter(F.col("n_bytes") > 0)
+            .select("doc_id", "n_bytes",
+                    F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"))
             .select("doc_id", "frame_idx",
                     (F.col("frame_idx") * frame_every_bytes).alias("byte_offset")))

@@ -193,6 +193,9 @@ def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
     if kernel == "auto":
         kernel = ("arrow" if _plan_size_bytes(df) >= ARROW_MIN_PLAN_BYTES
                   else "hof")
+    if kernel not in ("arrow", "unrolled", "hof"):
+        raise ValueError(f"unknown kernel: {kernel!r} "
+                         "(expected auto|arrow|unrolled|hof)")
     if kernel == "arrow":
         scored = _arrow_query_scan(df, vec_col, id_col, query_vec)
     elif kernel == "unrolled":
@@ -242,6 +245,9 @@ def cosine_topk_multi(df: DataFrame, vec_col: str, id_col: str,
     if kernel == "auto":
         kernel = ("arrow" if _plan_size_bytes(df) >= ARROW_MIN_PLAN_BYTES
                   else "hof")
+    if kernel not in ("arrow", "hof"):
+        raise ValueError(f"unknown kernel: {kernel!r} "
+                         "(expected auto|arrow|hof)")
 
     if kernel == "arrow":
         import numpy as np
@@ -348,11 +354,18 @@ def cosine_pairs_blocked(df: DataFrame, vec_col: str, id_col: str,
             n_cells = 64  # Σ|cell|² « |block|² under any balanced split
             small_part = df.filter(~F.col(block_col).isin(big))
             big_part = df.filter(F.col(block_col).isin(big))
-            centroids = build_ivf_centroids(big_part, vec_col, id_col,
+            # cell assignment keys on (block, id), not id alone: the
+            # exact path only requires ids unique WITHIN a block, and
+            # assign_cells' per-id argmax window would otherwise keep a
+            # single row per id across ALL oversized blocks — silently
+            # dropping the colliding block's row and its pairs
+            big_part = big_part.withColumn(
+                "__rowid", F.struct(F.col(block_col), F.col(id_col)))
+            centroids = build_ivf_centroids(big_part, vec_col, "__rowid",
                                             n_cells=n_cells, iters=1,
                                             dim=dim)
-            assigned = assign_cells(big_part, centroids, vec_col, id_col,
-                                    dim=dim)
+            assigned = assign_cells(big_part, centroids, vec_col,
+                                    "__rowid", dim=dim).drop("__rowid")
             routed = (cosine_pairs_blocked(
                 assigned.withColumn(
                     "__bc", F.struct(F.col(block_col), F.col("cell"))),

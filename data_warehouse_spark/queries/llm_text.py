@@ -646,13 +646,15 @@ SELECT doc_id,
        CAST(u.gs AS BIGINT) AS frame_idx,
        CAST(u.gs * 1024 AS BIGINT) AS byte_offset
 FROM documents,
-     UNNEST(range(0, CAST(FLOOR(strlen(text) / 1024.0) AS BIGINT) + 1)) AS u(gs)
+     UNNEST(range(0, CAST(CEIL(strlen(text) / 1024.0) AS BIGINT))) AS u(gs)
+WHERE strlen(text) > 0
 """,
     doc="MM3 [ext]: frame sampling — metadata-driven UDTF explode (one "
         "row per sampled frame per payload), the video/audio analogue "
         "of tokenization. Frame extraction itself would be a second "
         "mapInPandas over (blob, byte_offset); the index table stays "
-        "JVM-side.",
+        "JVM-side. ceil(n/every) frames: every offset strictly inside "
+        "the payload, zero frames for empty payloads.",
     tags=("ext", "multimodal"),
 )
 def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,8 +793,14 @@ SELECT doc_id,
             '{_PII_IPV4}', '<IP>', 'g'),
             '{_PII_PHONE}', '<PHONE>', 'g')) AS red_hash,
        CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_email,
-       CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS INT) AS n_ipv4,
-       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phone
+       CAST(len(regexp_extract_all(
+            regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+            '{_PII_IPV4}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(
+            regexp_replace(regexp_replace(t,
+                '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                '{_PII_IPV4}', '<IP>', 'g'),
+            '{_PII_PHONE}')) AS INT) AS n_phone
 FROM planted
 """,
     doc="X11 [ext]: PII redaction — the scrubbing pass a training-data "

@@ -120,12 +120,18 @@ def fetch_air_quality(keys: DataFrame,
             for city in pdf["city"]:
                 try:
                     payload = fetch(city)
+                    # coerce INSIDE the try: WAQI really returns "-"
+                    # for stations with no data, and an uncoerced
+                    # string would pass this loop only to fail the
+                    # whole batch's Arrow conversion afterwards —
+                    # exactly the task kill the isolation exists to
+                    # prevent
                     rows.append({
                         "city": city,
-                        "aqi": payload["aqi"],
-                        "temperature": payload["iaqi"]["t"]["v"],
-                        "humidity": payload["iaqi"]["h"]["v"],
-                        "pm25": payload["iaqi"]["pm25"]["v"],
+                        "aqi": int(payload["aqi"]),
+                        "temperature": float(payload["iaqi"]["t"]["v"]),
+                        "humidity": int(payload["iaqi"]["h"]["v"]),
+                        "pm25": int(payload["iaqi"]["pm25"]["v"]),
                     })
                 except Exception:
                     # per-unit isolation: skip the failed key, keep batch
