@@ -55,6 +55,14 @@ def build_trips(bike_status: DataFrame, cfg: TripConfig = TripConfig()) -> DataF
         F.lag("lon").over(w).alias("prev_lon"),
     )
 
+    # Reference-faithful, DELIBERATELY: the reference computes gaps on
+    # the DST-shifted local wall clock (EXTRACT(EPOCH FROM (local_time
+    # - prev_time)), trips_lambda.py:118,128), so segments spanning a
+    # Europe/Zurich DST transition mis-measure by ±1h there and here
+    # alike (spring-forward drops a real 10-min segment as >1h;
+    # fall-back yields a negative gap). A UTC-gap variant would just be
+    # gap over `timestamp` — kept identical to the reference (and the
+    # e1 oracle) instead, because trip parity is the contract.
     gap_s = (F.unix_micros("local_time") - F.unix_micros("prev_time")) / 1e6
     trip_segments = (
         trip_data
@@ -74,6 +82,13 @@ def build_trips(bike_status: DataFrame, cfg: TripConfig = TripConfig()) -> DataF
         )
     )
 
+    # MIN/MAX per coordinate COLUMN, independently — also reference-
+    # faithful (trips_lambda.py:139-142: MIN(start_lat), MIN(start_lon)
+    # ...), even though it can fabricate a start point no segment had
+    # (lat from one segment, lon from another). min_by(start_lat,
+    # start_time) pairs would give the true first point; the reference's
+    # exact aggregate is kept because the e1 oracle checks parity with
+    # it.
     trips = (
         trip_segments.groupBy("bike_id", "provider_id")
         .agg(F.min("start_time").alias("trip_start"),
@@ -99,9 +114,17 @@ def run_incremental(spark: SparkSession, source_path: str, target_path: str,
     """The daily Lambda run (trips_lambda.py:212-246): scan the sliding
     window, rebuild trips, merge into the fact table keyed on
     (bike_id, trip_start) — idempotent re-runs, like ON CONFLICT."""
-    status = (spark.read.parquet(source_path)
-              .filter((F.col("timestamp") >= F.lit(window_start))
-                      & (F.col("timestamp") < F.lit(window_end))))
+    status = spark.read.parquet(source_path)
+    ts_filter = ((F.col("timestamp") >= F.lit(window_start))
+                 & (F.col("timestamp") < F.lit(window_end)))
+    if "dt" in status.columns:
+        # partition pruning needs a predicate on the PARTITION column —
+        # Spark cannot derive dt bounds from the timestamp filter, so
+        # without this the daily run lists and opens every partition
+        # of the table (O(table), not the promised O(1 day))
+        ts_filter = ts_filter & F.col("dt").between(
+            window_start.date(), window_end.date())
+    status = status.filter(ts_filter)
     new_trips = build_trips(status, cfg)
     # Partition-scoped MERGE (operators/merge.py): only the dt
     # partitions the window's trips fall into are read and rewritten —

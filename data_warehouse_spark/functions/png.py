@@ -69,9 +69,14 @@ def _iter_chunks(data: bytes):
     while pos + 8 <= n:
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        if len(body) != length:
+        if pos + 12 + length > n:
+            # covers truncation inside the body AND inside the 4-byte
+            # CRC field (a body-only check would accept a blob cut off
+            # mid-CRC). CRC VALUES are deliberately not verified —
+            # module-docstring scope choice — but structural
+            # completeness is.
             raise PngError("truncated chunk")
+        body = data[pos + 8:pos + 8 + length]
         yield tag, body
         pos += 12 + length  # length + tag + body + crc
         if tag == b"IEND":

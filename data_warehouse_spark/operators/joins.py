@@ -42,35 +42,44 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, left_ts: str,
     comparison) could see different winners. The hash is computed from
     the row's values, so the winner is stable no matter how the data is
     partitioned; the highest hash wins.
+
+    The value columns ride in ONE struct, not per-column last()s: the
+    struct is non-null for every right row even when its fields are
+    null, so the winning right ROW is carried atomically. Independent
+    per-column last(ignorenulls) would skip a genuine NULL in the most
+    recent row and backfill it from an OLDER row — a chimera mixing
+    columns of different right rows (and native ASOF JOIN semantics,
+    which this must match, take the whole row).
     """
     if direction != "backward":
         raise ValueError("only backward as-of supported")
     overlap = set(value_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"value_cols collide with left columns: {sorted(overlap)}")
+    from pyspark.sql import types as T
+
     lcols = [c for c in left.columns]
+    v_type = T.StructType([right.schema[c] for c in value_cols])
     tagged_r = right.select(
         F.col(on).alias("__k"), F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.xxhash64(*[F.col(c) for c in right.columns]).alias("__rid"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
     )
     tagged_l = left.select(
         F.col(on).alias("__k"), F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"), F.lit(0).cast("long").alias("__rid"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(v_type).alias("__v"),
         *lcols,
     )
     unioned = tagged_r.unionByName(tagged_l)
     w = (Window.partitionBy("__k").orderBy("__ts", "__side", "__rid")
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = unioned.select(
-        "*", *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-               for c in value_cols],
-    )
+        "*", F.last("__v", ignorenulls=True).over(w).alias("__f"))
     return (filled.filter(F.col("__side") == 1)
-            .select(*lcols, *[F.col(f"__f_{c}").alias(c) for c in value_cols]))
+            .select(*lcols, *[F.col("__f")[c].alias(c) for c in value_cols]))
 
 
 def range_join_bucketed(left: DataFrame, right: DataFrame,
@@ -84,7 +93,17 @@ def range_join_bucketed(left: DataFrame, right: DataFrame,
     (interval width is bounded in practice: reference weather readings
     are daily), then hash-joins on bucket and filters exactly. With AQE
     this is a shuffle or broadcast hash join, never a nested loop.
+
+    Inner-only: the exact range predicate sits ABOVE the join, so an
+    outer join's null-extended (or wrong-bucket) rows would be
+    filtered right back out — accepting how='left' here would silently
+    return inner-join results. An outer rewrite needs the predicate in
+    the join condition itself.
     """
+    if how != "inner":
+        raise ValueError(
+            f"range_join_bucketed supports how='inner' only, got {how!r} "
+            "— the post-join exact filter drops outer-extended rows")
     lb = left.withColumn("__bucket", (F.col(left_val).cast("long") / bucket_width).cast("long"))
     rb = (right
           .withColumn("__lo", range_lo).withColumn("__hi", range_hi)

@@ -41,9 +41,9 @@ def with_session_id(df: DataFrame, key: str, ts: str, gap_seconds: float,
         prev_ts.isNull() | (gap_us > F.lit(int(gap_seconds * 1_000_000)))
     ).cast("int")
     # Running sum of break flags over the same window partitioning ->
-    # no extra shuffle beyond the one the lag already required.
-    running = Window.partitionBy(key).orderBy(*order_cols) \
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # no extra shuffle beyond the one the lag already required (derived
+    # from the same spec so the two can never order differently).
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(out_col, F.sum(is_break).over(running))
 
 

@@ -590,3 +590,25 @@ def test_scd2_preserves_null_current_and_drops_null_eff_updates(spark):
     # malformed update dropped (no all-NULL row), NULL-is_current row
     # preserved verbatim in the history branch
     assert rows == {(1, "x", True), (2, "y", None)}
+
+
+def test_asof_join_carries_whole_row_not_per_column_fill(spark):
+    """A genuine NULL in the most recent right row must WIN (native
+    ASOF semantics take the whole row) — per-column last(ignorenulls)
+    would backfill it from an older row, yielding a chimera mixing two
+    right rows (round-5 review finding)."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame([Row(k=1, ts=t(30))])
+    right = spark.createDataFrame(
+        [Row(k=1, rts=t(10), temp=10.0, precip=1.0),
+         Row(k=1, rts=t(20), temp=None, precip=5.0)],
+        "k int, rts timestamp, temp double, precip double")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                    value_cols=["temp", "precip"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # the t(20) row wins atomically: temp is its genuine NULL, never
+    # t(10)'s 10.0
+    assert r.temp is None and r.precip == 5.0
