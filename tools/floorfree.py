@@ -77,6 +77,9 @@ DEFAULT_QUERIES = {
     # construction, like u7.
     "x13_decontaminate": (16, 64, 256),
     "x2e_incremental_dedup": (16, 64, 256),
+    # validation report: a union'd full scan + conditional-sum
+    # aggregate + distinct-count — data-dominated, hash-verified
+    "dq1_validation_report": (16, 64, 256),
 }
 
 # (key columns salted as key*n+copy) per amplified table; text gets a
