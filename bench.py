@@ -42,7 +42,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(Path(sf_dir).name.replace("sf", "")) if "sf" in Path(sf_dir).name else -1.0
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = -1.0  # cosmetic metadata only — never abort the bench on it
     spark = get_spark("bench")
 
     specs = load_all()

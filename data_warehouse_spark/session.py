@@ -57,8 +57,6 @@ def get_spark(app_name: str = "data_warehouse_spark", master: str | None = None,
         # (off by default since SPARK-28595 because multi-file buckets
         # would need a merge-sort read).
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-        # Small-file local runs: don't over-split 60k-row parquet files.
-        .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

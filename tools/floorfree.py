@@ -85,6 +85,11 @@ DEFAULT_QUERIES = {
 # (key columns salted as key*n+copy) per amplified table; text gets a
 # per-copy token so amplification never plants exact-duplicate cliques
 # that would blow candidate pairs up quadratically.
+# above these multipliers the Spark query and the DuckDB oracle stop
+# doing the same logical work (see DEFAULT_QUERIES notes) — enforced
+# even under an explicit --mults
+DIVERGENCE_CAPS = {"x2c_ngram_jaccard": 16}
+
 SALT_KEYS = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
@@ -95,9 +100,14 @@ SALT_KEYS = {
 
 
 def build_amplified(spark, src: str, out: str, n: int) -> str:
-    """Materialize src fixtures amplified n-x under {out}/amp{n}/ — an
-    in-plan explode per table (one scan), keys salted per copy."""
-    amp_dir = f"{out}/amp{n}"
+    """Materialize src fixtures amplified n-x under {out}/<src>_amp{n}/
+    — an in-plan explode per table (one scan), keys salted per copy.
+    The cache directory is keyed by the SOURCE path too: a bare amp{n}
+    marker would silently serve one --src's amplified data to a run
+    against another (wrong data, right-looking label)."""
+    import hashlib
+    src_tag = hashlib.md5(src.encode()).hexdigest()[:8]
+    amp_dir = f"{out}/{src_tag}_amp{n}"
     done_marker = Path(amp_dir) / "_DONE"
     if done_marker.exists():
         return amp_dir
@@ -131,18 +141,18 @@ def build_amplified(spark, src: str, out: str, n: int) -> str:
 
 
 def duck_con(amp_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{amp_dir}/{t}.parquet/*.parquet')")
-    return con
+    # shared with tools/parity.py — one view-registration helper, the
+    # glob suffix is the only difference between the two layouts
+    from tools.parity import duck_connection
+    return duck_connection(amp_dir, pattern="{dir}/{t}.parquet/*.parquet")
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/floorfree")
-    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=2,
+                    choices=range(1, 100), metavar="N")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--mults", default="")
     args = ap.parse_args()
@@ -151,6 +161,17 @@ def main() -> int:
     plan = {q: (tuple(int(m) for m in args.mults.split(","))
                 if args.mults else DEFAULT_QUERIES.get(q, (16, 64)))
             for q in args.queries.split(",")}
+    # divergence caps hold even under an explicit --mults: above the
+    # cap a query's two engines no longer do the same logical work
+    # (x2c's Spark side auto-routes oversized blocks through the LSH
+    # prefilter while the DuckDB oracle stays exact-quadratic), so the
+    # cell would be meaningless — and possibly hours of oracle runtime
+    for q, cap in DIVERGENCE_CAPS.items():
+        if q in plan and any(m > cap for m in plan[q]):
+            kept = tuple(m for m in plan[q] if m <= cap)
+            print(f"capping {q} mults {plan[q]} -> {kept} (engines "
+                  f"diverge above {cap}x)", file=sys.stderr)
+            plan[q] = kept
 
     # Merge into any existing FLOORFREE.json: partial re-runs (one query,
     # one mult) must not clobber previously measured cells — a full
@@ -200,11 +221,18 @@ def main() -> int:
                 dt = time.time() - t0
                 cell["duckdb_s"] = min(cell["duckdb_s"] or dt, dt)
             cell["duckdb_rows"] = len(rows)
-            cell["spark_s"] = round(cell["spark_s"], 3)
-            cell["duckdb_s"] = round(cell["duckdb_s"], 3)
+            # ratio from RAW values: rounding duckdb_s first can make
+            # it 0.000 for a sub-ms oracle run and divide by zero
             cell["ratio"] = round(cell["spark_s"] / cell["duckdb_s"], 2)
             cell["floor_pct_of_spark"] = round(
                 100 * floor_s / cell["spark_s"], 1)
+            cell["spark_s"] = round(cell["spark_s"], 3)
+            cell["duckdb_s"] = round(cell["duckdb_s"], 3)
+            # per-cell provenance: merged files can carry cells from
+            # different runs/sources, so the top-level src/runs only
+            # describe the LATEST run
+            cell["src"] = args.src
+            cell["runs"] = args.runs
             results[q][str(m)] = cell
             print(f"  {q} @{m}x: spark {cell['spark_s']}s "
                   f"duckdb {cell['duckdb_s']}s ratio {cell['ratio']} "

@@ -29,10 +29,15 @@ from data_warehouse_spark.queries.registry import load_all  # noqa: E402
 from data_warehouse_spark.session import get_spark  # noqa: E402
 
 
-def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+def duck_connection(sf_dir: str,
+                    pattern: str = "{dir}/{t}.parquet") -> duckdb.DuckDBPyConnection:
+    """Register every fixture table as a DuckDB view. `pattern` adapts
+    the path layout (single-file fixtures vs floorfree's multi-part
+    directories) so this stays the one view-registration helper."""
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        path = pattern.format(dir=sf_dir, t=t)
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 
@@ -70,13 +75,13 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> tuple[bool, str]:
             na_mismatch = (av.isna() != bv.isna()).any()
             diff = (av.fillna(0) - bv.fillna(0)).abs().max()
             if na_mismatch or (diff and diff > 0):
-                exact = not na_mismatch and bool((av.fillna(1.23e300) == bv.fillna(1.23e300)).all())
-                if not exact:
-                    rel_ok = not na_mismatch and bool(
-                        ((av.fillna(0) - bv.fillna(0)).abs()
-                         <= 1e-9 * (1 + bv.fillna(0).abs())).all())
-                    tag = "NEAR(<=1e-9 rel)" if rel_ok else f"maxdiff={diff}"
-                    return False, f"float col '{c}' not bit-equal: {tag}"
+                # reaching here means some pair already differs, so the
+                # only question left is HOW badly (near-miss vs real)
+                rel_ok = not na_mismatch and bool(
+                    ((av.fillna(0) - bv.fillna(0)).abs()
+                     <= 1e-9 * (1 + bv.fillna(0).abs())).all())
+                tag = "NEAR(<=1e-9 rel)" if rel_ok else f"maxdiff={diff}"
+                return False, f"float col '{c}' not bit-equal: {tag}"
         else:
             if not av.equals(bv):
                 neq = (av != bv) & ~(av.isna() & bv.isna())
