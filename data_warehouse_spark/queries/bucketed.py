@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.operators.bucketing import bucketed_view
 from data_warehouse_spark.queries.registry import register
-from data_warehouse_spark.queries.util import cents, money_sum, money_sum_sql
+from data_warehouse_spark.queries.util import (
+    cents, money_sum, money_sum_sql, scratch_dir,
+)
 
 # One scan task per bucket on the read side: match the local harness's
 # core count (on a cluster this would be thousands — buckets should be
@@ -105,7 +107,7 @@ def u8_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.agg(F.min("lat"), F.max("lat"), F.min("lon"), F.max("lon")).first()
     xi = zorder_cell(F.col("lat"), b[0], b[1])
     yi = zorder_cell(F.col("lon"), b[2], b[3])
-    out = tempfile.mkdtemp(prefix="dws_zorder_")
+    out = scratch_dir("zorder")
     write_zordered(ev, out, zorder_key(xi, yi), n_files=32)
     back = spark.read.parquet(out)
     return (back.filter((F.col("lat") >= 10) & (F.col("lat") < 20)

@@ -21,10 +21,10 @@ from data_warehouse_spark.operators.joins import asof_join, range_join_bucketed
 from data_warehouse_spark.queries.registry import register
 from data_warehouse_spark.queries.util import money_sum, money_sum_sql
 
-# j6 registers first within this module: its as-of tie-break changed in
-# round 3, so it must sit inside the driver's 50-entry correctness
-# window (tests/test_registry.py); the joins it displaces (j5/j7/j8)
-# are unchanged and driver-green in CORRECTNESS_r01/r02.
+# Registration order within this module is NOT the driver-window knob:
+# since round 4 the 50-entry correctness window is pinned explicitly by
+# DRIVER_WINDOW in queries/registry.py (asserted in
+# tests/test_registry.py) — edit that list, not the order here.
 
 
 @register(

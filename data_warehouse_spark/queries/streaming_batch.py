@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.queries.registry import register
-from data_warehouse_spark.queries.util import money_sum, money_sum_sql
+from data_warehouse_spark.queries.util import (
+    money_sum, money_sum_sql, scratch_dir,
+)
 from data_warehouse_spark.streaming.jobs import read_events_stream, start_memory_sink
 
 
@@ -159,7 +161,7 @@ def st5_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    root = tempfile.mkdtemp(prefix="dws_late_")
+    root = scratch_dir("st5_late")
     staged, ckpt, outp = f"{root}/in", f"{root}/ckpt", f"{root}/out"
     os.makedirs(staged)
     ev = load_table(spark, sf_dir, "events")
@@ -287,7 +289,7 @@ def st7_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from data_warehouse_spark.streaming.jobs import run_foreach_batch_upsert
-    target = tempfile.mkdtemp(prefix="dws_st7_") + "/t"
+    target = scratch_dir("st7_upsert") + "/t"
     stream = read_events_stream(spark, sf_dir)
     latest = stream.select("user_id", "event_type", "ts", "value")
     q = run_foreach_batch_upsert(latest, target,

@@ -103,7 +103,12 @@ def udf4_udtf_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_ids, out_words = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for w in re.split(r"\s+", text.strip().lower()):
+                # mirror the oracle's trim/\s semantics exactly: SQL
+                # trim strips SPACES only and RE2/Java \s is the ASCII
+                # class — Python's .strip() / unicode-aware \s would
+                # diverge on edge tabs/newlines/NBSP
+                for w in re.split(r"[ \t\n\x0b\f\r]+",
+                                  text.strip(" ").lower()):
                     out_ids.append(doc_id)
                     out_words.append(w)
             yield pd.DataFrame({"doc_id": out_ids, "word": out_words})
@@ -139,7 +144,8 @@ def _polygon_edges_sql() -> str:
     "j9_spatial_join",
     oracle=f"""
 WITH pts AS (
-    SELECT event_id, value % 90 AS lat, (event_id % 36000) / 100.0 - 180.0 AS lon
+    SELECT event_id, value % 90 AS lat,
+           ((event_id * 97) % 36000) / 100.0 - 180.0 AS lon
     FROM events
 ), edges(region_id, x1, y1, x2, y2) AS (VALUES
   {_polygon_edges_sql()}
@@ -168,7 +174,11 @@ def j9_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = ev.select(
         "event_id",
         (F.col("value") % 90).alias("lat"),
-        ((F.col("event_id") % 36000) / 100.0 - 180.0).alias("lon"))
+        # the *97 spread makes small-id tiers (sf0.001: event_id < 1000)
+        # cover the full longitude range — a bare (id % 36000) confined
+        # smoke-tier points to [-180, -170], west of every polygon, so
+        # the smoke gate exercised zero containment candidates
+        (((F.col("event_id") * 97) % 36000) / 100.0 - 180.0).alias("lon"))
     polys = spark.createDataFrame(
         [(rid, ring) for rid, ring in _POLYGONS],
         "region_id long, ring array<struct<lon: double, lat: double>>")

@@ -48,3 +48,24 @@ def money_avg(col: str | Column, scale: int = 100) -> Column:
 def money_avg_sql(col: str, scale: int = 100) -> str:
     return (f"CAST(CAST(SUM({cents_sql(col, scale)}) AS BIGINT) AS DOUBLE)"
             f" / {float(scale)} / COUNT(*)")
+
+
+def scratch_dir(tag: str) -> str:
+    """Process-scoped reusable scratch directory for sink/maintenance
+    queries: one directory per (process, tag), WIPED on every call.
+
+    Sink queries write a table copy per invocation; a fresh mkdtemp
+    each time accretes unbounded /tmp in a long-lived driver (u5/u6
+    rewrite the whole partitioned events table per call). Wiping a
+    stable per-tag dir bounds that to one copy per query per process
+    while still giving each invocation a clean slate (streaming
+    checkpoint dirs included)."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(),
+                     f"dws_scratch_{os.getpid()}", tag)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d

@@ -17,7 +17,7 @@ from data_warehouse_spark.operators.merge import (
     dedup_latest, incremental_rollup, upsert,
 )
 from data_warehouse_spark.queries.registry import register
-from data_warehouse_spark.queries.util import cents
+from data_warehouse_spark.queries.util import cents, scratch_dir
 from data_warehouse_spark.sources.rest_json import (
     fetch_air_quality, gbfs_sample_frame, parse_gbfs,
 )
@@ -161,7 +161,7 @@ FROM customer GROUP BY c_mktsegment
 )
 def s4_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    out = tempfile.mkdtemp(prefix="dws_csv_")
+    out = scratch_dir("s4_csv")
     cust.select("c_custkey", "c_mktsegment").write.mode("overwrite") \
         .option("header", True).csv(out)
     back = spark.read.option("header", True) \
@@ -187,7 +187,7 @@ GROUP BY event_type
 )
 def s5_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="dws_append_")
+    out = scratch_dir("s5_append")
     ev.filter(F.col("event_id") % 3 == 0).select("event_id", "event_type") \
         .write.mode("overwrite").parquet(out)
     ev.filter(F.col("event_id") % 3 == 1).select("event_id", "event_type") \
@@ -384,7 +384,7 @@ FROM documents GROUP BY lang
 )
 def s9_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="dws_jsonl_")
+    out = scratch_dir("s9_jsonl")
     docs.select("doc_id", "text", "lang", "n_chars") \
         .write.mode("overwrite").json(out)
     back = spark.read.schema(
@@ -412,7 +412,7 @@ FROM orders GROUP BY o_orderstatus
 )
 def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="dws_orc_")
+    out = scratch_dir("s10_orc")
     orders.select("o_orderkey", "o_orderstatus", "o_totalprice") \
         .write.mode("overwrite").orc(out)
     back = spark.read.schema(
@@ -441,7 +441,7 @@ def s6_ddl_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT CAST(COUNT(*) AS INT) AS n_regions FROM s6_region")
 
 
-_S8_CACHE: dict[str, str] = {}
+_S8_CACHE: dict[tuple, str] = {}
 
 
 @register(
@@ -466,13 +466,21 @@ GROUP BY event_type
     tags=("source", "pruning"),
 )
 def s8_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from data_warehouse_spark.io import write_partitioned
 
-    path = _S8_CACHE.get(sf_dir)
+    # cache key includes the source file's mtime: fixtures are
+    # regenerated IN PLACE between driver rounds (llm_vector.
+    # _query_vecs documents the same hazard), so a long-lived process
+    # must re-derive the partitioned copy when events.parquet changes —
+    # a path-only key would keep serving the previous generation
+    key = (sf_dir, os.path.getmtime(f"{sf_dir}/events.parquet"))
+    path = _S8_CACHE.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix="dws_s8_") + "/events_dt"
         write_partitioned(load_table(spark, sf_dir, "events"), path, ts_col="ts")
-        _S8_CACHE[sf_dir] = path
+        _S8_CACHE[key] = path
     ev = spark.read.parquet(path)
     return (ev.filter(F.col("dt").isin("2024-01-10", "2024-01-11"))
             .groupBy("event_type")
@@ -569,7 +577,7 @@ def u5_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_spark.queries.util import money_sum
 
     ev = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="dws_u5_") + "/events_dt"
+    path = scratch_dir("u5_delete") + "/events_dt"
     write_partitioned(ev, path, ts_col="ts")
     doomed = ev.filter(F.col("user_id") % 7 == 0).select("user_id")
     delete_by_keys(spark, path, doomed, keys=["user_id"])
@@ -607,7 +615,7 @@ def u6_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_spark.queries.util import money_sum
 
     ev = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="dws_u6_") + "/events_dt"
+    path = scratch_dir("u6_compact") + "/events_dt"
     # fragment deliberately: ~8 files per partition, the micro-batch
     # accretion pattern compaction exists to undo
     write_partitioned(ev.repartition(8), path, ts_col="ts")

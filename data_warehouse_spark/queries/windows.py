@@ -1,9 +1,9 @@
 """Window-function operators (SURVEY §2.5 W1-W4, plus P4's lag-null
 predicate). W5 (sessionization) lives in queries/sessions.py.
 
-All windows partition by user_id — the same hash partitioning the
-reference's PostgreSQL window used (PARTITION BY bike_id,
-trips_lambda.py:102-104). One shuffle per distinct partitioning;
+Each query partitions on its natural key (w1/w2 on user_id — the
+reference's PARTITION BY bike_id, trips_lambda.py:102-104; w3/w4 on
+o_custkey; w6 on c_mktsegment). One shuffle per distinct partitioning;
 Catalyst collapses adjacent window functions over the same spec into a
 single WindowExec.
 """
