@@ -17,6 +17,7 @@ from data_warehouse_spark.io import load_table
 from data_warehouse_spark.queries.registry import register
 from data_warehouse_spark.queries.util import (
     cents, cents_sql, money_avg, money_avg_sql, money_sum, money_sum_sql,
+    wide_sum, wide_sum_sql,
 )
 
 # ---------------------------------------------------------------------------
@@ -170,8 +171,8 @@ def p6_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        {money_sum_sql('l_quantity')} AS sum_qty,
        {money_sum_sql('l_extendedprice')} AS sum_base_price,
-       CAST(SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})) AS DOUBLE) / 10000.0 AS sum_disc_price,
-       CAST(SUM({cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')}) * (100 + {cents_sql('l_tax')})) AS DOUBLE) / 1000000.0 AS sum_charge,
+       {wide_sum_sql(f"{cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')})")} / 10000.0 AS sum_disc_price,
+       {wide_sum_sql(f"{cents_sql('l_extendedprice')} * (100 - {cents_sql('l_discount')}) * (100 + {cents_sql('l_tax')})")} / 1000000.0 AS sum_charge,
        {money_avg_sql('l_quantity')} AS avg_qty,
        {money_avg_sql('l_extendedprice')} AS avg_price,
        {money_avg_sql('l_discount')} AS avg_disc,
@@ -189,10 +190,11 @@ GROUP BY l_returnflag, l_linestatus
         "fit), but the cents^2/cents^3 products (sum_disc_price, "
         "sum_charge: ~4e8/~4e10 per row) overflow a LONG total at "
         "~9e9/~2.5e8 rows per group — well inside the 100 TB design "
-        "point — so THOSE sums accumulate in DECIMAL(38,0), DuckDB's "
-        "HUGEINT twin. Both engines then convert the identical exact "
-        "integer total to double (deterministic nearest-even) before "
-        "the one descaling division, so bit parity is preserved.",
+        "point — so THOSE sums use wide_sum's hi/lo split accumulation "
+        "(two LONG sums = a manual 128-bit accumulator, exact to ~1e16 "
+        "rows per group, measured ~10% over the plain long sum where "
+        "DECIMAL(38,0) cost ~1.9x; util.wide_sum documents the "
+        "floor-vs-round cast parity constraint).",
     tags=("agg", "headline"),
 )
 def a1_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,11 +208,10 @@ def a1_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             money_sum("l_quantity").alias("sum_qty"),
             money_sum("l_extendedprice").alias("sum_base_price"),
-            (F.sum((price_c * (100 - disc_c)).cast("decimal(38,0)"))
-             .cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
-            (F.sum((price_c * (100 - disc_c) * (100 + tax_c))
-                   .cast("decimal(38,0)"))
-             .cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+            (wide_sum(price_c * (100 - disc_c))
+             / F.lit(10000.0)).alias("sum_disc_price"),
+            (wide_sum(price_c * (100 - disc_c) * (100 + tax_c))
+             / F.lit(1000000.0)).alias("sum_charge"),
             money_avg("l_quantity").alias("avg_qty"),
             money_avg("l_extendedprice").alias("avg_price"),
             money_avg("l_discount").alias("avg_disc"),
@@ -326,7 +327,7 @@ def a11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_mktsegment,
        {money_avg_sql('c_acctbal')} AS avg_bal,
        ROUND(CASE WHEN COUNT(*) > 1 THEN sqrt(
-           (CAST(SUM({cents_sql('c_acctbal')} * {cents_sql('c_acctbal')}) AS DOUBLE) / 10000.0
+           ({wide_sum_sql(f"{cents_sql('c_acctbal')} * {cents_sql('c_acctbal')}")} / 10000.0
             - (CAST(SUM({cents_sql('c_acctbal')}) AS BIGINT) / 100.0)
               * (CAST(SUM({cents_sql('c_acctbal')}) AS BIGINT) / 100.0) / COUNT(*))
            / (COUNT(*) - 1)) END, 6) AS std_bal,
@@ -339,8 +340,8 @@ GROUP BY c_mktsegment
         "exploration). stddev is spelled out over exact integer sums in "
         "both engines so internal algorithm differences (Welford vs "
         "naive) can't leak (parity_notes rule 5). The squared-cents "
-        "sum (~1e12 per row) accumulates in DECIMAL(38,0)/HUGEINT — a "
-        "LONG total overflows at ~9e6 rows per segment, far below "
+        "sum (~1e12 per row) uses wide_sum's hi/lo split accumulation "
+        "— a LONG total overflows at ~9e6 rows per segment, far below "
         "warehouse scale; the linear sum stays LONG (fits to ~1e15 "
         "rows per group).",
     tags=("agg",),
@@ -350,7 +351,7 @@ def a6_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bal_c = cents("c_acctbal")
     n = F.count(F.lit(1))
     sum_c = F.sum(bal_c).cast("double")
-    sumsq = F.sum((bal_c * bal_c).cast("decimal(38,0)")).cast("double")
+    sumsq = wide_sum(bal_c * bal_c)
     var = (sumsq / 10000.0 - (sum_c / 100.0) * (sum_c / 100.0) / n) / (n - 1)
     return cust.groupBy("c_mktsegment").agg(
         money_avg("c_acctbal").alias("avg_bal"),

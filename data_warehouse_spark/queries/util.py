@@ -69,3 +69,37 @@ def scratch_dir(tag: str) -> str:
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def wide_sum(v, split: int = 1_000_000):
+    """Overflow-safe exact SUM of large nonnegative integer products
+    (cents^2/cents^3 operands), as a double: hi/lo split accumulation —
+    two LONG sums (a manual 128-bit accumulator), recombined in double.
+
+    A single LONG sum of cents^3 (~4e10/row) overflows at ~2.5e8 rows
+    per group; DECIMAL(38,0) is safe but measured ~1.9x slower on the
+    aggregate stage at 153M rows. Splitting v = hi*split + lo keeps
+    both partial sums in LONG to ~1e16 rows per group at cents^3
+    operands, at ~10% over the plain long sum.
+
+    Exactness/parity requirements (both hold for every caller):
+      - v must be NONNEGATIVE and < 2^53: then (v/split) rounds to a
+        double whose truncation IS floor(v/split) — fractional parts
+        are multiples of 1/split, far above the ulp — so Spark's
+        truncating cast equals the oracle's integer // division.
+        (DuckDB's CAST(double AS BIGINT) ROUNDS, so the SQL twin must
+        use //, never a cast of the quotient.)
+      - the hi/lo totals convert to double independently in both
+        engines, so the recombined expression tree is IEEE-identical.
+    """
+    hi = (v / F.lit(float(split))).cast("long")
+    lo = v - hi * split
+    return (F.sum(hi).cast("double") * split + F.sum(lo).cast("double"))
+
+
+def wide_sum_sql(expr: str, split: int = 1_000_000) -> str:
+    """DuckDB twin of :func:`wide_sum` — integer // for the hi part
+    (see wide_sum's cast-vs-round note)."""
+    hi = f"(({expr}) // {split})"
+    return (f"(CAST(SUM({hi}) AS DOUBLE) * {split} "
+            f"+ CAST(SUM(({expr}) - {hi} * {split}) AS DOUBLE))")
