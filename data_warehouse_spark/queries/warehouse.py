@@ -241,6 +241,54 @@ def u7_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s11_schema_evolution",
+    oracle="""
+WITH unioned AS (
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT (o_orderpriority IS NOT NULL) AS has_priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_price,
+       MIN(o_orderkey) AS min_key
+FROM unioned GROUP BY (o_orderpriority IS NOT NULL)
+""",
+    doc="S11 [cap]: schema-evolution read — a table whose later batches "
+        "added a column (the normal life of any long-lived log: the "
+        "reference's DDL would need ALTER TABLE; a parquet lake just "
+        "starts writing the wider files). Batch 1 lands without "
+        "o_orderpriority, batch 2 with it; the read uses mergeSchema=true so "
+        "ONE scan reconciles both footers and old rows surface NULL "
+        "for the new column. The aggregate groups by column presence, "
+        "certifying that evolution neither lost rows nor leaked "
+        "values across batches. At 100 TB, schema merging is a "
+        "footer-level planning cost (per file, driver-side) — the "
+        "scan itself is unchanged; pin an explicit schema once the "
+        "layout stabilizes to avoid even that.",
+    tags=("source",),
+)
+def s11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = scratch_dir("s11_evolve")
+    orders.filter(F.col("o_orderkey") % 2 == 0) \
+        .select("o_orderkey", "o_totalprice") \
+        .write.mode("append").parquet(out)
+    orders.filter(F.col("o_orderkey") % 2 == 1) \
+        .select("o_orderkey", "o_totalprice", "o_orderpriority") \
+        .write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return (back.groupBy(F.col("o_orderpriority").isNotNull().alias("has_priority"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(cents("o_totalprice")) / F.lit(100.0))
+                 .alias("sum_price"),
+                 F.min("o_orderkey").alias("min_key")))
+
+
+@register(
     "dq1_validation_report",
     oracle="""
 WITH redelivered AS (
