@@ -58,7 +58,13 @@ def get_spark(app_name: str = "data_warehouse_spark", master: str | None = None,
         # would need a merge-sort read).
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] runs 32 concurrent tasks in ONE JVM: at 8g a
+        # 614M-row bucketed write (32 parallel sorters) OOMs the heap
+        # before spill kicks in. The box provisions 128 GiB; 48g
+        # leaves room for the OS page cache and a DuckDB peer while
+        # giving each task slot ~1.5g — a real cluster expresses the
+        # same budget per executor.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
