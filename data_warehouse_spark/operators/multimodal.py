@@ -99,22 +99,33 @@ def attach_png_blob(df: DataFrame, text_col: str = "text",
 
 
 def png_blob_table(spark, sf_dir: str,
-                   base: str = "/tmp/dw_spark_png") -> DataFrame:
-    """Session-persistent PNG payload side table: attach_png_blob's
-    output materialized to parquet ONCE per sf_dir, then scanned.
+                   base: str | None = None) -> DataFrame:
+    """Process-persistent PNG payload side table: attach_png_blob's
+    output materialized to parquet ONCE per (sf_dir, fixture mtime),
+    then scanned.
 
     A real media pipeline lands payloads at ingest; only this fixture
     synthesizes them from text. Materializing the synthesis as a
     one-off write (exactly like operators/bucketing.bucketed_view's
     ingest-time layout) means queries downstream — and the benchmark —
     measure the actual pipeline shape, scan -> decode -> plan, instead
-    of re-paying the per-row PNG *encode* on every run."""
+    of re-paying the per-row PNG *encode* on every run.
+
+    The default path is PROCESS-unique and the cache key includes the
+    source file's mtime (the same two hazards bucketed_view and s8
+    guard): a shared fixed path let two concurrent sessions overwrite
+    each other mid-scan, and a path-only key served stale blobs after
+    an in-place fixture regeneration — a persistent false FAIL against
+    the oracle recomputed over the new documents."""
     import hashlib
     import os
 
     from data_warehouse_spark.io import load_table
 
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if base is None:
+        base = f"/tmp/dw_spark_png_{os.getpid()}"
+    mtime = int(os.path.getmtime(f"{sf_dir}/documents.parquet"))
+    digest = hashlib.md5(f"{sf_dir}|{mtime}".encode()).hexdigest()[:8]
     path = f"{base}/{digest}/png_blobs.parquet"
     if not os.path.exists(f"{path}/_SUCCESS"):
         attach_png_blob(load_table(spark, sf_dir, "documents")) \

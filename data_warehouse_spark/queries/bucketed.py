@@ -91,8 +91,6 @@ WHERE lat >= 10 AND lat < 20 AND lon >= -50 AND lon < -30
     tags=("layout", "scan"),
 )
 def u8_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from data_warehouse_spark.operators.bucketing import (
         write_zordered, zorder_cell, zorder_key,
     )

@@ -321,7 +321,13 @@ def x14b_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = token_budget_sample_scalable(
         sized.select("lang", "k", "n_tokens"),
         stratum="lang", key="k", weight="n_tokens", budget=2000)
-    return (out.join(sized.select("lang", "k", "doc_id"), on=["lang", "k"])
+    # null-safe on lang: the sampler deliberately preserves a NULL
+    # stratum (its own window partition); a plain equi-join here would
+    # silently drop those rows right after the sampler kept them
+    ids = sized.select(F.col("lang").alias("__l"), F.col("k").alias("__k2"),
+                       "doc_id")
+    return (out.join(ids, on=[F.col("lang").eqNullSafe(F.col("__l")),
+                              F.col("k") == F.col("__k2")])
             .select("lang", "doc_id",
                     F.col("n_tokens").alias("n_tokens"),
                     F.col("cum").alias("cum_tokens")))
@@ -582,7 +588,10 @@ def mm1_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             # Stand-in for image/audio decode + frame sampling: the real
             # implementation would decode `blob` with a codec lib here.
-            n_bytes = pdf["blob"].map(len)
+            # Null blobs degrade per-row (len(None) would kill the
+            # whole Arrow batch — the multimodal per-unit-isolation
+            # convention, operators/multimodal.py)
+            n_bytes = pdf["blob"].map(lambda b: 0 if b is None else len(b))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": n_bytes.astype("int64"),
@@ -704,7 +713,8 @@ def mm4_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def extract(batches):
         for pdf in batches:
-            n = pdf["blob"].map(len)
+            # null-safe per-unit isolation, as in mm1's stub
+            n = pdf["blob"].map(lambda b: 0 if b is None else len(b))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "features": [[float(v % 7), float(v % 11), float(v % 13)]

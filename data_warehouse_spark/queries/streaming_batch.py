@@ -39,11 +39,11 @@ def st1_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st2_tumbling_window",
-    oracle="""
+    oracle=f"""
 SELECT date_trunc('day', ts) AS win_start,
        date_trunc('day', ts) + INTERVAL 1 DAY AS win_end,
        event_type, COUNT(*) AS n,
-       ROUND(SUM(value), 6) AS sum_value
+       {money_sum_sql('value')} AS sum_value
 FROM events
 GROUP BY 1, 2, 3
 """,
@@ -57,7 +57,7 @@ def st2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = F.window("ts", "1 day")
     return (ev.groupBy(win.alias("win"), "event_type")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("value"), 6).alias("sum_value"))
+                 money_sum("value").alias("sum_value"))
             .select(F.col("win.start").alias("win_start"),
                     F.col("win.end").alias("win_end"),
                     "event_type", "n", "sum_value"))
@@ -66,8 +66,8 @@ def st2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st3_sliding_window",
     oracle="""
-SELECT to_timestamp(21600 * (epoch_us(ts) // 1000000 // 21600) - off.i * 21600)::TIMESTAMP AS win_start,
-       to_timestamp(21600 * (epoch_us(ts) // 1000000 // 21600) - off.i * 21600 + 86400)::TIMESTAMP AS win_end,
+SELECT TIMESTAMP '1970-01-01' + (21600 * (epoch_us(ts) // 1000000 // 21600) - off.i * 21600) * INTERVAL 1 SECOND AS win_start,
+       TIMESTAMP '1970-01-01' + (21600 * (epoch_us(ts) // 1000000 // 21600) - off.i * 21600 + 86400) * INTERVAL 1 SECOND AS win_end,
        user_id, COUNT(*) AS n
 FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS off(i)
 GROUP BY 1, 2, 3
@@ -88,7 +88,7 @@ def st3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st4_session_window",
-    oracle="""
+    oracle=f"""
 WITH lagged AS (
     SELECT user_id, ts, value,
            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
@@ -106,7 +106,7 @@ WITH lagged AS (
 SELECT MIN(ts) AS sess_start,
        MAX(ts) + INTERVAL 4 HOUR AS sess_end,
        user_id, COUNT(*) AS n_events,
-       ROUND(SUM(value), 6) AS sum_value
+       {money_sum_sql('value')} AS sum_value
 FROM ids GROUP BY user_id, sid
 """,
     doc="ST4: session_window batch form (streaming form: "
@@ -121,7 +121,7 @@ def st4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (ev.groupBy(F.session_window("ts", "4 hours").alias("sess"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 6).alias("sum_value"))
+                 money_sum("value").alias("sum_value"))
             .select(F.col("sess.start").alias("sess_start"),
                     F.col("sess.end").alias("sess_end"),
                     "user_id", "n_events", "sum_value"))
@@ -159,7 +159,6 @@ WHERE x.win_start + INTERVAL 1 DAY <= wm.w
 )
 def st5_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     root = scratch_dir("st5_late")
     staged, ckpt, outp = f"{root}/in", f"{root}/ckpt", f"{root}/out"
@@ -167,10 +166,11 @@ def st5_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
     def run_once() -> None:
+        from data_warehouse_spark.streaming.jobs import EVENTS_SCHEMA
+        # staged files are load_table-normalized, so the shared batch
+        # schema applies verbatim (single source of truth)
         stream = (spark.readStream.format("parquet")
-                  .schema("event_id long, ts timestamp, user_id long, "
-                          "event_type string, value double, props string")
-                  .load(staged))
+                  .schema(EVENTS_SCHEMA).load(staged))
         agg = (stream.withWatermark("ts", "1 hour")
                .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
                .agg(F.count(F.lit(1)).alias("n"))
@@ -286,8 +286,6 @@ FROM merged GROUP BY event_type
     tags=("streaming", "upsert"),
 )
 def st7_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from data_warehouse_spark.streaming.jobs import run_foreach_batch_upsert
     target = scratch_dir("st7_upsert") + "/t"
     stream = read_events_stream(spark, sf_dir)
@@ -312,7 +310,14 @@ FROM events GROUP BY user_id
         "applyInPandasWithState (streaming/jobs.py:running_user_stats) — "
         "per-user running profiles with event-time idle expiry, state "
         "the built-in windowed aggregates can't express. Pytest asserts "
-        "the final profiles equal the batch aggregate.",
+        "the final profiles equal the batch aggregate. THIS registered "
+        "query widens the idle gap to 30 days (>> any fixture "
+        "inter-event gap) so the MAX-over-update-rows final projection "
+        "equals the per-user total under ANY micro-batch split — with "
+        "the 30-min default, a multi-file source could expire state "
+        "mid-stream and restart the counters, making MAX the largest "
+        "segment instead of the total (the expiry path itself is "
+        "exercised in tests/test_streaming.py with a tight gap).",
     tags=("streaming", "stateful"),
 )
 def st8_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,7 +325,8 @@ def st8_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream, running_user_stats,
     )
     stream = read_events_stream(spark, sf_dir)
-    q = (running_user_stats(stream).writeStream.format("memory")
+    q = (running_user_stats(stream, idle_gap_ms=30 * 86_400_000)
+         .writeStream.format("memory")
          .queryName("st8_out").outputMode("update")
          .trigger(availableNow=True).start())
     q.awaitTermination()
