@@ -241,6 +241,70 @@ def u7_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u9_time_travel",
+    oracle="""
+WITH v1 AS (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+), updates AS (
+    SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+), v2 AS (
+    SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    UNION ALL
+    SELECT * FROM updates
+), tagged AS (
+    SELECT 1 AS version, * FROM v1
+    UNION ALL
+    SELECT 2 AS version, * FROM v2
+)
+SELECT version, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_price,
+       MIN(o_orderkey) AS min_key
+FROM tagged GROUP BY version
+""",
+    doc="U9 [cap]: snapshot versioning + time travel "
+        "(operators/snapshots.py) — the audit capability the "
+        "reference's in-place ON CONFLICT load destroys "
+        "(trips_lambda.py:180-206): after tonight's upsert, "
+        "yesterday's state is gone. Two committed versions (v1 = "
+        "pre-1997 orders; v2 = v1 upserted with revised 1996+ prices), "
+        "then BOTH read back via the manifest — aggregating each "
+        "proves v1 is bit-intact AFTER v2's commit. Writes are "
+        "immutable data dirs + an atomically-renamed JSON manifest "
+        "(the Delta/Iceberg core mechanic, no dependency), so time "
+        "travel is a metadata operation at any table size.",
+    tags=("upsert", "warehouse"),
+)
+def u9_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.snapshots import (
+        read_snapshot, write_snapshot,
+    )
+    table_dir = scratch_dir("u9_snapshots")
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")) \
+        .select("o_orderkey", "o_totalprice")
+    write_snapshot(v1, table_dir)
+    updates = orders.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) \
+        .select("o_orderkey",
+                (F.col("o_totalprice") * 1.1).alias("o_totalprice"))
+    v2 = upsert(read_snapshot(spark, table_dir, 1), updates,
+                keys=["o_orderkey"])
+    write_snapshot(v2, table_dir)
+    tagged = (read_snapshot(spark, table_dir, 1)
+              .withColumn("version", F.lit(1))
+              .unionByName(read_snapshot(spark, table_dir, 2)
+                           .withColumn("version", F.lit(2))))
+    return (tagged.groupBy("version")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(cents("o_totalprice")) / F.lit(100.0))
+                 .alias("sum_price"),
+                 F.min("o_orderkey").alias("min_key")))
+
+
+@register(
     "s11_schema_evolution",
     oracle="""
 WITH unioned AS (

@@ -117,3 +117,33 @@ def test_delete_by_keys_erases_null_dt_and_null_key_rows(spark, tmp_path):
     delete_by_keys(spark, target, dk, keys=["user_id"])
     got = {(r.user_id, r.v) for r in spark.read.parquet(target).collect()}
     assert got == {(1, "keep"), (3, "keep-null-dt")}
+
+
+def test_snapshot_versions_are_immutable_and_atomic(spark, tmp_path):
+    """U9's contract: committing v2 leaves v1 bit-intact; reads of an
+    uncommitted/unknown version fail loudly; 'latest' follows commits."""
+    import pytest
+    from pyspark.sql import Row
+
+    from data_warehouse_spark.operators.snapshots import (
+        read_snapshot, versions, write_snapshot,
+    )
+
+    t = str(tmp_path / "snap")
+    v1_rows = [Row(k=1, v="a"), Row(k=2, v="b")]
+    assert write_snapshot(spark.createDataFrame(v1_rows), t) == 1
+    assert versions(t) == [1]
+    assert write_snapshot(
+        spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="C")]), t) == 2
+
+    # time travel: v1 unchanged after v2's commit
+    got_v1 = {(r.k, r.v) for r in read_snapshot(spark, t, 1).collect()}
+    assert got_v1 == {(1, "a"), (2, "b")}
+    # latest = v2
+    got = {(r.k, r.v) for r in read_snapshot(spark, t).collect()}
+    assert got == {(2, "B"), (3, "C")}
+
+    with pytest.raises(ValueError):
+        read_snapshot(spark, t, 7)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, str(tmp_path / "nope"))
