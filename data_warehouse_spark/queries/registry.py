@@ -110,8 +110,9 @@ DRIVER_WINDOW = [
 # x2e_incremental_dedup, x13_decontaminate, x14_token_budget_sample,
 # w6_distribution, a13_histogram, f13_url_parse, st11_dedup_retries,
 # dq1_validation_report, x14b_token_budget_scalable,
-# s11_schema_evolution, u9_time_travel (all added after this round's
-# window was pinned; local parity green, no driver rows yet).
+# s11_schema_evolution, u9_time_travel, u9b_snapshot_diff (all added
+# after this round's window was pinned; local parity green, no driver
+# rows yet).
 # a12_sketch_rollup is rows-only by design (sketch estimates are
 # library-specific).
 

@@ -305,6 +305,69 @@ def u9_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u9b_snapshot_diff",
+    oracle="""
+WITH v1 AS (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+), updates AS (
+    SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+), v2 AS (
+    SELECT * FROM (
+        SELECT * FROM v1
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        UNION ALL
+        SELECT * FROM updates
+    ) WHERE o_orderkey % 97 <> 0
+), diff AS (
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN n.o_totalprice IS DISTINCT FROM o.o_totalprice
+                     THEN 'update' END AS change_type,
+           n.o_totalprice AS new_price, o.o_totalprice AS old_price
+    FROM v2 n FULL OUTER JOIN v1 o ON n.o_orderkey = o.o_orderkey
+)
+SELECT o_orderkey, change_type,
+       ROUND(new_price, 6) AS new_price, ROUND(old_price, 6) AS old_price
+FROM diff WHERE change_type IS NOT NULL
+""",
+    doc="U9b [cap]: CDC-style snapshot diff "
+        "(operators/snapshots.py:snapshot_changes) — the incremental-"
+        "consumer read (Delta CDF / Iceberg incremental scan): a "
+        "downstream job that processed v1 gets exactly what changed by "
+        "v2 (insert/update/delete per key), never a history rescan. "
+        "v2 = v1 upserted with revised 1996+ prices MINUS a retention "
+        "delete (key % 97), so all three change classes appear. One "
+        "null-safe full-outer join on the PK — O(|v1|+|v2|) at any "
+        "table size.",
+    tags=("upsert", "warehouse"),
+)
+def u9b_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.snapshots import (
+        snapshot_changes, write_snapshot,
+    )
+    table_dir = scratch_dir("u9b_snapshots")
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")) \
+        .select("o_orderkey", "o_totalprice")
+    write_snapshot(v1, table_dir)
+    updates = orders.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) \
+        .select("o_orderkey",
+                (F.col("o_totalprice") * 1.1).alias("o_totalprice"))
+    v2 = upsert(v1, updates, keys=["o_orderkey"]) \
+        .filter(F.col("o_orderkey") % 97 != 0)
+    write_snapshot(v2, table_dir)
+    diff = snapshot_changes(spark, table_dir, 1, 2, keys=["o_orderkey"])
+    return diff.select(
+        "o_orderkey", "change_type",
+        F.round("new_o_totalprice", 6).alias("new_price"),
+        F.round("old_o_totalprice", 6).alias("old_price"))
+
+
+@register(
     "s11_schema_evolution",
     oracle="""
 WITH unioned AS (

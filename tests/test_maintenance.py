@@ -147,3 +147,27 @@ def test_snapshot_versions_are_immutable_and_atomic(spark, tmp_path):
         read_snapshot(spark, t, 7)
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_snapshot_changes_classifies_all_three_kinds(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from data_warehouse_spark.operators.snapshots import (
+        snapshot_changes, write_snapshot,
+    )
+
+    t = str(tmp_path / "cdc")
+    write_snapshot(spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=None, v="n")],
+        "k int, v string"), t)
+    write_snapshot(spark.createDataFrame(
+        [Row(k=2, v="B"),          # update
+         Row(k=None, v="N"),       # NULL key updates like any key
+         Row(k=3, v="c")],         # insert; k=1 vanishes -> delete
+        "k int, v string"), t)
+    got = {(r.k, r.change_type, r.new_v, r.old_v) for r in
+           snapshot_changes(spark, t, 1, 2, keys=["k"]).collect()}
+    assert got == {(2, "update", "B", "b"),
+                   (None, "update", "N", "n"),
+                   (3, "insert", "c", None),
+                   (1, "delete", None, "a")}
