@@ -171,3 +171,42 @@ def test_snapshot_changes_classifies_all_three_kinds(spark, tmp_path):
                    (None, "update", "N", "n"),
                    (3, "insert", "c", None),
                    (1, "delete", None, "a")}
+
+
+def test_snapshot_diff_roundtrip_reconstructs_v2(spark, sf_dir, tmp_path):
+    """Applying diff(v1 -> v2) to v1 must reconstruct v2 exactly —
+    the invariant an incremental consumer relies on. Run over real
+    fixture data with all three change classes."""
+    from pyspark.sql import Row
+
+    from data_warehouse_spark.operators.snapshots import (
+        read_snapshot, snapshot_changes, write_snapshot,
+    )
+
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_totalprice")
+    t = str(tmp_path / "rt")
+    v1 = orders.filter(F.col("o_orderkey") % 3 != 0)
+    write_snapshot(v1, t)
+    v2 = (orders.filter(F.col("o_orderkey") % 5 != 0)
+          .withColumn("o_totalprice",
+                      F.when(F.col("o_orderkey") % 2 == 0,
+                             F.col("o_totalprice") * 2)
+                      .otherwise(F.col("o_totalprice"))))
+    write_snapshot(v2, t)
+
+    diff = {r.o_orderkey: r for r in
+            snapshot_changes(spark, t, 1, 2, keys=["o_orderkey"]).collect()}
+    state = {r.o_orderkey: r.o_totalprice
+             for r in read_snapshot(spark, t, 1).collect()}
+    for k, r in diff.items():
+        if r.change_type == "delete":
+            del state[k]
+        else:  # insert or update
+            state[k] = r.new_o_totalprice
+    want = {r.o_orderkey: r.o_totalprice
+            for r in read_snapshot(spark, t, 2).collect()}
+    assert state == want and any(
+        r.change_type == "delete" for r in diff.values()) and any(
+        r.change_type == "insert" for r in diff.values()) and any(
+        r.change_type == "update" for r in diff.values())
