@@ -265,3 +265,25 @@ def test_two_phase_prefix_sum_equals_window_on_random_strata(spark):
         for s, sel in per.items():
             cut = max(sel)
             assert all(k in sel for k in all_keys[s] if k <= cut)
+
+
+def test_wide_sum_exact_vs_python_and_overflow_regime(spark):
+    """util.wide_sum must equal the exact integer sum (as double) on
+    random cents^3-scale operands, including values near the split
+    boundary — and in a regime where a plain LONG sum would overflow."""
+    from data_warehouse_spark.queries.util import wide_sum
+
+    rng = random.Random(99)
+    # cents^3-scale rows plus adversarial boundary values (exact
+    # multiples of the split and off-by-one neighbors)
+    vals = [rng.randrange(0, 4 * 10**10) for _ in range(2000)]
+    vals += [0, 1, 10**6 - 1, 10**6, 10**6 + 1, 4 * 10**10]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = df.agg(wide_sum(F.col("v")).alias("s")).collect()[0].s
+    assert got == float(sum(vals))
+    # overflow regime: per-row operands of ~4.6e18 (half of LONG max)
+    # would overflow a plain F.sum at two rows; wide_sum must not
+    big = [4 * 10**18, 5 * 10**18, 3 * 10**18]
+    bdf = spark.createDataFrame([(v,) for v in big], "v long")
+    got_big = bdf.agg(wide_sum(F.col("v")).alias("s")).collect()[0].s
+    assert got_big == float(sum(big))
