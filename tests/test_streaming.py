@@ -173,3 +173,32 @@ def test_st11_retry_dedup_drops_every_redelivery(spark, sf_dir):
            .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
            .collect()}
     assert out == raw and len(out) > 0
+
+
+def test_st10_microbatch_plans_broadcast_join(spark, sf_dir):
+    """SCALE.md's st10 claim on the real streaming engine: each
+    micro-batch must plan the dim side as a BroadcastHashJoin with no
+    stream-stream state, and the result must equal the batch join."""
+    from data_warehouse_spark.streaming.jobs import start_memory_sink
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"))
+    agg = (stream.join(F.broadcast(dim), on="user_id")
+           .groupBy("segment").agg(F.count(F.lit(1)).alias("n")))
+    q = start_memory_sink(agg, "t_st10", "complete")
+    q.awaitTermination()
+    # the last micro-batch's physical plan (explainInternal returns the
+    # string PySpark's q.explain() would print)
+    plan_str = q._jsq.explainInternal(False)
+    assert "BroadcastHashJoin" in plan_str
+    assert "StreamingSymmetricHashJoin" not in plan_str
+
+    streamed = {(r.segment, r.n)
+                for r in spark.sql("SELECT * FROM t_st10").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    batch = {(r.segment, r.n) for r in
+             ev.join(dim, on=ev.user_id == dim.user_id)
+             .groupBy("segment").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert streamed == batch and streamed
