@@ -202,3 +202,38 @@ def test_st10_microbatch_plans_broadcast_join(spark, sf_dir):
              ev.join(dim, on=ev.user_id == dim.user_id)
              .groupBy("segment").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert streamed == batch and streamed
+
+
+def test_streaming_stateful_operators_plan_as_claimed(spark, sf_dir):
+    """The stateful claims, checked on executed micro-batch plans:
+    st9's interval join runs as StreamingSymmetricHashJoin (bounded
+    two-side state), st6 as StreamingDeduplicate, st11 as the
+    WithinWatermark variant (ts-less key, still state-evicted)."""
+    from data_warehouse_spark.streaming.jobs import (
+        attribution_join, dedup_retries_stream, dedup_stream,
+        start_memory_sink,
+    )
+
+    clicks = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click")
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase")
+    q9 = start_memory_sink(attribution_join(clicks, purchases),
+                           "t_plan9", "append")
+    q9.awaitTermination()
+    assert "StreamingSymmetricHashJoin" in q9._jsq.explainInternal(False)
+
+    q6 = start_memory_sink(
+        dedup_stream(read_events_stream(spark, sf_dir))
+        .groupBy("event_type").count(), "t_plan6", "complete")
+    q6.awaitTermination()
+    p6 = q6._jsq.explainInternal(False)
+    assert "StreamingDeduplicate" in p6
+
+    q11 = start_memory_sink(
+        dedup_retries_stream(read_events_stream(spark, sf_dir),
+                             keys=["event_id"])
+        .groupBy("event_type").count(), "t_plan11", "complete")
+    q11.awaitTermination()
+    p11 = q11._jsq.explainInternal(False)
+    assert "WithinWatermark" in p11
