@@ -287,3 +287,77 @@ def test_wide_sum_exact_vs_python_and_overflow_regime(spark):
     bdf = spark.createDataFrame([(v,) for v in big], "v long")
     got_big = bdf.agg(wide_sum(F.col("v")).alias("s")).collect()[0].s
     assert got_big == float(sum(big))
+
+
+def test_scd2_apply_matches_python_model_on_random_batches(spark):
+    """scd2_apply vs an obviously-correct Python model of its
+    documented semantics (close/insert/no-op/new-key/late-update/
+    null-eff-drop), over seeded random dimensions and update batches —
+    the randomized net for the engine's most intricate merge logic."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from data_warehouse_spark.operators.merge import scd2_apply
+
+    rng = random.Random(4242)
+    T = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+
+    for trial in range(5):
+        # random current dimension: keys 0..9, attrs from a small pool
+        dim_rows, model = [], {}
+        hist_rows = []
+        for k in range(10):
+            if rng.random() < 0.8:
+                a = rng.choice("xyz")
+                vf = T(rng.randint(1, 5))
+                dim_rows.append(Row(k=k, a=a, valid_from=vf,
+                                    valid_to=None, is_current=True))
+                model[k] = (a, vf)
+            if rng.random() < 0.3:  # some closed history rows
+                hist_rows.append(Row(k=k, a=rng.choice("xyz"),
+                                     valid_from=T(1), valid_to=T(2),
+                                     is_current=False))
+        # random update batch, possibly multiple per key + null eff_ts;
+        # (k, eff_ts) kept unique — on an exact tie the engine's
+        # survivor is deliberately arbitrary (dedup_latest row_number),
+        # so a tie with differing attrs would make the model ambiguous
+        upd_rows, seen = [], set()
+        for _ in range(12):
+            k = rng.randrange(14)          # 10..13 are new keys
+            a = rng.choice("xyzw")
+            eff = None if rng.random() < 0.1 else T(rng.randint(1, 9))
+            if eff is not None and (k, eff) in seen:
+                continue
+            seen.add((k, eff))
+            upd_rows.append(Row(k=k, a=a, eff_ts=eff))
+
+        # python model: latest non-null-eff update per key applies
+        latest = {}
+        for r in upd_rows:
+            if r.eff_ts is None:
+                continue
+            if r.k not in latest or r.eff_ts > latest[r.k].eff_ts:
+                latest[r.k] = r
+        want = [(r.k, r.a, r.valid_from, r.valid_to, False)
+                for r in hist_rows]
+        for k, (a, vf) in model.items():
+            u = latest.get(k)
+            if u is None or u.a == a or u.eff_ts < vf:
+                want.append((k, a, vf, None, True))       # no-op / late
+            else:
+                want.append((k, a, vf, u.eff_ts, False))  # closed
+                want.append((k, u.a, u.eff_ts, None, True))
+        for k, u in latest.items():
+            if k not in model:
+                want.append((k, u.a, u.eff_ts, None, True))  # new key
+
+        schema = ("k int, a string, valid_from timestamp, "
+                  "valid_to timestamp, is_current boolean")
+        dim = spark.createDataFrame(dim_rows + hist_rows, schema)
+        ups = spark.createDataFrame(upd_rows,
+                                    "k int, a string, eff_ts timestamp")
+        got = {(r.k, r.a, r.valid_from, r.valid_to, r.is_current)
+               for r in scd2_apply(dim, ups, keys=["k"],
+                                   attrs=["a"]).collect()}
+        assert got == set(want), f"trial {trial}: {got ^ set(want)}"
