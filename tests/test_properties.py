@@ -361,3 +361,52 @@ def test_scd2_apply_matches_python_model_on_random_batches(spark):
                for r in scd2_apply(dim, ups, keys=["k"],
                                    attrs=["a"]).collect()}
         assert got == set(want), f"trial {trial}: {got ^ set(want)}"
+
+
+def test_asof_join_matches_python_model_on_random_series(spark):
+    """asof_join vs a Python model: per left row, the latest right row
+    with rts <= ts wins ATOMICALLY (its genuine NULLs included).
+    (k, rts) kept unique — exact ties break by a content hash the
+    model can't replicate, and real time series don't collide."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from data_warehouse_spark.operators.joins import asof_join
+
+    rng = random.Random(77)
+    T = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+
+    for trial in range(4):
+        right_rows, seen = [], set()
+        for _ in range(40):
+            k = rng.randrange(5)
+            m = rng.randrange(500)
+            if (k, m) in seen:
+                continue
+            seen.add((k, m))
+            right_rows.append(Row(
+                k=k, rts=T(m),
+                temp=None if rng.random() < 0.25 else float(m),
+                wind=float(rng.randrange(50))))
+        left_rows = [Row(k=rng.randrange(6), ts=T(rng.randrange(520)),
+                         row_id=i) for i in range(60)]
+
+        model = {}
+        for lr in left_rows:
+            cands = [r for r in right_rows
+                     if r.k == lr.k and r.rts <= lr.ts]
+            if cands:
+                w = max(cands, key=lambda r: r.rts)
+                model[lr.row_id] = (w.temp, w.wind)
+            else:
+                model[lr.row_id] = (None, None)
+
+        out = asof_join(
+            spark.createDataFrame(left_rows, "k int, ts timestamp, row_id int"),
+            spark.createDataFrame(
+                right_rows, "k int, rts timestamp, temp double, wind double"),
+            on="k", left_ts="ts", right_ts="rts",
+            value_cols=["temp", "wind"])
+        got = {r.row_id: (r.temp, r.wind) for r in out.collect()}
+        assert got == model, f"trial {trial}"
