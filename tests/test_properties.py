@@ -410,3 +410,43 @@ def test_asof_join_matches_python_model_on_random_series(spark):
             value_cols=["temp", "wind"])
         got = {r.row_id: (r.temp, r.wind) for r in out.collect()}
         assert got == model, f"trial {trial}"
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """x8's label propagation vs a Python union-find over random sparse
+    graphs (including isolated pairs, chains, and a dense clique) —
+    component_id must be the min node id of each component."""
+    from data_warehouse_spark.operators.graph import connected_components
+
+    rng = random.Random(31337)
+    for trial in range(3):
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+        edges += [(i, i + 1) for i in range(50, 54)]      # a chain
+        edges += [(55, 56), (57, 58)]                     # isolated pairs
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        nodes = {x for e in edges for x in e}
+        want = {}
+        comp_min = {}
+        for x in nodes:
+            comp_min.setdefault(find(x), []).append(x)
+        for root, members in comp_min.items():
+            m = min(members)
+            for x in members:
+                want[x] = m
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r.id: r.component_id for r in
+               connected_components(df, "a", "b").collect()}
+        assert got == want, f"trial {trial}"
