@@ -29,19 +29,28 @@ deterministic across plan instances — but the result is: every
 boundary placement yields the same contiguous per-stratum order, and
 prefix sums are associative, so offset + within-chunk sum reproduces
 the single-window value exactly (property-tested against the naive
-window in tests). The `ranged` subtree is persist()ed because BOTH the
-subtotal branch and the probe branch consume it: sharing one cached
-plan instance guarantees one boundary sample regardless of whether
-exchange reuse fires (with reuse off, two un-shared subtrees would
-sample boundaries independently and chunk ids could diverge between
-offsets and probes — silently wrong cums). At warehouse scale the same
-role is played by materializing the chunked table, the multi-consumer-
-intermediate norm (see x7's tf note).
+window in tests) — PROVIDED (stratum, key) pairs are unique, which
+every caller guarantees (x14's keys are md5 hashes): on duplicate
+keys BOTH forms order ties arbitrarily, so neither is deterministic
+and they can disagree with each other. The `ranged` subtree is
+localCheckpoint(eager=False)'d because BOTH the subtotal branch and
+the probe branch consume it: sharing one materialized RDD instance
+guarantees one boundary sample regardless of whether exchange reuse
+fires (with reuse off, two un-shared subtrees would sample boundaries
+independently and chunk ids could diverge between offsets and probes —
+silently wrong cums). Checkpoint, not persist(): persist registers in
+the CacheManager until an explicit unpersist no caller can issue on a
+lazily-returned frame, accumulating a pinned copy per call in a
+long-lived driver; checkpoint blocks are executor-local and freed by
+the ContextCleaner once unreferenced (graph.py documents the same
+trade — no lineage replay on executor loss, re-run instead). At
+warehouse scale the same role is played by materializing the chunked
+table, the multi-consumer-intermediate norm (see x7's tf note).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -57,7 +66,7 @@ def token_budget_sample_scalable(df: DataFrame, stratum: str, key: str,
     ranged = (df.select(stratum, key, weight)
               .repartitionByRange(coarse, F.col(stratum), F.col(key))
               .withColumn("__chunk", F.spark_partition_id())
-              .persist())
+              .localCheckpoint(eager=False))
     subtotals = (ranged.groupBy(stratum, "__chunk")
                  .agg(F.sum(weight).alias("__sub")))
     # chunk ids ascend with the range order within a stratum, so the

@@ -50,8 +50,18 @@ def versions(table_dir: str) -> list[int]:
 def write_snapshot(df: DataFrame, table_dir: str) -> int:
     """Commit `df` as the table's next immutable version; returns the
     version number. The manifest rename is the commit point."""
+    import shutil
+
     v = (versions(table_dir) or [0])[-1] + 1
-    data_path = os.path.join(table_dir, "data", f"v{v:06d}")
+    # abspath: the manifest must resolve from ANY later working
+    # directory / Spark default FS, not just the writer's cwd
+    data_path = os.path.abspath(os.path.join(table_dir, "data", f"v{v:06d}"))
+    if os.path.exists(data_path):
+        # data dir without a manifest = a crashed writer's orphan (the
+        # manifest rename never happened, so no reader ever saw it) —
+        # reclaim it instead of wedging every future write on
+        # errorifexists
+        shutil.rmtree(data_path)
     df.write.mode("errorifexists").parquet(data_path)
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
     manifest = {"version": v, "data": data_path,
@@ -61,7 +71,18 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
     final = os.path.join(_versions_dir(table_dir), f"v{v:06d}.json")
     with open(staged, "w") as fh:
         json.dump(manifest, fh)
+        # fsync before the rename: rename-without-fsync can surface the
+        # committed name with truncated contents after power loss,
+        # breaking the all-or-nothing contract
+        fh.flush()
+        os.fsync(fh.fileno())
     os.rename(staged, final)  # the atomic commit
+    try:  # directory fsync for full durability; best-effort on odd FSes
+        dfd = os.open(_versions_dir(table_dir), os.O_RDONLY)
+        os.fsync(dfd)
+        os.close(dfd)
+    except OSError:
+        pass
     return v
 
 
@@ -98,6 +119,13 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
 
     old = read_snapshot(spark, table_dir, from_version)
     new = read_snapshot(spark, table_dir, to_version)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            "snapshot_changes requires congruent schemas; versions "
+            f"{from_version}/{to_version} differ: "
+            f"{sorted(set(old.columns) ^ set(new.columns))} — diff "
+            "after projecting both to the shared columns, or migrate "
+            "the older version first")
     value_cols = [c for c in new.columns if c not in keys]
     o = old.select(*[F.col(k).alias(f"__o_{k}") for k in keys],
                    *[F.col(c).alias(f"__o_{c}") for c in value_cols],
@@ -105,10 +133,12 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
     n = new.select(*keys, *value_cols, F.lit(True).alias("__n_present"))
     cond = [n[k].eqNullSafe(o[f"__o_{k}"]) for k in keys]
     j = n.join(o, on=cond, how="full_outer")
-    same = None
+    # key-only tables have no value columns: every matched row is
+    # unchanged (True), leaving only inserts/deletes — a None here
+    # would crash the unary ~ at plan-build time
+    same = F.lit(True)
     for c in value_cols:
-        eq = F.col(c).eqNullSafe(F.col(f"__o_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(c).eqNullSafe(F.col(f"__o_{c}"))
     change = (F.when(F.col("__o_present").isNull(), "insert")
               .when(F.col("__n_present").isNull(), "delete")
               .when(~same, "update"))

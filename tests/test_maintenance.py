@@ -210,3 +210,48 @@ def test_snapshot_diff_roundtrip_reconstructs_v2(spark, sf_dir, tmp_path):
         r.change_type == "delete" for r in diff.values()) and any(
         r.change_type == "insert" for r in diff.values()) and any(
         r.change_type == "update" for r in diff.values())
+
+
+def test_snapshot_recovers_from_crashed_writer_orphan(spark, tmp_path):
+    """A data dir without a manifest (writer died pre-commit) must be
+    reclaimed by the next write, not wedge the table forever."""
+    import os
+
+    from pyspark.sql import Row
+
+    from data_warehouse_spark.operators.snapshots import (
+        read_snapshot, versions, write_snapshot,
+    )
+
+    t = str(tmp_path / "snap")
+    write_snapshot(spark.createDataFrame([Row(k=1)]), t)
+    # simulate a crash: v2 data written, manifest never renamed
+    orphan = os.path.join(t, "data", "v000002")
+    spark.createDataFrame([Row(k=99)]).write.parquet(orphan)
+    assert versions(t) == [1]  # reader never sees the orphan
+    v = write_snapshot(spark.createDataFrame([Row(k=2)]), t)
+    assert v == 2
+    assert {r.k for r in read_snapshot(spark, t, 2).collect()} == {2}
+
+
+def test_snapshot_changes_key_only_table_and_schema_guard(spark, tmp_path):
+    import pytest
+    from pyspark.sql import Row
+
+    from data_warehouse_spark.operators.snapshots import (
+        snapshot_changes, write_snapshot,
+    )
+
+    t = str(tmp_path / "ko")
+    write_snapshot(spark.createDataFrame([Row(k=1), Row(k=2)], "k int"), t)
+    write_snapshot(spark.createDataFrame([Row(k=2), Row(k=3)], "k int"), t)
+    got = {(r.k, r.change_type) for r in
+           snapshot_changes(spark, t, 1, 2, keys=["k"]).collect()}
+    assert got == {(1, "delete"), (3, "insert")}
+
+    t2 = str(tmp_path / "evolved")
+    write_snapshot(spark.createDataFrame([Row(k=1)], "k int"), t2)
+    write_snapshot(spark.createDataFrame([Row(k=1, v="x")],
+                                         "k int, v string"), t2)
+    with pytest.raises(ValueError, match="congruent schemas"):
+        snapshot_changes(spark, t2, 1, 2, keys=["k"])
