@@ -56,65 +56,41 @@ _QUERY_MODULES = [
 # This list IS the round's window, in order; load_all() puts these names
 # first and everything else after, in registration order.
 #
-# Round-5 rotation: round 4 re-verified the relational/window/scalar/
-# join core on the current fixture generation (CORRECTNESS_r04, all
-# green) — those rows are current and their code is unchanged, so they
-# rotate OUT. This window certifies, on current code:
-#   - every query whose implementation changed in round 4 AFTER its r3
-#     row was recorded: u4 (merge.py SCD2 late-update), x2c + x8
-#     (dedup.py candidate prefilter/checkpoints), st1-st9 (jobs.py/
-#     io.py NTZ guards), mm1/mm3/mm4 (multimodal plumbing);
-#   - x3c_multi_topk (added r4 after the window was pinned — first
-#     driver row ever);
-#   - everything round 5 added or touched: e3_enriched_trips + the
-#     e1b bucketed variant (new), e1/e2 (sessions.py sort fix +
-#     micro-km sums), mm2 (side-table scan), st6/st7 (new oracles),
-#     x3/x4 (similarity kernel routing + NaN consistency);
-#   - u5/u6 (maintenance ops, new r5) — first driver rows;
-#   - backfill: the oldest remaining rows (r3) — sources, UDFs, u1/u2,
-#     the LLM text battery, w5/j12/j9/j6/j3 (j1/j2 stay outside:
-#     r3-green, stock Catalyst, code unchanged).
-# Everything outside was hash-green in CORRECTNESS_r04 on the current
-# fixtures with code unchanged since.
+# Round-6 rotation (per the round-5 TODO): the 20 queries added late in
+# round 5 — local parity green, independently re-verified by the
+# round-5 judge (20/20), but with NO driver CORRECTNESS rows yet —
+# rotate IN for their first-ever driver rows. Everything that was green
+# in CORRECTNESS_r05 on current code rotates OUT. Backfill: the 30
+# oldest remaining rows (r3/r4 vintage, code unchanged since) —
+# refreshing the relational/join/window core on the current fixture
+# generation. set1-4 + the scalar f-battery stay outside: r4-green,
+# stock Catalyst expressions, code unchanged.
 DRIVER_WINDOW = [
-    # round-4/5 code changes + first-ever rows
-    "e1_trips", "e1b_bucketed_trips", "e2_carbon_savings",
-    "e3_enriched_trips",
-    "u4_scd2_dimension", "x2c_ngram_jaccard", "x8_dup_components",
-    "x3_cosine_topk", "x3c_multi_topk", "x4_pairwise_sim",
-    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
-    "st4_session_window", "st5_watermark_late_drop", "st6_stream_dedup",
-    "st7_foreach_upsert", "st8_custom_stateful", "st9_stream_stream_join",
-    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
-    "mm4_feature_ann",
-    # backfill: oldest current rows (r3), sources/UDFs/warehouse first
-    "u1_upsert", "u2_dedup_latest",
-    "s2_rest_json_source", "s3_parallel_fetch", "s4_csv_roundtrip",
-    "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
-    "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
-    "udf4_udtf_words",
-    "j9_spatial_join", "j6_asof_join",
-    # new this round (maintenance + cosine-LSH dedup) — first driver
-    # rows. x2d takes the slot j3_left_join held: j3 joins j1/j2
-    # outside (r3-green, stock Catalyst, code unchanged) while x2d has
-    # never been driver-checked.
-    "u5_delete_keys", "u6_compaction", "x2d_cosine_lsh",
-    "x1_exact_dedup", "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
-    "x6_token_freq", "x7_tfidf", "x10_repetition_filter",
-    "x9_stratified_split",
-    "w5_sessionize", "j12_bucketed_fact_join",
+    # first-ever driver rows: late-round-5 additions (parity-green)
+    "s9_jsonl_roundtrip", "s10_orc_roundtrip", "s11_schema_evolution",
+    "u7_incremental_rollup", "u8_zorder_scan",
+    "u9_time_travel", "u9b_snapshot_diff",
+    "a11_cube", "a13_histogram",
+    "dq1_validation_report", "f13_url_parse", "w6_distribution",
+    "st10_stream_static_join", "st11_dedup_retries",
+    "x11_pii_redaction", "x12_dedup_corpus", "x13_decontaminate",
+    "x14_token_budget_sample", "x14b_token_budget_scalable",
+    "x2e_incremental_dedup",
+    # backfill: oldest current rows (r3/r4), joins + scan + relational
+    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
+    "j4_semi_join", "j4_anti_join", "j5_range_join",
+    "j7_cross_join", "j8_two_source_merge",
+    "s1_scan_filter", "s7_scan_full",
+    "p1_project", "p2_range_predicate", "p3_between_computed",
+    "p4_null_predicate", "p5_or_inequality", "p6_having",
+    "a1_q1_pricing_summary", "a2_count_by_key", "a3_global_agg",
+    "a4_distinct", "a5_rollup", "a6_stats", "a9_pivot", "a10_unpivot",
+    "w1_lag", "w2_lead_first_last", "w3_ranking", "w4_running_agg",
+    "o1_global_sort", "o2_topk",
 ]
-# TODO(round 6): rotate in s9_jsonl_roundtrip, s10_orc_roundtrip,
-# u7_incremental_rollup, a11_cube, x11_pii_redaction,
-# st10_stream_static_join, x12_dedup_corpus, u8_zorder_scan,
-# x2e_incremental_dedup, x13_decontaminate, x14_token_budget_sample,
-# w6_distribution, a13_histogram, f13_url_parse, st11_dedup_retries,
-# dq1_validation_report, x14b_token_budget_scalable,
-# s11_schema_evolution, u9_time_travel, u9b_snapshot_diff (all added
-# after this round's window was pinned; local parity green, no driver
-# rows yet).
 # a12_sketch_rollup is rows-only by design (sketch estimates are
-# library-specific).
+# library-specific). Queries added DURING round 6 should displace
+# backfill entries (never the first-ever-row block above).
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",
