@@ -74,8 +74,8 @@ def bucketed_view(spark: SparkSession, sf_dir: str, src_table: str,
     exchange-free.
     """
     if base is None:
-        import os
-        base = f"/tmp/dw_spark_bucketed_{os.getpid()}"
+        from data_warehouse_spark.scratch import process_dir
+        base = process_dir("dw_spark_bucketed")
     # digest covers the bucket keys AND the sort keys independently:
     # hashing only one of them would collide two layouts that differ in
     # the other (e.g. same sort, different cluster key), silently

@@ -280,7 +280,10 @@ def merge_into_partitioned(spark, target_path: str, new: DataFrame,
         merged = upsert(old, new_dt.select(*old.columns), keys=keys,
                         order_col=ts_col)
     else:
-        merged = new_dt
+        # First load obeys the same last-writer-wins contract as the
+        # merge path: an initial batch carrying a key twice must land
+        # one row, not persist both until the key is re-delivered.
+        merged = dedup_latest(new_dt, keys, ts_col)
 
     (merged.write.mode("overwrite")
      .option("partitionOverwriteMode", "dynamic")

@@ -123,7 +123,8 @@ def png_blob_table(spark, sf_dir: str,
     from data_warehouse_spark.io import load_table
 
     if base is None:
-        base = f"/tmp/dw_spark_png_{os.getpid()}"
+        from data_warehouse_spark.scratch import process_dir
+        base = process_dir("dw_spark_png")
     mtime = int(os.path.getmtime(f"{sf_dir}/documents.parquet"))
     digest = hashlib.md5(f"{sf_dir}|{mtime}".encode()).hexdigest()[:8]
     path = f"{base}/{digest}/png_blobs.parquet"

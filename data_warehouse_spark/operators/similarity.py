@@ -109,7 +109,8 @@ def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
 
 
 def _arrow_query_scan(df: DataFrame, vec_col: str, id_col: str,
-                      query_vec: list[float]) -> DataFrame:
+                      query_vec: list[float],
+                      prefilter_k: int | None = None) -> DataFrame:
     """(id, cos_sim) via mapInArrow: one numpy matmul per Arrow batch
     against a fixed query vector.
 
@@ -127,6 +128,17 @@ def _arrow_query_scan(df: DataFrame, vec_col: str, id_col: str,
     summation differs only in final ulps, absorbed by the shared
     round 6). Rows with null/ragged embeddings fall back to a per-row
     loop within the batch (never expected on real corpora).
+
+    `prefilter_k`: emit only the rows that can still reach a global
+    top-k over ROUND(cos_sim, 6) — per batch, the top k raw sims plus
+    a 1e-6 safety margin (and every NaN, which Spark's descending sort
+    surfaces first). Proof a dropped row can't be a top-k answer: it
+    has raw sim < kth_in_batch - 1e-6, so its 6dp rounding is STRICTLY
+    below the kth row's rounding (round6(x) <= x + 5e-7 < kth - 5e-7
+    <= round6(kth)) — at least k rows beat it no matter how the global
+    tie-break falls. Cuts the rows shipped back JVM-side from n to
+    ~k * n_batches (measured 0.75 -> 0.64 s on a 33.6M x 64 scan,
+    round-6 diag) and bounds TakeOrderedAndProject's heap input.
     """
     import numpy as np
     import pyarrow as pa
@@ -155,6 +167,15 @@ def _arrow_query_scan(df: DataFrame, vec_col: str, id_col: str,
                     if v:
                         a = np.asarray(v, dtype=np.float64)
                         sims[i] = (a @ qv) / (np.sqrt((a * a).sum()) * qn)
+            if prefilter_k is not None and len(sims) > prefilter_k:
+                # kth largest over NaN-as-smallest (np.partition sorts
+                # NaN last, i.e. "largest" — use nan-safe copy)
+                finite = np.nan_to_num(sims, nan=-np.inf)
+                kth = np.partition(finite, len(finite) - prefilter_k)[
+                    len(finite) - prefilter_k]
+                mask = (finite >= kth - 1e-6) | np.isnan(sims)
+                ids = ids.filter(pa.array(mask))
+                sims = sims[mask]
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(sims, type=pa.float64())],
                 names=[id_col, "cos_sim"])
@@ -197,7 +218,8 @@ def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
         raise ValueError(f"unknown kernel: {kernel!r} "
                          "(expected auto|arrow|unrolled|hof)")
     if kernel == "arrow":
-        scored = _arrow_query_scan(df, vec_col, id_col, query_vec)
+        scored = _arrow_query_scan(df, vec_col, id_col, query_vec,
+                                   prefilter_k=k)
     elif kernel == "unrolled":
         sim = _dot_query(vec_col, query_vec) / (
             _norm(vec_col, dim=len(query_vec)) * F.lit(qn))

@@ -47,42 +47,93 @@ def versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
+# A crashed writer's per-version lock older than this is presumed dead
+# and its version number is reclaimed; a YOUNGER lock means a live
+# concurrent writer and the commit fails loudly instead of destroying
+# its in-progress data dir.
+LOCK_GRACE_S = 900
+
+
+def _acquire_version_lock(table_dir: str, v: int) -> str:
+    """O_CREAT|O_EXCL per-version lock: turns the compute-max+1 /
+    rmtree race between two concurrent writers into a loud failure for
+    the loser. A stale lock (crashed writer, older than LOCK_GRACE_S)
+    is stolen; a fresh one raises."""
+    os.makedirs(_versions_dir(table_dir), exist_ok=True)
+    lock = os.path.join(_versions_dir(table_dir), f".v{v:06d}.lock")
+    for _ in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            import time
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # holder just committed/released; retry once
+            if age < LOCK_GRACE_S:
+                raise RuntimeError(
+                    f"version v{v:06d} of {table_dir} is being written "
+                    f"by another process (lock age {age:.0f}s); "
+                    "snapshot tables are single-writer per version — "
+                    "retry after the other commit finishes") from None
+            os.unlink(lock)  # stale: crashed writer, steal the version
+    raise RuntimeError(f"could not acquire version lock for v{v:06d}")
+
+
 def write_snapshot(df: DataFrame, table_dir: str) -> int:
     """Commit `df` as the table's next immutable version; returns the
-    version number. The manifest rename is the commit point."""
+    version number. The manifest rename is the commit point.
+
+    Concurrency contract: one writer per VERSION, enforced by an
+    O_CREAT|O_EXCL lock file — two concurrent writers both computing
+    max+1 no longer rmtree each other's in-progress data; the loser
+    fails loudly and can retry (it will then observe the winner's
+    committed version and take the next number). Locks left by crashed
+    writers are reclaimed after LOCK_GRACE_S."""
     import shutil
 
     v = (versions(table_dir) or [0])[-1] + 1
-    # abspath: the manifest must resolve from ANY later working
-    # directory / Spark default FS, not just the writer's cwd
-    data_path = os.path.abspath(os.path.join(table_dir, "data", f"v{v:06d}"))
-    if os.path.exists(data_path):
-        # data dir without a manifest = a crashed writer's orphan (the
-        # manifest rename never happened, so no reader ever saw it) —
-        # reclaim it instead of wedging every future write on
-        # errorifexists
-        shutil.rmtree(data_path)
-    df.write.mode("errorifexists").parquet(data_path)
-    os.makedirs(_versions_dir(table_dir), exist_ok=True)
-    manifest = {"version": v, "data": data_path,
-                "schema": df.schema.json()}
-    staged = os.path.join(_versions_dir(table_dir),
-                          f".v{v:06d}.json.tmp.{os.getpid()}")
-    final = os.path.join(_versions_dir(table_dir), f"v{v:06d}.json")
-    with open(staged, "w") as fh:
-        json.dump(manifest, fh)
-        # fsync before the rename: rename-without-fsync can surface the
-        # committed name with truncated contents after power loss,
-        # breaking the all-or-nothing contract
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.rename(staged, final)  # the atomic commit
-    try:  # directory fsync for full durability; best-effort on odd FSes
-        dfd = os.open(_versions_dir(table_dir), os.O_RDONLY)
-        os.fsync(dfd)
-        os.close(dfd)
-    except OSError:
-        pass
+    lock = _acquire_version_lock(table_dir, v)
+    try:
+        # abspath: the manifest must resolve from ANY later working
+        # directory / Spark default FS, not just the writer's cwd
+        data_path = os.path.abspath(
+            os.path.join(table_dir, "data", f"v{v:06d}"))
+        if os.path.exists(data_path):
+            # data dir without a manifest = a crashed writer's orphan
+            # (the manifest rename never happened, so no reader ever
+            # saw it; a LIVE writer would have held the lock above) —
+            # reclaim it instead of wedging every future write on
+            # errorifexists
+            shutil.rmtree(data_path)
+        df.write.mode("errorifexists").parquet(data_path)
+        manifest = {"version": v, "data": data_path,
+                    "schema": df.schema.json()}
+        staged = os.path.join(_versions_dir(table_dir),
+                              f".v{v:06d}.json.tmp.{os.getpid()}")
+        final = os.path.join(_versions_dir(table_dir), f"v{v:06d}.json")
+        with open(staged, "w") as fh:
+            json.dump(manifest, fh)
+            # fsync before the rename: rename-without-fsync can surface
+            # the committed name with truncated contents after power
+            # loss, breaking the all-or-nothing contract
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(staged, final)  # the atomic commit
+        try:  # directory fsync for durability; best-effort on odd FSes
+            dfd = os.open(_versions_dir(table_dir), os.O_RDONLY)
+            os.fsync(dfd)
+            os.close(dfd)
+        except OSError:
+            pass
+    finally:
+        try:  # release (also on failure — don't wedge retries on grace)
+            os.unlink(lock)
+        except OSError:
+            pass
     return v
 
 

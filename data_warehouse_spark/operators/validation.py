@@ -26,16 +26,44 @@ from pyspark.sql import functions as F
 
 
 def validation_report(df: DataFrame, rules: dict[str, Column],
-                      unique_key: list[str] | None = None) -> DataFrame:
+                      unique_key: list[str] | None = None,
+                      uniqueness: str = "grouped") -> DataFrame:
     """Evaluate named pass-predicates over ``df`` in one aggregate.
 
     Returns a DataFrame of (rule string, n_violations long, n_rows
     long), one row per rule (plus ``<col,...>_unique`` when
     ``unique_key`` is given). A row violates a rule when its predicate
     is false OR null.
+
+    NULL-key semantics of the uniqueness check: a NULL key value is
+    ONE real key value — two NULL-keyed rows count as a duplicate
+    (the grouped path's groupBy and the inline path's
+    ``struct(*unique_key)`` both behave so). This matches the engine's
+    PK contract everywhere else (upsert/dedup are null-safe,
+    operators/merge.py:46-49) but DIVERGES from the bare SQL spelling
+    ``COUNT(*) - COUNT(DISTINCT col)``, which ignores NULLs entirely
+    and would count every NULL-keyed row as a violation. Oracles for
+    tables whose keys can be NULL must use ``COUNT(DISTINCT
+    struct_pack(...))``-style null-safe forms (dq1 is unaffected:
+    event_id is never NULL).
+
+    ``uniqueness`` picks the physical strategy for the (identical)
+    uniqueness number:
+      - "grouped" (default): a separate groupBy(keys) aggregation,
+        ``sum(cnt - 1)`` = n - n_distinct, cross-joined (two 1-row
+        relations -> broadcast NLJ, never a real cartesian) into the
+        report. NO Expand: the inline form makes Spark duplicate EVERY
+        input row 2x through the first aggregate (regular aggs on one
+        copy, the distinct's keys on the other); splitting keeps the
+        row-rule scan single-pass and the distinct branch pruned to
+        the key columns only (the rule columns never reach it).
+      - "inline": count(*) - countDistinct(struct(keys)) inside the
+        one aggregate (the historical form, kept measurable).
     """
     if not rules:
         raise ValueError("validation_report needs at least one rule")
+    if uniqueness not in ("grouped", "inline"):
+        raise ValueError(f"unknown uniqueness strategy: {uniqueness!r}")
     # coalesce: SUM over zero rows is NULL, but an empty input must
     # report 0 violations per rule, not an un-gateable NULL
     aggs = [F.coalesce(F.sum(F.when(pred, 0).otherwise(1)), F.lit(0))
@@ -45,16 +73,24 @@ def validation_report(df: DataFrame, rules: dict[str, Column],
     if "__n" in rules:
         raise ValueError("rule name '__n' collides with the internal "
                          "total-count column")
+    uniq_name = None
     if unique_key:
         uniq_name = "_".join(unique_key) + "_unique"
         if uniq_name in rules:
             raise ValueError(f"rule name {uniq_name!r} collides with the "
                              "derived uniqueness check")
-        aggs.append((F.count(F.lit(1))
-                     - F.countDistinct(F.struct(*unique_key)))
-                    .cast("long").alias(uniq_name))
         rule_names.append(uniq_name)
+        if uniqueness == "inline":
+            aggs.append((F.count(F.lit(1))
+                         - F.countDistinct(F.struct(*unique_key)))
+                        .cast("long").alias(uniq_name))
     aggs.append(F.count(F.lit(1)).cast("long").alias("__n"))
     wide = df.agg(*aggs)
+    if unique_key and uniqueness == "grouped":
+        uniq = (df.groupBy(*unique_key)
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .agg(F.coalesce(F.sum(F.col("__c") - 1), F.lit(0))
+                     .cast("long").alias(uniq_name)))
+        wide = wide.crossJoin(uniq)
     return (wide.unpivot(["__n"], rule_names, "rule", "n_violations")
             .select("rule", "n_violations", F.col("__n").alias("n_rows")))

@@ -45,7 +45,16 @@ GROUP BY 1
         "identical); the plan is what a 100 TB warehouse should run "
         "when the join key is known at ingest time. The bucketed "
         "materialization is the one-off write a real warehouse does "
-        "on load; here it is session-cached per sf_dir.",
+        "on load; here it is session-cached per sf_dir. "
+        "The smaller fact carries a shuffle_hash hint: on co-bucketed "
+        "scans a ShuffledHashJoin is just as Exchange-free as the SMJ "
+        "but skips the per-row merge machinery — measured 20.3 s -> "
+        "8.5 s at 1024x (614M lineitem rows), landing at 1.02x DuckDB "
+        "(round-6 diag). The build side per task is ONE bucket of the "
+        "FILTERED smaller fact, so bucket count is the memory knob: "
+        "size n_buckets at ingest so smaller-fact-bucket fits an "
+        "executor's build budget (sub-GB); SMJ (drop the hint) is the "
+        "fallback when it can't.",
     tags=("join", "agg", "bucketed"),
 )
 def j12_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,7 +62,8 @@ def j12_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ["l_orderkey"], N_BUCKETS)
     orders = bucketed_view(spark, sf_dir, "orders", load_table,
                            ["o_orderkey"], N_BUCKETS).filter(
-        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) \
+        .hint("shuffle_hash")
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .filter(F.col("l_shipdate") > F.col("o_orderdate"))
             .groupBy(F.col("o_orderpriority").alias("priority"))

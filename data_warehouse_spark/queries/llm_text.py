@@ -55,11 +55,45 @@ def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x2_minhash_lsh",
-    oracle=None,  # xxhash64-based banding not portable -> rows-only
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id AS id, {_TOKS} AS l FROM documents
+), grams AS (
+    SELECT id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(l) - 2, 0) + 1),
+        i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS g
+    FROM toks
+), sizes AS (
+    SELECT id, COUNT(*) AS n_g FROM grams GROUP BY id
+), inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+    FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+    GROUP BY a.id, b.id
+)
+SELECT i.id_a, i.id_b,
+       ROUND(n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.id
+JOIN sizes sb ON i.id_b = sb.id
+WHERE n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter) >= 0.5
+""",
     doc="X2: MinHash+LSH near-dup candidate pairs, exact-Jaccard "
         "verified (operators/dedup.py). 32 hashes x 8 bands, 3-word "
         "shingles, Jaccard >= 0.5. Only bucket-join shuffles — never a "
-        "cross join; scales to web-corpus size.",
+        "cross join; scales to web-corpus size. "
+        "WHY an exact brute-force oracle is valid for an LSH (the x2d "
+        "argument, on natural rather than perturbed plants): the "
+        "fixture corpus is BIMODAL — its generator plants near-dups "
+        "far above the detection knee (every pair >= 0.8 Jaccard at "
+        "sf0.1, >= 0.89 at sf0.01/0.001; NOTHING in [0.35, 0.8) at "
+        "any sf), where 8-band/r=4 banding detection is >= 0.985 per "
+        "pair and deterministic given the seeded hash family. The "
+        "verify step makes surviving values exactly Jaccard, so "
+        "output == brute force on this corpus. A fixture regeneration "
+        "that planted pairs NEAR the 0.5 threshold would break this "
+        "(miss prob ~46% at j=0.55) and show as oracle_rows > "
+        "spark_rows; recall AT the threshold is quantified in "
+        "tests/test_properties.py instead.",
     tags=("ext", "dedup"),
 )
 def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

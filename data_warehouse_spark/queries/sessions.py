@@ -61,18 +61,11 @@ def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E1_LAT = "value % 90"                              # deterministic pseudo-coords
 _E1_LON = "(event_id % 36000) / 100.0 - 180.0"
 
-# DuckDB CTE chain shared by the e1 oracle and the e2 carbon oracle: the
-# reference's trip-reconstruction pipeline up to the validated fact rows.
-_E1_FACT_SQL = f"""
-WITH trip_data AS (
-    SELECT user_id AS bike_id, event_type, ts,
-           {_E1_LAT} AS lat, {_E1_LON} AS lon,
-           lag(ts)  OVER w AS prev_time,
-           lag({_E1_LAT}) OVER w AS prev_lat,
-           lag({_E1_LON}) OVER w AS prev_lon
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
+# Tail of the trip-reconstruction CTE chain (segments -> aggregates ->
+# validity filter) — shared verbatim by the UTC fact (e1/e1b/e2/e3) and
+# the Europe/Zurich local-time variant (e1c), which differ only in the
+# trip_data head.
+_E1_SEGMENTS_SQL = f"""
 trip_segments AS (
     SELECT bike_id, event_type,
            ts AS end_time, prev_time AS start_time,
@@ -104,6 +97,44 @@ trips_fact AS (
 )
 """
 
+# DuckDB CTE chain shared by the e1 oracle and the e2 carbon oracle: the
+# reference's trip-reconstruction pipeline up to the validated fact rows.
+_E1_FACT_SQL = f"""
+WITH trip_data AS (
+    SELECT user_id AS bike_id, event_type, ts,
+           {_E1_LAT} AS lat, {_E1_LON} AS lon,
+           lag(ts)  OVER w AS prev_time,
+           lag({_E1_LAT}) OVER w AS prev_lat,
+           lag({_E1_LON}) OVER w AS prev_lon
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+""" + _E1_SEGMENTS_SQL
+
+# e1c head: the reference's in-extract conversion (trips_lambda.py:
+# 99,102 — `timestamp AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Zurich'`)
+# applied to ts, while the window still orders by the UTC instant +
+# event_id exactly as the reference orders by `timestamp` (local time
+# is non-monotonic through a DST fall-back, so ordering by it would
+# NOT be the reference's plan).
+_E1C_FACT_SQL = f"""
+WITH src AS (
+    SELECT user_id, event_type, event_id, value, ts AS utc_ts,
+           CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Zurich'
+                AS TIMESTAMP) AS ts
+    FROM events
+),
+trip_data AS (
+    SELECT user_id AS bike_id, event_type, ts,
+           {_E1_LAT} AS lat, {_E1_LON} AS lon,
+           lag(ts)  OVER w AS prev_time,
+           lag({_E1_LAT}) OVER w AS prev_lat,
+           lag({_E1_LON}) OVER w AS prev_lon
+    FROM src
+    WINDOW w AS (PARTITION BY user_id ORDER BY utc_ts, event_id)
+),
+""" + _E1_SEGMENTS_SQL
+
 
 @register(
     "e1_trips",
@@ -126,6 +157,35 @@ ORDER BY trip_start
 )
 def e1_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _present_sorted(trips_fact(spark, sf_dir))
+
+
+@register(
+    "e1c_trips_localtime",
+    oracle=_E1C_FACT_SQL + """
+SELECT ROUND(start_lat, 6) AS start_lat, ROUND(start_lon, 6) AS start_lon,
+       ROUND(end_lat, 6) AS end_lat, ROUND(end_lon, 6) AS end_lon,
+       bike_id, provider_id, trip_start, trip_end,
+       total_duration, total_distance, segment_count
+FROM trips_fact
+ORDER BY trip_start
+""",
+    doc="E1c: e1 with the reference's IN-EXTRACT timezone conversion "
+        "applied — every timestamp is `AT TIME ZONE 'UTC' AT TIME ZONE "
+        "'Europe/Zurich'` (trips_lambda.py:99,102), so all_trips parity "
+        "with the reference is byte-for-byte (closes the one documented "
+        "e1 deviation). Durations are differences of NAIVE local "
+        "timestamps, exactly as the reference computes them: across a "
+        "DST transition they shift by ±1h — reference behavior, "
+        "reproduced, not fixed. The lag window still orders by the UTC "
+        "instant (the reference orders by `timestamp`); local time "
+        "would be non-monotonic through a fall-back.",
+    tags=("flagship", "etl"),
+)
+def e1c_trips_localtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = (load_table(spark, sf_dir, "events")
+              .withColumn("__utc_ts", F.col("ts"))
+              .withColumn("ts", F.from_utc_timestamp("ts", "Europe/Zurich")))
+    return _present_sorted(trips_fact_from(events, order_col="__utc_ts"))
 
 
 def _present_sorted(fact: DataFrame) -> DataFrame:
@@ -167,15 +227,21 @@ def trips_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trips_fact_from(load_table(spark, sf_dir, "events"))
 
 
-def trips_fact_from(events: DataFrame) -> DataFrame:
+def trips_fact_from(events: DataFrame, order_col: str = "ts") -> DataFrame:
     """trips_fact over an arbitrary events DataFrame (plain or
-    bucketed scan — e1b passes the bucketed layout through here)."""
+    bucketed scan — e1b passes the bucketed layout through here).
+
+    `order_col` is the window ordering column; e1c passes the original
+    UTC instant while `ts` carries the Europe/Zurich wall clock, so the
+    lag runs in the reference's order (trips_lambda.py:101 orders by
+    `timestamp`, not the converted local_time)."""
     lat = (F.col("value") % 90).alias("lat")
     lon = ((F.col("event_id") % 36000) / 100.0 - 180.0).alias("lon")
 
-    w = Window.partitionBy("bike_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("bike_id").orderBy(order_col, "event_id")
     trip_data = events.select(
         F.col("user_id").alias("bike_id"), "event_type", "ts", "event_id", lat, lon,
+        *([order_col] if order_col != "ts" else []),
     ).withColumns({
         "prev_time": F.lag("ts").over(w),
         "prev_lat": F.lag("lat").over(w),

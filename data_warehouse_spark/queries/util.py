@@ -62,10 +62,10 @@ def scratch_dir(tag: str) -> str:
     checkpoint dirs included)."""
     import os
     import shutil
-    import tempfile
 
-    d = os.path.join(tempfile.gettempdir(),
-                     f"dws_scratch_{os.getpid()}", tag)
+    from data_warehouse_spark.scratch import process_dir
+
+    d = os.path.join(process_dir("dws_scratch"), tag)
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d

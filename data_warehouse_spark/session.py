@@ -22,6 +22,26 @@ def default_master() -> str:
     return f"local[{cpus}]" if cpus else "local[*]"
 
 
+def default_driver_mem() -> str:
+    """Driver heap default: min(48g, ~40% of MemTotal), floor 2g.
+
+    local[N] runs every task in the one driver JVM, so the heap is the
+    whole executor budget: at 8g a 614M-row bucketed write (32 parallel
+    sorters) OOMs before spill kicks in, hence 48g on this 128 GiB box
+    (leaves room for the OS page cache and a DuckDB peer; ~1.5g per
+    task slot — a real cluster expresses the same budget per executor).
+    Capping at 40% of physical RAM keeps smaller hosts from being
+    OOM-killed by the OS at a hard-coded Xmx they can't back; override
+    with SPARK_GRAFT_DRIVER_MEM."""
+    try:
+        with open("/proc/meminfo") as fh:
+            kb = int(next(l for l in fh if l.startswith("MemTotal")).split()[1])
+        frac_g = int(kb * 0.4 / 1024 / 1024)
+    except (OSError, StopIteration, ValueError):
+        frac_g = 48  # no /proc (non-Linux): keep the documented default
+    return f"{max(2, min(48, frac_g))}g"
+
+
 def get_spark(app_name: str = "data_warehouse_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-aware defaults.
@@ -58,13 +78,9 @@ def get_spark(app_name: str = "data_warehouse_spark", master: str | None = None,
         # would need a merge-sort read).
         .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
-        # local[32] runs 32 concurrent tasks in ONE JVM: at 8g a
-        # 614M-row bucketed write (32 parallel sorters) OOMs the heap
-        # before spill kicks in. The box provisions 128 GiB; 48g
-        # leaves room for the OS page cache and a DuckDB peer while
-        # giving each task slot ~1.5g — a real cluster expresses the
-        # same budget per executor.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                               default_driver_mem()))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

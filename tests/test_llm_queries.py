@@ -118,6 +118,31 @@ def test_validation_report_operator_semantics(spark):
     assert out == {"v_positive": (2, 3), "k_unique": (1, 3)}
 
 
+def test_validation_uniqueness_strategies_agree_incl_null_keys(spark):
+    """The grouped (no-Expand) and inline (countDistinct) uniqueness
+    strategies must report the same numbers — including on NULL keys,
+    where both treat NULL as one real key value (two NULL-keyed rows =
+    one duplicate), per the engine's PK contract."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.operators.validation import validation_report
+
+    df = spark.createDataFrame([
+        Row(k=1, v=1.0), Row(k=1, v=2.0), Row(k=None, v=3.0),
+        Row(k=None, v=4.0), Row(k=2, v=5.0),
+    ], "k int, v double")
+    reports = {
+        s: {r.rule: (r.n_violations, r.n_rows) for r in validation_report(
+            df, rules={"v_positive": F.col("v") > 0}, unique_key=["k"],
+            uniqueness=s).collect()}
+        for s in ("grouped", "inline")
+    }
+    assert reports["grouped"] == reports["inline"]
+    # 5 rows, 3 distinct keys (1, 2, NULL) -> 2 violations
+    assert reports["grouped"]["k_unique"] == (2, 5)
+
+
 def test_dq1_catches_exactly_the_planted_corruption(spark, sf_dir):
     got = {r.rule: r.n_violations for r in
            _q("dq1_validation_report")(spark, sf_dir).collect()}

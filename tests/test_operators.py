@@ -571,6 +571,27 @@ def test_merge_into_partitioned_preserves_null_ts_rows(spark, tmp_path):
     assert got == {(1, "a"), (2, "b"), (3, "c")}
 
 
+def test_merge_into_partitioned_first_load_dedups_batch(spark, tmp_path):
+    """The first load obeys the same last-writer-wins contract as the
+    merge path (round-5 advice): an initial batch carrying one key
+    twice must land exactly the newest row, not both."""
+    import datetime as dt
+
+    from data_warehouse_spark.operators.merge import merge_into_partitioned
+
+    target = str(tmp_path / "t")
+    t0 = dt.datetime(2024, 1, 10, 12)
+    first = spark.createDataFrame(
+        [Row(event_id=1, ts=t0, v="stale"),
+         Row(event_id=1, ts=t0 + dt.timedelta(hours=1), v="latest"),
+         Row(event_id=2, ts=t0, v="b")],
+        "event_id long, ts timestamp, v string")
+    merge_into_partitioned(spark, target, first, keys=["event_id"],
+                           ts_col="ts")
+    got = {(r.event_id, r.v) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "latest"), (2, "b")}
+
+
 def test_scd2_preserves_null_current_and_drops_null_eff_updates(spark):
     import datetime as dt
 

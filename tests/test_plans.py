@@ -200,13 +200,22 @@ def test_x2e_corpus_index_aggregates_below_join(spark):
 
 
 def test_dq1_row_rules_are_one_aggregate_pass(spark):
-    # all row rules + uniqueness ride ONE aggregation over the
-    # (unioned) log: no per-rule scan fan-out. The union contributes
-    # two scans of the same file; anything beyond that means a rule
-    # re-scanned the input.
-    plan = executed_plan(q(spark, "dq1_validation_report"))
-    assert plan.count("FileScan") <= 2
-    assert has_partial_aggregation(q(spark, "dq1_validation_report"))
+    # all row rules ride ONE aggregation over the (unioned) log — no
+    # per-rule scan fan-out — and the uniqueness check is its own
+    # groupBy branch (round 6: the split removes the Expand that
+    # doubled every input row through the first aggregate). The union
+    # contributes two scans per branch; anything beyond 4 means a rule
+    # re-scanned the input. The uniqueness branch must prune to the
+    # key column (the rule columns never reach it) and no Expand node
+    # may appear anywhere.
+    df = q(spark, "dq1_validation_report")
+    plan = executed_plan(df)
+    assert plan.count("FileScan") <= 4
+    # exactly ONE Expand: the final unpivot over the 1-row wide report.
+    # A second one would be countDistinct's row-doubling Expand over
+    # the scan (the inline strategy) sneaking back.
+    assert plan.count("Expand") == 1
+    assert has_partial_aggregation(df)
 
 
 def test_a13_histogram_is_scan_shaped(spark):
@@ -222,3 +231,53 @@ def test_a13_histogram_is_scan_shaped(spark):
 def test_f13_url_parse_is_map_only(spark):
     # parse_url must stay a projection: no shuffle anywhere
     assert count_exchanges(q(spark, "f13_url_parse")) == 0
+
+
+def test_x3_kernel_routing_responds_to_plan_size(spark, monkeypatch):
+    """ARROW_MIN_PLAN_BYTES (similarity.py) is measurement-derived; pin
+    BOTH routing directions so a Spark upgrade can't silently flip the
+    auto kernel: parquet scans must report a real optimizer size
+    estimate (nonzero, below the unknown sentinel), in-memory relations
+    must report unknown->0 (HOF route, no Arrow worker startup for tiny
+    inputs), and dropping the threshold below the scan size must flip
+    auto to the Arrow matmul kernel."""
+    from data_warehouse_spark.io import load_table
+    from data_warehouse_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF, "embeddings")
+    size = sim._plan_size_bytes(emb)
+    assert 0 < size < sim._UNKNOWN_SIZE_FLOOR
+    mem = spark.createDataFrame([(1, [0.1] * 4)], "id long, v array<float>")
+    assert sim._plan_size_bytes(mem) == 0
+
+    qv = [float(x) for x in emb.select("embedding").first()[0]]
+    monkeypatch.setattr(sim, "ARROW_MIN_PLAN_BYTES", 1)
+    plan = executed_plan(
+        sim.cosine_topk(emb, "embedding", "vec_id", qv, k=5))
+    assert "MapInArrow" in plan
+    # x3's small-scan HOF direction is pinned by
+    # test_x3_small_scan_kernel_stays_jvm_side above
+
+
+def test_ngram_oversized_block_routes_through_lsh(spark):
+    """max_block_rows routing (dedup.py): a block over the cap must be
+    served by the MinHash-LSH prefilter (signature stage visible as
+    xxhash64 in the plan), while the pure-exact path never hashes. Pins
+    the auto-route so the quadratic self-join can't silently come back
+    for oversized blocks."""
+    from data_warehouse_spark.io import load_table
+    from data_warehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF, "documents")
+    routed = ngram_jaccard_pairs(docs, "text", "doc_id", "lang",
+                                 n=2, threshold=0.5, max_block_rows=5)
+    exact = ngram_jaccard_pairs(docs, "text", "doc_id", "lang",
+                                n=2, threshold=0.5, max_block_rows=None)
+    # the routed plan is a Union of the exact small-block branch and
+    # the LSH branch, whose checkpointed candidate set surfaces as an
+    # ExistingRDD scan (the xxhash64 banding subtree runs behind that
+    # checkpoint); the pure-exact plan has neither
+    routed_plan = executed_plan(routed)
+    exact_plan = executed_plan(exact)
+    assert "Union" in routed_plan and "ExistingRDD" in routed_plan
+    assert "Union" not in exact_plan and "ExistingRDD" not in exact_plan

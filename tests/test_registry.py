@@ -6,38 +6,37 @@ from __future__ import annotations
 
 from data_warehouse_spark.queries.registry import DRIVER_WINDOW, load_all
 
-# Round-5 window: every query whose code changed after its last green
-# driver row (r4 changes: u4/x2c/x8/st*/mm*; r5 changes: e1/e2/mm2/
-# st6/st7/x3/x4 + new e1b/e3), x3c's first-ever row, and backfill with
-# the oldest remaining (r3) rows. The round-4-verified relational core
-# rotates out: its rows are current and its code unchanged.
+# Round-6 window: the 20 late-round-5 queries with no driver rows yet
+# (first-ever rows), queries added or re-oracled in round 6
+# (e1c / x2), and backfill with the 30 oldest (r3/r4) rows — the
+# relational/join/window core re-verified on current fixtures.
 MUST_BE_WINDOWED = {
-    # round-4/5 code changes + first-ever rows
-    "e1_trips", "e1b_bucketed_trips", "e2_carbon_savings",
-    "e3_enriched_trips",
-    "u4_scd2_dimension", "x2c_ngram_jaccard", "x8_dup_components",
-    "x3_cosine_topk", "x3c_multi_topk", "x4_pairwise_sim",
-    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
-    "st4_session_window", "st5_watermark_late_drop", "st6_stream_dedup",
-    "st7_foreach_upsert", "st8_custom_stateful", "st9_stream_stream_join",
-    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
-    "mm4_feature_ann",
-    # backfill — oldest current rows (r3)
-    "u1_upsert", "u2_dedup_latest",
-    "s2_rest_json_source", "s3_parallel_fetch", "s4_csv_roundtrip",
-    "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
-    "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
-    "udf4_udtf_words",
-    "j9_spatial_join", "j6_asof_join",
-    "u5_delete_keys", "u6_compaction", "x2d_cosine_lsh",
-    "x1_exact_dedup", "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
-    "x6_token_freq", "x7_tfidf", "x10_repetition_filter",
-    "x9_stratified_split",
-    "w5_sessionize", "j12_bucketed_fact_join",
+    # first-ever driver rows (late round-5 additions)
+    "s9_jsonl_roundtrip", "s10_orc_roundtrip", "s11_schema_evolution",
+    "u7_incremental_rollup", "u8_zorder_scan",
+    "u9_time_travel", "u9b_snapshot_diff",
+    "a11_cube", "a13_histogram",
+    "dq1_validation_report", "f13_url_parse", "w6_distribution",
+    "st10_stream_static_join", "st11_dedup_retries",
+    "x11_pii_redaction", "x12_dedup_corpus", "x13_decontaminate",
+    "x14_token_budget_sample", "x14b_token_budget_scalable",
+    "x2e_incremental_dedup",
+    # round-6 additions: new query + first-ever oracle
+    "e1c_trips_localtime", "x2_minhash_lsh",
+    # backfill — oldest current rows (r3/r4)
+    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
+    "j4_semi_join", "j4_anti_join", "j5_range_join",
+    "j7_cross_join", "j8_two_source_merge",
+    "s1_scan_filter", "s7_scan_full",
+    "p1_project", "p2_range_predicate", "p3_between_computed",
+    "p4_null_predicate", "p5_or_inequality", "p6_having",
+    "a1_q1_pricing_summary", "a2_count_by_key", "a3_global_agg",
+    "a4_distinct", "a5_rollup", "a6_stats", "a9_pivot", "a10_unpivot",
+    "w1_lag", "w2_lead_first_last", "w3_ranking", "w4_running_agg",
 }
 
 
-def test_driver_window_is_exactly_the_round5_set():
+def test_driver_window_is_exactly_the_round6_set():
     # DRIVER_WINDOW is the explicit first-50 contract; it must hold
     # every query that needs (re-)verification this round and fit the
     # driver's 50-entry budget.
