@@ -304,7 +304,10 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
 def oversized_blocks(df: DataFrame, block_col: str,
                      max_block_rows: int) -> list:
     """Blocking keys whose row count exceeds `max_block_rows` — a
-    bounded driver-side list (one entry per oversized key; capped)."""
+    bounded driver-side list (one entry per oversized key; capped).
+    The list is a ROUTING DECISION (is there anything to re-route?),
+    not a data path; the actual split goes through
+    :func:`split_oversized`'s broadcast join."""
     big = (df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__n"))
            .filter(F.col("__n") > max_block_rows)
            .select(block_col).limit(10_001).collect())
@@ -312,6 +315,30 @@ def oversized_blocks(df: DataFrame, block_col: str,
         raise ValueError("more than 10000 oversized blocks; raise "
                          "max_block_rows or choose a finer block key")
     return [r[block_col] for r in big]
+
+
+def split_oversized(df: DataFrame, block_col: str,
+                    big: list) -> tuple[DataFrame, DataFrame]:
+    """(small_part, big_part): rows whose block key is absent/present
+    in `big`, via a broadcast anti/semi join against the (≤10k-entry)
+    key list. Two wins over the previous `isin(big)` literal filters:
+    the plan stays flat no matter how many keys routed (a 10k-literal
+    In expression bloats every plan that embeds it twice), and an
+    oversized NULL block routes CORRECTLY — `isin` never matches NULL,
+    which would have silently left a >max_block_rows NULL-keyed block
+    on the quadratic exact path. eqNullSafe treats NULL as one block
+    key, consistent with groupBy producing it as one group."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    keys = spark.createDataFrame(
+        [(k,) for k in big],
+        T.StructType([T.StructField("__big_key",
+                                    df.schema[block_col].dataType)]))
+    cond = df[block_col].eqNullSafe(keys["__big_key"])
+    small = df.join(F.broadcast(keys), on=cond, how="left_anti")
+    bigp = df.join(F.broadcast(keys), on=cond, how="left_semi")
+    return small, bigp
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -337,8 +364,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     if max_block_rows is not None:
         big = oversized_blocks(df, block_col, max_block_rows)
         if big:
-            small_part = df.filter(~F.col(block_col).isin(big))
-            big_part = df.filter(F.col(block_col).isin(big))
+            small_part, big_part = split_oversized(df, block_col, big)
             routed = minhash_lsh_pairs(
                 big_part, text_col, id_col, shingle_n=n,
                 jaccard_threshold=threshold, block_col=block_col)

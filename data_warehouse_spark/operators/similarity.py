@@ -368,14 +368,15 @@ def cosine_pairs_blocked(df: DataFrame, vec_col: str, id_col: str,
     drops from |block|² to Σ|cell|². ``max_block_rows=None`` forces
     the exact path (the correctness baseline the oracle checks).
     """
-    from data_warehouse_spark.operators.dedup import oversized_blocks
+    from data_warehouse_spark.operators.dedup import (
+        oversized_blocks, split_oversized,
+    )
 
     if max_block_rows is not None:
         big = oversized_blocks(df, block_col, max_block_rows)
         if big:
             n_cells = 64  # Σ|cell|² « |block|² under any balanced split
-            small_part = df.filter(~F.col(block_col).isin(big))
-            big_part = df.filter(F.col(block_col).isin(big))
+            small_part, big_part = split_oversized(df, block_col, big)
             # cell assignment keys on (block, id), not id alone: the
             # exact path only requires ids unique WITHIN a block, and
             # assign_cells' per-id argmax window would otherwise keep a

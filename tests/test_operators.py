@@ -592,6 +592,26 @@ def test_merge_into_partitioned_first_load_dedups_batch(spark, tmp_path):
     assert got == {(1, "latest"), (2, "b")}
 
 
+def test_split_oversized_routes_null_blocks_and_matches_isin(spark):
+    """The broadcast-join split must route an oversized NULL-keyed
+    block to the prefilter path — the old isin() literal filter never
+    matched NULL, silently leaving such a block on the quadratic exact
+    path — and agree with isin semantics for non-NULL keys."""
+    from data_warehouse_spark.operators.dedup import (
+        oversized_blocks, split_oversized,
+    )
+
+    rows = ([Row(b=None, v=i) for i in range(5)]
+            + [Row(b="en", v=i) for i in range(5)]
+            + [Row(b="fr", v=0)])
+    df = spark.createDataFrame(rows, "b string, v int")
+    big = oversized_blocks(df, "b", 3)
+    assert set(big) == {None, "en"}
+    small, bigp = split_oversized(df, "b", big)
+    assert {(r.b, r.v) for r in small.collect()} == {("fr", 0)}
+    assert bigp.count() == 10
+
+
 def test_scd2_preserves_null_current_and_drops_null_eff_updates(spark):
     import datetime as dt
 
