@@ -149,6 +149,40 @@ def test_snapshot_versions_are_immutable_and_atomic(spark, tmp_path):
         read_snapshot(spark, str(tmp_path / "nope"))
 
 
+def test_snapshot_version_lock_blocks_live_writer_steals_stale(spark, tmp_path):
+    """Round-6 concurrency fix: a FRESH lock for the next version means
+    a live concurrent writer — the commit must fail loudly instead of
+    rmtree'ing its in-progress data. A STALE lock (crashed writer,
+    older than LOCK_GRACE_S) is reclaimed and the write proceeds."""
+    import os
+    import time
+
+    import pytest
+    from pyspark.sql import Row
+
+    from data_warehouse_spark.operators import snapshots as snap
+
+    t = str(tmp_path / "snap")
+    df = spark.createDataFrame([Row(k=1)])
+    assert snap.write_snapshot(df, t) == 1
+    # no lock left behind after a successful commit
+    assert not [f for f in os.listdir(snap._versions_dir(t))
+                if f.endswith(".lock")]
+
+    # plant a FRESH lock for v2 -> concurrent writer -> loud failure
+    lock = os.path.join(snap._versions_dir(t), ".v000002.lock")
+    with open(lock, "w") as fh:
+        fh.write("99999")
+    with pytest.raises(RuntimeError, match="another process"):
+        snap.write_snapshot(df, t)
+
+    # age it past the grace period -> stale crashed writer -> stolen
+    old = time.time() - snap.LOCK_GRACE_S - 1
+    os.utime(lock, (old, old))
+    assert snap.write_snapshot(df, t) == 2
+    assert snap.versions(t) == [1, 2]
+
+
 def test_snapshot_changes_classifies_all_three_kinds(spark, tmp_path):
     from pyspark.sql import Row
 
