@@ -63,6 +63,41 @@ def token_budget_sample_scalable(df: DataFrame, stratum: str, key: str,
     per-stratum work spread over ``coarse`` range chunks. Returns
     (stratum, key, weight, cum) rows.
     """
+    return (prefix_sum_scalable(df, stratum, key, weight, coarse)
+            .filter(F.col("cum") <= budget))
+
+
+def sequence_pack(df: DataFrame, stratum: str, key: str, weight: str,
+                  seq_len: int, coarse: int = 32) -> DataFrame:
+    """GPT-style pretraining sequence packing: per stratum, documents
+    are concatenated in deterministic ``key`` order and the token
+    stream is chopped into fixed ``seq_len`` sequences; each doc's
+    placement is pure arithmetic off the prefix sum —
+    ``start_seq = (cum - w) div L`` (the sequence its first token
+    lands in), ``end_seq = (cum - 1) div L`` (its last token), so a
+    long doc straddles ``end - start + 1`` sequences. Zero-weight rows
+    must be filtered by the caller (they occupy no tokens; the
+    arithmetic would place them degenerately).
+
+    Scale shape: identical to token_budget_sample_scalable — the
+    two-phase distributed prefix sum (range-chunk subtotals + offsets
+    over the chunk-count-sized table) followed by a map-only
+    projection; no extra shuffle beyond the prefix sum itself.
+    Returns (stratum, key, weight, cum, start_seq, end_seq).
+    """
+    cum = prefix_sum_scalable(df, stratum, key, weight, coarse)
+    return (cum
+            .withColumn("start_seq", F.expr(
+                f"(cum - {weight}) div {seq_len}"))
+            .withColumn("end_seq", F.expr(f"(cum - 1) div {seq_len}")))
+
+
+def prefix_sum_scalable(df: DataFrame, stratum: str, key: str,
+                        weight: str, coarse: int = 32) -> DataFrame:
+    """Per-stratum running sum of ``weight`` in ``key`` order as
+    (stratum, key, weight, cum) — the two-phase decomposition the
+    module docstring describes, shared by the budget sampler and the
+    sequence packer."""
     ranged = (df.select(stratum, key, weight)
               .repartitionByRange(coarse, F.col(stratum), F.col(key))
               .withColumn("__chunk", F.spark_partition_id())
@@ -87,5 +122,4 @@ def token_budget_sample_scalable(df: DataFrame, stratum: str, key: str,
                   on=[F.col(stratum).eqNullSafe(F.col("__s")),
                       F.col("__chunk") == F.col("__c")])
             .withColumn("cum", F.col("__off") + F.sum(weight).over(w_in))
-            .filter(F.col("cum") <= budget)
             .select(stratum, key, weight, "cum"))

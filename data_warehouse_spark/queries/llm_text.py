@@ -368,6 +368,64 @@ def x14b_token_budget_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x15_sequence_packing",
+    oracle=f"""
+WITH sized AS (
+    SELECT lang, doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS k
+    FROM documents
+), cum AS (
+    SELECT lang, doc_id, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_tokens
+    FROM sized WHERE n_tokens > 0
+)
+SELECT lang, doc_id, n_tokens,
+       CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS start_seq,
+       CAST((cum_tokens - 1) // 512 AS BIGINT) AS end_seq
+FROM cum
+""",
+    doc="X15 [ext]: pretraining sequence packing — per language, docs "
+        "are concatenated in deterministic md5(doc_id) order (x9's "
+        "reproducible-shuffle idiom) and the token stream is chopped "
+        "into fixed 512-token sequences; each doc's placement "
+        "(start_seq, end_seq — a long doc straddles several) is pure "
+        "integer arithmetic off the running token sum. This is the "
+        "GPT-style packed-batch layout every training loader needs: "
+        "given (doc -> sequence range), a reader materializes sequence "
+        "i from exactly the docs whose range covers i. Runs on the "
+        "DISTRIBUTED two-phase prefix sum (operators/sampling.py:"
+        "sequence_pack — range-chunk subtotals + offsets over the "
+        "chunk-count-sized table), so per-stratum work spreads over "
+        "strata x chunks; the oracle is the naive one-reducer window, "
+        "so the hash compare certifies the decomposition is "
+        "value-exact, as with x14b. Zero-token docs are excluded "
+        "(they occupy no positions in the stream).",
+    tags=("ext", "text", "sampling"),
+)
+def x15_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.sampling import sequence_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+        F.col("doc_id"),
+        word_count("text").cast("long").alias("n_tokens"))
+    packed = sequence_pack(
+        sized.filter(F.col("n_tokens") > 0).select("lang", "k", "n_tokens"),
+        stratum="lang", key="k", weight="n_tokens", seq_len=512)
+    ids = sized.select(F.col("lang").alias("__l"), F.col("k").alias("__k2"),
+                       "doc_id")
+    # null-safe on lang, as in x14b: a NULL stratum is a real partition
+    return (packed.join(ids, on=[F.col("lang").eqNullSafe(F.col("__l")),
+                                 F.col("k") == F.col("__k2")])
+            .select("lang", "doc_id", "n_tokens", "start_seq", "end_seq"))
+
+
+@register(
     "x5_text_stats",
     oracle=f"""
 SELECT doc_id,

@@ -85,12 +85,12 @@ DRIVER_WINDOW = [
     "p4_null_predicate", "p5_or_inequality", "p6_having",
     "a1_q1_pricing_summary", "a2_count_by_key", "a3_global_agg",
     "a4_distinct", "a5_rollup", "a6_stats", "a9_pivot", "a10_unpivot",
-    "w1_lag", "w2_lead_first_last", "w3_ranking", "w4_running_agg",
-    # round-6 additions displace the last two backfill slots
-    # (o1/o2: r4-green, stock Catalyst, code unchanged): e1c is new,
-    # x2 carries its FIRST oracle (exact-Jaccard, valid on the bimodal
-    # fixture — see its registration doc).
-    "e1c_trips_localtime", "x2_minhash_lsh",
+    "w1_lag", "w2_lead_first_last", "w3_ranking",
+    # round-6 additions displace the last three backfill slots
+    # (o1/o2/w4: r4-green, stock Catalyst, code unchanged): e1c and
+    # x15 are new, x2 carries its FIRST oracle (exact-Jaccard, valid
+    # on the bimodal fixture — see its registration doc).
+    "e1c_trips_localtime", "x2_minhash_lsh", "x15_sequence_packing",
 ]
 # a12_sketch_rollup is rows-only by design (sketch estimates are
 # library-specific). Queries added DURING round 6 should displace

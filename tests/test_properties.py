@@ -267,6 +267,47 @@ def test_two_phase_prefix_sum_equals_window_on_random_strata(spark):
             assert all(k in sel for k in all_keys[s] if k <= cut)
 
 
+def test_sequence_pack_boundary_invariant_and_covers_stream(spark):
+    """sequence_pack must equal the naive single-window arithmetic at
+    several chunk counts (boundary invariance, as for the sampler),
+    and the packing must tile the token stream: per stratum the first
+    doc starts at sequence 0, start <= end everywhere, consecutive
+    docs' ranges abut (next.start in {prev.end, prev.end + 1}), and
+    the last doc ends at (total_tokens - 1) div L."""
+    import random
+
+    from data_warehouse_spark.operators.sampling import sequence_pack
+
+    rng = random.Random(4242)
+    rows = []
+    for s, size in (("a", 1), ("b", 53), ("c", 400)):
+        for i in range(size):
+            rows.append((s, f"k{rng.randrange(10**9):09d}_{s}{i}",
+                         rng.choice([1, 2, 7, 100, 900, 1500])))
+    df = spark.createDataFrame(rows, "stratum string, k string, w long")
+    L = 128
+
+    ref = None
+    for coarse in (1, 5, 32):
+        got = {(r.stratum, r.k, r.w, r.cum, r.start_seq, r.end_seq)
+               for r in sequence_pack(df, "stratum", "k", "w", L,
+                                      coarse=coarse).collect()}
+        if ref is None:
+            ref = got
+        assert got == ref, f"coarse={coarse} diverged"
+
+    per = {}
+    for (s, k, w, cum, a, b) in sorted(ref, key=lambda t: (t[0], t[3])):
+        assert a <= b and a == (cum - w) // L and b == (cum - 1) // L
+        per.setdefault(s, []).append((a, b, cum))
+    for s, spans in per.items():
+        assert spans[0][0] == 0
+        for (pa, pb, _), (na, nb, _) in zip(spans, spans[1:]):
+            assert na in (pb, pb + 1)
+        total = spans[-1][2]
+        assert spans[-1][1] == (total - 1) // L
+
+
 def test_wide_sum_exact_vs_python_and_overflow_regime(spark):
     """util.wide_sum must equal the exact integer sum (as double) on
     random cents^3-scale operands, including values near the split
