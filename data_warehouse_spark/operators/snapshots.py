@@ -79,7 +79,10 @@ def _acquire_version_lock(table_dir: str, v: int) -> str:
                     f"by another process (lock age {age:.0f}s); "
                     "snapshot tables are single-writer per version — "
                     "retry after the other commit finishes") from None
-            os.unlink(lock)  # stale: crashed writer, steal the version
+            try:  # stale: crashed writer, steal the version (another
+                os.unlink(lock)  # stealer may have unlinked it first)
+            except FileNotFoundError:
+                pass
     raise RuntimeError(f"could not acquire version lock for v{v:06d}")
 
 
