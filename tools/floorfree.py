@@ -80,6 +80,10 @@ DEFAULT_QUERIES = {
     # validation report: a union'd full scan + conditional-sum
     # aggregate + distinct-count — data-dominated, hash-verified
     "dq1_validation_report": (16, 64, 256),
+    # round-6: sequence packing — doc-cardinality output (5.1M rows at
+    # 1024x); Spark's two-phase prefix sum vs DuckDB's per-stratum
+    # window, hash-verified
+    "x15_sequence_packing": (16, 64, 256, 1024),
 }
 
 # (key columns salted as key*n+copy) per amplified table; text gets a
