@@ -58,11 +58,17 @@ GROUP BY 1
     tags=("join", "agg", "bucketed"),
 )
 def j12_bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same derived predicate as j11 (l_shipdate > o_orderdate >= D
+    # implies l_shipdate > D — Catalyst only propagates equality
+    # constraints): prunes the 614M-row probe side before the hash
+    # probe, on the scan. Result-identical, oracle unchanged.
+    cutoff = F.lit("1996-01-01").cast("timestamp")
     li = bucketed_view(spark, sf_dir, "lineitem", load_table,
-                       ["l_orderkey"], N_BUCKETS)
+                       ["l_orderkey"], N_BUCKETS).filter(
+        F.col("l_shipdate") > cutoff)
     orders = bucketed_view(spark, sf_dir, "orders", load_table,
                            ["o_orderkey"], N_BUCKETS).filter(
-        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) \
+        F.col("o_orderdate") >= cutoff) \
         .hint("shuffle_hash")
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .filter(F.col("l_shipdate") > F.col("o_orderdate"))

@@ -288,9 +288,16 @@ GROUP BY 1
     tags=("join", "agg"),
 )
 def j11_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # Derived predicate Catalyst does not infer (constraint propagation
+    # covers equalities, not inequality chains): l_shipdate >
+    # o_orderdate AND o_orderdate >= D implies l_shipdate > D, so the
+    # big probe side prunes BEFORE the shuffle (~57% of lineitem rows
+    # dropped at the scan). Result-identical; the oracle is unchanged.
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff)
     orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        F.col("o_orderdate") >= cutoff)
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
             .filter(F.col("l_shipdate") > F.col("o_orderdate"))
             .groupBy(F.col("o_orderpriority").alias("priority"))
