@@ -140,8 +140,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # only the final candidate set (tiny) is worth checkpointing.
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     if block_col is not None:
+        # 1-field struct, not the raw value: the banding self-join and
+        # the verify joins key on "block" with plain (null-UNSAFE)
+        # equality, which silently drops every pair of a NULL-keyed
+        # block; struct equality compares fields null-safely, so a
+        # NULL block behaves as one real key. Unwrapped at output.
         sigs = sigs.join(
-            df.select(F.col(id_col), F.col(block_col).alias("block")), on=id_col)
+            df.select(F.col(id_col),
+                      F.struct(F.col(block_col).alias("v")).alias("block")),
+            on=id_col)
     band_keys = ["band", "bucket"] + (["block"] if block_col is not None else [])
     banded = sigs.select(
         id_col, *(["block"] if block_col is not None else []),
@@ -206,7 +213,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
            .withColumn("jaccard", F.col("n_inter")
                        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
            .filter(F.col("jaccard") >= jaccard_threshold)
-           .select(*extra, "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+           .select(*([F.col("block")["v"].alias("block")]
+                     if block_col is not None else []),
+                   "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
     return out
 
 
@@ -372,8 +381,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                                         block_col, n, threshold,
                                         max_block_rows=None)
             return exact.unionByName(routed)
+    # struct-wrapped block key for the same NULL-safety reason as the
+    # LSH path above (the grams self-join and both size joins key on
+    # "block" with plain equality); unwrapped in the final select
     grams = spread_for_compute(df).select(
-        F.col(id_col).alias("id"), F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        F.struct(F.col(block_col).alias("v")).alias("block"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("g"))
     # one explicit shuffle on the join key: both self-join sides and the
     # size aggregate hang off the same exchange, so the expensive
@@ -394,4 +407,5 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .withColumn("jaccard", F.col("n_inter")
                         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
             .filter(F.col("jaccard") >= threshold)
-            .select("block", "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+            .select(F.col("block")["v"].alias("block"), "id_a", "id_b",
+                    F.round("jaccard", 6).alias("jaccard")))

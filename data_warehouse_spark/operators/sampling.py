@@ -86,10 +86,12 @@ def sequence_pack(df: DataFrame, stratum: str, key: str, weight: str,
     Returns (stratum, key, weight, cum, start_seq, end_seq).
     """
     cum = prefix_sum_scalable(df, stratum, key, weight, coarse)
+    # backtick-quoted like similarity.py's interpolated identifiers: a
+    # weight column named with spaces/reserved words must parse
     return (cum
             .withColumn("start_seq", F.expr(
-                f"(cum - {weight}) div {seq_len}"))
-            .withColumn("end_seq", F.expr(f"(cum - 1) div {seq_len}")))
+                f"(cum - `{weight}`) div {int(seq_len)}"))
+            .withColumn("end_seq", F.expr(f"(cum - 1) div {int(seq_len)}")))
 
 
 def prefix_sum_scalable(df: DataFrame, stratum: str, key: str,

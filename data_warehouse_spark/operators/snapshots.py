@@ -54,11 +54,31 @@ def versions(table_dir: str) -> list[int]:
 LOCK_GRACE_S = 900
 
 
+def _lock_holder_alive(lock: str) -> bool | None:
+    """Liveness of the pid recorded in a lock file: True/False when it
+    can be determined (same host — the plain-filesystem snapshot store
+    is single-host by construction), None when the file is unreadable
+    or carries no pid."""
+    try:
+        with open(lock) as fh:
+            pid = int(fh.read().strip() or "0")
+    except (OSError, ValueError):
+        return None
+    if pid <= 0:
+        return None
+    from data_warehouse_spark.scratch import _pid_alive
+    return _pid_alive(pid)
+
+
 def _acquire_version_lock(table_dir: str, v: int) -> str:
     """O_CREAT|O_EXCL per-version lock: turns the compute-max+1 /
     rmtree race between two concurrent writers into a loud failure for
-    the loser. A stale lock (crashed writer, older than LOCK_GRACE_S)
-    is stolen; a fresh one raises."""
+    the loser. A dead holder's lock (pid no longer exists — checked
+    via the pid recorded in the lock, NOT mtime age alone: a live
+    writer's large parquet write can legitimately exceed any fixed
+    grace period) is stolen immediately; a live holder raises
+    regardless of age. mtime grace (LOCK_GRACE_S) is only the
+    fallback when the pid can't be read."""
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
     lock = os.path.join(_versions_dir(table_dir), f".v{v:06d}.lock")
     for _ in range(2):
@@ -69,18 +89,21 @@ def _acquire_version_lock(table_dir: str, v: int) -> str:
             return lock
         except FileExistsError:
             import time
-            try:
-                age = time.time() - os.path.getmtime(lock)
-            except OSError:
-                continue  # holder just committed/released; retry once
-            if age < LOCK_GRACE_S:
+            alive = _lock_holder_alive(lock)
+            if alive is None:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # holder just committed/released; retry
+                alive = age < LOCK_GRACE_S
+            if alive:
                 raise RuntimeError(
                     f"version v{v:06d} of {table_dir} is being written "
-                    f"by another process (lock age {age:.0f}s); "
-                    "snapshot tables are single-writer per version — "
-                    "retry after the other commit finishes") from None
-            try:  # stale: crashed writer, steal the version (another
-                os.unlink(lock)  # stealer may have unlinked it first)
+                    "by another live process; snapshot tables are "
+                    "single-writer per version — retry after the other "
+                    "commit finishes") from None
+            try:  # dead holder: steal the version (another stealer
+                os.unlink(lock)  # may have unlinked it first)
             except FileNotFoundError:
                 pass
     raise RuntimeError(f"could not acquire version lock for v{v:06d}")
@@ -93,13 +116,27 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
     Concurrency contract: one writer per VERSION, enforced by an
     O_CREAT|O_EXCL lock file — two concurrent writers both computing
     max+1 no longer rmtree each other's in-progress data; the loser
-    fails loudly and can retry (it will then observe the winner's
-    committed version and take the next number). Locks left by crashed
-    writers are reclaimed after LOCK_GRACE_S."""
+    fails loudly (live holder) or takes the next number (holder
+    already committed and released). Locks left by crashed writers
+    are reclaimed by pid-liveness check (mtime grace as fallback)."""
     import shutil
 
-    v = (versions(table_dir) or [0])[-1] + 1
-    lock = _acquire_version_lock(table_dir, v)
+    while True:
+        v = (versions(table_dir) or [0])[-1] + 1
+        lock = _acquire_version_lock(table_dir, v)
+        # Re-validate AFTER the lock: another writer may have computed
+        # the same v, committed it, and RELEASED its lock between our
+        # versions() read and the os.open — without this check we
+        # would treat the winner's COMMITTED data dir as a crashed
+        # writer's orphan and rmtree an immutable version. Committed
+        # manifest present -> drop the lock and take the next number.
+        if not os.path.exists(os.path.join(_versions_dir(table_dir),
+                                           f"v{v:06d}.json")):
+            break
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
     try:
         # abspath: the manifest must resolve from ANY later working
         # directory / Spark default FS, not just the writer's cwd

@@ -169,18 +169,67 @@ def test_snapshot_version_lock_blocks_live_writer_steals_stale(spark, tmp_path):
     assert not [f for f in os.listdir(snap._versions_dir(t))
                 if f.endswith(".lock")]
 
-    # plant a FRESH lock for v2 -> concurrent writer -> loud failure
+    # plant a lock held by a LIVE pid (ours) -> loud failure, even if
+    # the lock is old (a big parquet write can outlive any grace)
     lock = os.path.join(snap._versions_dir(t), ".v000002.lock")
     with open(lock, "w") as fh:
-        fh.write("99999")
-    with pytest.raises(RuntimeError, match="another process"):
-        snap.write_snapshot(df, t)
-
-    # age it past the grace period -> stale crashed writer -> stolen
+        fh.write(str(os.getpid()))
     old = time.time() - snap.LOCK_GRACE_S - 1
     os.utime(lock, (old, old))
+    with pytest.raises(RuntimeError, match="live process"):
+        snap.write_snapshot(df, t)
+
+    # dead holder pid -> stolen immediately, no grace wait
+    with open(lock, "w") as fh:
+        fh.write("999999")  # no such pid
     assert snap.write_snapshot(df, t) == 2
-    assert snap.versions(t) == [1, 2]
+
+    # unreadable pid + fresh mtime -> grace fallback says live -> fail
+    lock3 = os.path.join(snap._versions_dir(t), ".v000003.lock")
+    with open(lock3, "w") as fh:
+        fh.write("")
+    with pytest.raises(RuntimeError, match="live process"):
+        snap.write_snapshot(df, t)
+    # unreadable pid + stale mtime -> grace fallback steals
+    os.utime(lock3, (old, old))
+    assert snap.write_snapshot(df, t) == 3
+    assert snap.versions(t) == [1, 2, 3]
+
+
+def test_snapshot_lock_revalidates_committed_version(spark, tmp_path):
+    """The compute-v/commit/release race: if another writer committed v
+    and RELEASED its lock between our versions() read and the lock
+    acquisition, write_snapshot must take the NEXT number — never
+    treat the committed data dir as a reclaimable orphan."""
+    from pyspark.sql import Row
+
+    from data_warehouse_spark.operators import snapshots as snap
+
+    t = str(tmp_path / "snap")
+    df = spark.createDataFrame([Row(k=1)])
+    assert snap.write_snapshot(df, t) == 1
+
+    # simulate the race: another writer commits v2 AFTER our versions()
+    # read. Patch versions() to return the pre-commit view once.
+    real_versions = snap.versions
+    calls = {"n": 0}
+
+    def stale_once(table_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            snap.write_snapshot(
+                df.sparkSession.createDataFrame([Row(k=99)]), t)
+            return [1]  # the stale, pre-commit view
+        return real_versions(table_dir)
+
+    snap.versions = stale_once
+    try:
+        got = snap.write_snapshot(df, t)
+    finally:
+        snap.versions = real_versions
+    assert got == 3  # v2 was the other writer's; ours re-validated
+    got_v2 = {r.k for r in snap.read_snapshot(spark, t, 2).collect()}
+    assert got_v2 == {99}  # the winner's committed data survived
 
 
 def test_snapshot_changes_classifies_all_three_kinds(spark, tmp_path):

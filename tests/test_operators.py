@@ -612,6 +612,35 @@ def test_split_oversized_routes_null_blocks_and_matches_isin(spark):
     assert bigp.count() == 10
 
 
+def test_null_block_pairs_survive_both_jaccard_paths(spark):
+    """END-TO-END NULL-block coverage (round-6 review finding): the
+    routing alone was not enough — the LSH and exact paths' joins
+    keyed on the raw block with null-UNSAFE equality, so a NULL-keyed
+    block produced zero pairs no matter how it was routed. Both paths
+    must now emit the planted near-dup pair of a NULL block."""
+    from data_warehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [Row(b=None, id=1, text=base),
+            Row(b=None, id=2, text=base + " extra"),
+            *[Row(b=None, id=10 + i, text=f"doc {i} unrelated words "
+                  f"number{i} token{i} filler{i}") for i in range(6)],
+            Row(b="en", id=100, text=base),
+            Row(b="en", id=101, text=base + " tail")]
+    df = spark.createDataFrame(rows, "b string, id long, text string")
+
+    exact = ngram_jaccard_pairs(df, "text", "id", "b", n=2,
+                                threshold=0.5, max_block_rows=None)
+    got_exact = {(r.block, r.id_a, r.id_b) for r in exact.collect()}
+    assert (None, 1, 2) in got_exact and ("en", 100, 101) in got_exact
+
+    # force the NULL block (8 rows) through the LSH route
+    routed = ngram_jaccard_pairs(df, "text", "id", "b", n=2,
+                                 threshold=0.5, max_block_rows=4)
+    got_routed = {(r.block, r.id_a, r.id_b) for r in routed.collect()}
+    assert (None, 1, 2) in got_routed
+
+
 def test_scd2_preserves_null_current_and_drops_null_eff_updates(spark):
     import datetime as dt
 

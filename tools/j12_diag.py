@@ -55,8 +55,10 @@ def main() -> int:
 
     specs = load_all()
     spec = specs[args.query]
-    spark = get_spark("j12diag")
-    ui = "http://localhost:4040"
+    # the session factory disables the UI by default; the REST stage
+    # metrics below need it
+    spark = get_spark("j12diag", extra_conf={"spark.ui.enabled": "true"})
+    ui = spark.sparkContext.uiWebUrl or "http://localhost:4040"
 
     t0 = time.time()
     spec.fn(spark, args.amp).write.format("noop").mode("overwrite").save()
