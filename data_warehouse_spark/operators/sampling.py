@@ -86,11 +86,13 @@ def sequence_pack(df: DataFrame, stratum: str, key: str, weight: str,
     Returns (stratum, key, weight, cum, start_seq, end_seq).
     """
     cum = prefix_sum_scalable(df, stratum, key, weight, coarse)
-    # backtick-quoted like similarity.py's interpolated identifiers: a
-    # weight column named with spaces/reserved words must parse
+    # backtick-quoted (embedded backticks doubled, Spark's escape) so
+    # any weight column name — spaces, reserved words, backticks —
+    # parses instead of injecting into the expression
+    w = weight.replace("`", "``")
     return (cum
             .withColumn("start_seq", F.expr(
-                f"(cum - `{weight}`) div {int(seq_len)}"))
+                f"(cum - `{w}`) div {int(seq_len)}"))
             .withColumn("end_seq", F.expr(f"(cum - 1) div {int(seq_len)}")))
 
 

@@ -53,6 +53,14 @@ def versions(table_dir: str) -> list[int]:
 # its in-progress data dir.
 LOCK_GRACE_S = 900
 
+# Ultimate fallback against pid reuse: a lock whose recorded pid LOOKS
+# alive (os.kill-0 succeeds) but whose mtime is older than this is
+# treated as a recycled pid (reboot / pid-space wrap) and reclaimed —
+# otherwise one crashed writer whose pid an unrelated daemon inherited
+# would wedge the table forever. Single snapshot commits longer than a
+# day are out of contract (documented here).
+LOCK_HARD_GRACE_S = 86_400
+
 
 def _lock_holder_alive(lock: str) -> bool | None:
     """Liveness of the pid recorded in a lock file: True/False when it
@@ -76,9 +84,14 @@ def _acquire_version_lock(table_dir: str, v: int) -> str:
     the loser. A dead holder's lock (pid no longer exists — checked
     via the pid recorded in the lock, NOT mtime age alone: a live
     writer's large parquet write can legitimately exceed any fixed
-    grace period) is stolen immediately; a live holder raises
-    regardless of age. mtime grace (LOCK_GRACE_S) is only the
-    fallback when the pid can't be read."""
+    grace period) is stolen; a live holder raises up to
+    LOCK_HARD_GRACE_S, past which the pid is presumed recycled
+    (reboot / pid-space wrap) and the lock reclaimed. mtime grace
+    (LOCK_GRACE_S) is the fallback when the pid can't be read.
+    Steals are ATOMIC (rename-then-delete), so concurrent stealers
+    can't hand two writers the same version."""
+    import time
+
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
     lock = os.path.join(_versions_dir(table_dir), f".v{v:06d}.lock")
     for _ in range(2):
@@ -88,23 +101,37 @@ def _acquire_version_lock(table_dir: str, v: int) -> str:
             os.close(fd)
             return lock
         except FileExistsError:
-            import time
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # holder just committed/released; retry
             alive = _lock_holder_alive(lock)
             if alive is None:
-                try:
-                    age = time.time() - os.path.getmtime(lock)
-                except OSError:
-                    continue  # holder just committed/released; retry
                 alive = age < LOCK_GRACE_S
+            elif alive and age > LOCK_HARD_GRACE_S:
+                # pid LOOKS alive but the lock predates any plausible
+                # single commit: recycled pid (reboot / wrap), reclaim
+                alive = False
             if alive:
                 raise RuntimeError(
                     f"version v{v:06d} of {table_dir} is being written "
                     "by another live process; snapshot tables are "
                     "single-writer per version — retry after the other "
                     "commit finishes") from None
-            try:  # dead holder: steal the version (another stealer
-                os.unlink(lock)  # may have unlinked it first)
+            # Dead holder: steal ATOMICALLY via rename — two concurrent
+            # stealers must not both proceed (a bare unlink would let
+            # the slow stealer delete the fast one's freshly created
+            # NEW lock and hand both writers the same version). Only
+            # one rename on the same source succeeds; the loser loops
+            # and finds the fast stealer's fresh lock.
+            claimed = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
+            try:
+                os.rename(lock, claimed)
             except FileNotFoundError:
+                continue  # another stealer claimed it first
+            try:
+                os.unlink(claimed)
+            except OSError:
                 pass
     raise RuntimeError(f"could not acquire version lock for v{v:06d}")
 

@@ -32,13 +32,15 @@ WITH RECURSIVE toks AS (
     SELECT id, block, COUNT(*) AS n_g FROM grams GROUP BY id, block
 ), inter AS (
     SELECT a.block, a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-    FROM grams a JOIN grams b ON a.block = b.block AND a.g = b.g AND a.id < b.id
+    FROM grams a JOIN grams b
+      ON a.block IS NOT DISTINCT FROM b.block
+     AND a.g = b.g AND a.id < b.id
     GROUP BY a.block, a.id, b.id
 ), pairs AS (
     SELECT i.id_a, i.id_b
     FROM inter i
-    JOIN sizes sa ON i.id_a = sa.id AND i.block = sa.block
-    JOIN sizes sb ON i.id_b = sb.id AND i.block = sb.block
+    JOIN sizes sa ON i.id_a = sa.id AND i.block IS NOT DISTINCT FROM sa.block
+    JOIN sizes sb ON i.id_b = sb.id AND i.block IS NOT DISTINCT FROM sb.block
     WHERE n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter) >= 0.1
 ), edges AS (
     SELECT id_a AS a, id_b AS b FROM pairs
@@ -84,13 +86,15 @@ WITH RECURSIVE toks AS (
     SELECT id, block, COUNT(*) AS n_g FROM grams GROUP BY id, block
 ), inter AS (
     SELECT a.block, a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-    FROM grams a JOIN grams b ON a.block = b.block AND a.g = b.g AND a.id < b.id
+    FROM grams a JOIN grams b
+      ON a.block IS NOT DISTINCT FROM b.block
+     AND a.g = b.g AND a.id < b.id
     GROUP BY a.block, a.id, b.id
 ), pairs AS (
     SELECT i.id_a, i.id_b
     FROM inter i
-    JOIN sizes sa ON i.id_a = sa.id AND i.block = sa.block
-    JOIN sizes sb ON i.id_b = sb.id AND i.block = sb.block
+    JOIN sizes sa ON i.id_a = sa.id AND i.block IS NOT DISTINCT FROM sa.block
+    JOIN sizes sb ON i.id_b = sb.id AND i.block IS NOT DISTINCT FROM sb.block
     WHERE n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter) >= 0.1
 ), edges AS (
     SELECT id_a AS a, id_b AS b FROM pairs

@@ -179,9 +179,15 @@ def test_snapshot_version_lock_blocks_live_writer_steals_stale(spark, tmp_path):
     with pytest.raises(RuntimeError, match="live process"):
         snap.write_snapshot(df, t)
 
-    # dead holder pid -> stolen immediately, no grace wait
+    # dead holder pid -> stolen immediately, no grace wait. Fork and
+    # reap a child for a GUARANTEED-dead pid (a hardcoded number can
+    # belong to a live process under pid_max=4M on systemd hosts)
+    dead_pid = os.fork()
+    if dead_pid == 0:
+        os._exit(0)
+    os.waitpid(dead_pid, 0)
     with open(lock, "w") as fh:
-        fh.write("999999")  # no such pid
+        fh.write(str(dead_pid))
     assert snap.write_snapshot(df, t) == 2
 
     # unreadable pid + fresh mtime -> grace fallback says live -> fail
