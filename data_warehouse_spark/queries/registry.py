@@ -95,6 +95,13 @@ DRIVER_WINDOW = [
 # a12_sketch_rollup is rows-only by design (sketch estimates are
 # library-specific). Queries added DURING round 6 should displace
 # backfill entries (never the first-ever-row block above).
+# TODO(round 7): once CORRECTNESS_r06 certifies this window, rotate in
+# the queries whose CODE changed in round 6 after the window was
+# pinned mid-round — x2c/x4/x12/x8 (struct block keys + null-safe
+# oracles), j11 (derived predicate; j12/x3/dq1 are already in or
+# certified this round) — plus backfill from the oldest remaining
+# rows (set1-4, f-battery, o1/o2, w4, s-battery leftovers, u-family
+# r5 rows). Everything in THIS window will be freshly certified.
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",
