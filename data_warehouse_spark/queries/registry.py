@@ -81,27 +81,28 @@ DRIVER_WINDOW = [
     "j4_semi_join", "j4_anti_join", "j5_range_join",
     "j7_cross_join", "j8_two_source_merge",
     "s1_scan_filter", "s7_scan_full",
-    "p1_project", "p2_range_predicate", "p3_between_computed",
-    "p4_null_predicate", "p5_or_inequality", "p6_having",
-    "a1_q1_pricing_summary", "a2_count_by_key", "a3_global_agg",
-    "a4_distinct", "a5_rollup", "a6_stats", "a9_pivot", "a10_unpivot",
+    "p1_project", "p2_range_predicate",
+    "p4_null_predicate", "p6_having",
+    "a1_q1_pricing_summary", "a2_count_by_key",
+    "a4_distinct", "a5_rollup", "a6_stats", "a10_unpivot",
     "w1_lag", "w2_lead_first_last", "w3_ranking",
-    # round-6 additions displace the last three backfill slots
-    # (o1/o2/w4: r4-green, stock Catalyst, code unchanged): e1c and
-    # x15 are new, x2 carries its FIRST oracle (exact-Jaccard, valid
-    # on the bimodal fixture — see its registration doc).
+    # round-6 additions displace backfill slots (o1/o2/w4/p3/p5/a3/a9:
+    # r4-green, stock Catalyst, code unchanged): e1c and x15 are new,
+    # x2 carries its FIRST oracle (exact-Jaccard, valid on the bimodal
+    # fixture — see its registration doc), and x2c/x4/x8 re-certify
+    # because their code changed mid-round (NULL-safe struct block
+    # keys in the dedup joins + matching oracle spelling).
     "e1c_trips_localtime", "x2_minhash_lsh", "x15_sequence_packing",
+    "x2c_ngram_jaccard", "x4_pairwise_sim", "x8_dup_components",
 ]
 # a12_sketch_rollup is rows-only by design (sketch estimates are
 # library-specific). Queries added DURING round 6 should displace
 # backfill entries (never the first-ever-row block above).
-# TODO(round 7): once CORRECTNESS_r06 certifies this window, rotate in
-# the queries whose CODE changed in round 6 after the window was
-# pinned mid-round — x2c/x4/x12/x8 (struct block keys + null-safe
-# oracles), j11 (derived predicate; j12/x3/dq1 are already in or
-# certified this round) — plus backfill from the oldest remaining
-# rows (set1-4, f-battery, o1/o2, w4, s-battery leftovers, u-family
-# r5 rows). Everything in THIS window will be freshly certified.
+# TODO(round 7): once CORRECTNESS_r06 certifies this window, the only
+# query with changed code and no fresh row is j11_fact_fact_join
+# (derived predicate — same oracle as the in-window j12); rotate it in
+# plus backfill from the oldest remaining rows (set1-4, f-battery,
+# o1/o2, w4, p3/p5/a3/a9, s-battery leftovers, u-family r5 rows).
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

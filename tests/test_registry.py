@@ -21,17 +21,19 @@ MUST_BE_WINDOWED = {
     "x11_pii_redaction", "x12_dedup_corpus", "x13_decontaminate",
     "x14_token_budget_sample", "x14b_token_budget_scalable",
     "x2e_incremental_dedup",
-    # round-6 additions: new queries + first-ever oracle
+    # round-6 additions: new queries, first-ever oracle, and mid-round
+    # code changes (NULL-safe block keys) re-certifying
     "e1c_trips_localtime", "x2_minhash_lsh", "x15_sequence_packing",
+    "x2c_ngram_jaccard", "x4_pairwise_sim", "x8_dup_components",
     # backfill — oldest current rows (r3/r4)
     "j1_inner_join", "j2_broadcast_join", "j3_left_join",
     "j4_semi_join", "j4_anti_join", "j5_range_join",
     "j7_cross_join", "j8_two_source_merge",
     "s1_scan_filter", "s7_scan_full",
-    "p1_project", "p2_range_predicate", "p3_between_computed",
-    "p4_null_predicate", "p5_or_inequality", "p6_having",
-    "a1_q1_pricing_summary", "a2_count_by_key", "a3_global_agg",
-    "a4_distinct", "a5_rollup", "a6_stats", "a9_pivot", "a10_unpivot",
+    "p1_project", "p2_range_predicate",
+    "p4_null_predicate", "p6_having",
+    "a1_q1_pricing_summary", "a2_count_by_key",
+    "a4_distinct", "a5_rollup", "a6_stats", "a10_unpivot",
     "w1_lag", "w2_lead_first_last", "w3_ranking",
 }
 
