@@ -94,15 +94,15 @@ DRIVER_WINDOW = [
     # keys in the dedup joins + matching oracle spelling).
     "e1c_trips_localtime", "x2_minhash_lsh", "x15_sequence_packing",
     "x2c_ngram_jaccard", "x4_pairwise_sim", "x8_dup_components",
+    "j11_fact_fact_join",
 ]
 # a12_sketch_rollup is rows-only by design (sketch estimates are
 # library-specific). Queries added DURING round 6 should displace
 # backfill entries (never the first-ever-row block above).
-# TODO(round 7): once CORRECTNESS_r06 certifies this window, the only
-# query with changed code and no fresh row is j11_fact_fact_join
-# (derived predicate — same oracle as the in-window j12); rotate it in
-# plus backfill from the oldest remaining rows (set1-4, f-battery,
-# o1/o2, w4, p3/p5/a3/a9, s-battery leftovers, u-family r5 rows).
+# TODO(round 7): every query with round-6 code changes is in THIS
+# window (j11 included — derived predicate); rotate next from the
+# oldest remaining rows (set1-4, f-battery, o1/o2, w4, p3/p5/a3/a9,
+# s-battery leftovers, u-family r5 rows) plus anything round 7 touches.
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

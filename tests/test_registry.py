@@ -25,6 +25,7 @@ MUST_BE_WINDOWED = {
     # code changes (NULL-safe block keys) re-certifying
     "e1c_trips_localtime", "x2_minhash_lsh", "x15_sequence_packing",
     "x2c_ngram_jaccard", "x4_pairwise_sim", "x8_dup_components",
+    "j11_fact_fact_join",
     # backfill — oldest current rows (r3/r4)
     "j1_inner_join", "j2_broadcast_join", "j3_left_join",
     "j4_semi_join", "j4_anti_join", "j5_range_join",
