@@ -273,9 +273,9 @@ WITH sized AS (
     FROM documents
 ), cum AS (
     SELECT lang, doc_id, n_tokens,
-           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY k
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY k
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cum_tokens
+             AS BIGINT) AS cum_tokens
     FROM sized
 )
 SELECT lang, doc_id, n_tokens, cum_tokens
@@ -322,9 +322,9 @@ WITH sized AS (
     FROM documents
 ), cum AS (
     SELECT lang, doc_id, n_tokens,
-           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY k
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY k
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cum_tokens
+             AS BIGINT) AS cum_tokens
     FROM sized
 )
 SELECT lang, doc_id, n_tokens, cum_tokens

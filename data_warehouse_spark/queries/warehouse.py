@@ -542,7 +542,8 @@ def a12_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s9_jsonl_roundtrip",
     oracle="""
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc
 FROM documents GROUP BY lang
 """,
@@ -574,7 +575,8 @@ def s9_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s10_orc_roundtrip",
     oracle="""
 SELECT o_orderstatus AS status, COUNT(*) AS n,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
 FROM orders GROUP BY o_orderstatus
 """,
     doc="S10 [cap]: ORC sink + source roundtrip — the second columnar "

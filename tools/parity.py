@@ -69,6 +69,18 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> tuple[bool, str]:
     a, b = _canon(spark_df), _canon(duck_df)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver hashes rendered values, so int64 1234 vs float64
+        # 1234.0 is a hash MISMATCH even though numerically equal.
+        # DuckDB returns HUGEINT for uncast SUM(BIGINT), which pandas
+        # renders float64 — exactly how s9/s10/x14/x14b sailed through
+        # two rounds of local parity while failing the driver. Fail
+        # here the way the driver would (round-6 verdict ask #2).
+        int_a = pd.api.types.is_integer_dtype(av)
+        int_b = pd.api.types.is_integer_dtype(bv)
+        if int_a != int_b:
+            return False, (f"col '{c}' dtype mismatch: spark={av.dtype} vs "
+                           f"oracle={bv.dtype} — driver hash would fail "
+                           "(uncast HUGEINT SUM in the oracle?)")
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             av = pd.to_numeric(av, errors="coerce").astype(float)
             bv = pd.to_numeric(bv, errors="coerce").astype(float)
