@@ -56,53 +56,52 @@ _QUERY_MODULES = [
 # This list IS the round's window, in order; load_all() puts these names
 # first and everything else after, in registration order.
 #
-# Round-6 rotation (per the round-5 TODO): the 20 queries added late in
-# round 5 — local parity green, independently re-verified by the
-# round-5 judge (20/20), but with NO driver CORRECTNESS rows yet —
-# rotate IN for their first-ever driver rows. Everything that was green
-# in CORRECTNESS_r05 on current code rotates OUT. Backfill: the 30
-# oldest remaining rows (r3/r4 vintage, code unchanged since) —
-# refreshing the relational/join/window core on the current fixture
-# generation. set1-4 + the scalar f-battery stay outside: r4-green,
-# stock Catalyst expressions, code unchanged.
+# Round-7 rotation (per VERDICT.md round-6 asks #1/#3):
+#   (a) the four round-6 driver hash-FAILs stay in for re-certification
+#       — their oracles gained the repo's CAST(SUM AS BIGINT) convention
+#       (DuckDB HUGEINT reached the driver hash as float64);
+#   (b) queries whose CODE changed in round 6 but that had no round-6
+#       driver row: j12 (shuffle-hash probe + derived predicate), x3
+#       (heap prefilter), the sessions.py-refactor dependents
+#       (w5/e1/e1b/e2/e3), u1/u4 (merge.py first-load dedup), x2d —
+#       all were parity-verified locally in r6, now get driver rows;
+#   (c) backfill with the OLDEST remaining driver rows (r4/r5 vintage,
+#       code unchanged since): set1-4, the scalar f-battery, o1/o2,
+#       w4, p3/p5, a3/a9, s2-s6/s8, u2/u5/u6, j6;
+#   (d) dq1 and j11 re-certify pre-emptively: both are round-7 perf
+#       targets, so any code change they take this round lands inside
+#       the window. Queries added or changed during round 7 displace
+#       backfill (c) entries — never blocks (a)/(b).
 DRIVER_WINDOW = [
-    # first-ever driver rows: late-round-5 additions (parity-green)
-    "s9_jsonl_roundtrip", "s10_orc_roundtrip", "s11_schema_evolution",
-    "u7_incremental_rollup", "u8_zorder_scan",
-    "u9_time_travel", "u9b_snapshot_diff",
-    "a11_cube", "a13_histogram",
-    "dq1_validation_report", "f13_url_parse", "w6_distribution",
-    "st10_stream_static_join", "st11_dedup_retries",
-    "x11_pii_redaction", "x12_dedup_corpus", "x13_decontaminate",
+    # (a) re-certify the four fixed oracles
+    "s9_jsonl_roundtrip", "s10_orc_roundtrip",
     "x14_token_budget_sample", "x14b_token_budget_scalable",
-    "x2e_incremental_dedup",
-    # backfill: oldest current rows (r3/r4), joins + scan + relational
-    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
-    "j4_semi_join", "j4_anti_join", "j5_range_join",
-    "j7_cross_join", "j8_two_source_merge",
-    "s1_scan_filter", "s7_scan_full",
-    "p1_project", "p2_range_predicate",
-    "p4_null_predicate", "p6_having",
-    "a1_q1_pricing_summary", "a2_count_by_key",
-    "a4_distinct", "a5_rollup", "a6_stats", "a10_unpivot",
-    "w1_lag", "w2_lead_first_last", "w3_ranking",
-    # round-6 additions displace backfill slots (o1/o2/w4/p3/p5/a3/a9:
-    # r4-green, stock Catalyst, code unchanged): e1c and x15 are new,
-    # x2 carries its FIRST oracle (exact-Jaccard, valid on the bimodal
-    # fixture — see its registration doc), and x2c/x4/x8 re-certify
-    # because their code changed mid-round (NULL-safe struct block
-    # keys in the dedup joins + matching oracle spelling).
-    "e1c_trips_localtime", "x2_minhash_lsh", "x15_sequence_packing",
-    "x2c_ngram_jaccard", "x4_pairwise_sim", "x8_dup_components",
-    "j11_fact_fact_join",
+    # (b) round-6 code changes without a round-6 driver row
+    "j12_bucketed_fact_join", "x3_cosine_topk",
+    "w5_sessionize", "e1_trips", "e1b_bucketed_trips",
+    "e2_carbon_savings", "e3_enriched_trips",
+    "u1_upsert", "u4_scd2_dimension", "x2d_cosine_lsh",
+    # (d) round-7 perf targets (re-certify alongside any change)
+    "dq1_validation_report", "j11_fact_fact_join",
+    # (c) backfill: oldest remaining rows, code unchanged since r4/r5
+    "set1_union_all", "set2_union_distinct", "set3_intersect",
+    "set4_except",
+    "f1_timezone", "f2_epoch_diff", "f3_haversine", "f5_cast",
+    "f6_date_format", "f8_strings", "f9_json", "f10_null_handling",
+    "f11_arrays", "f12_case",
+    "o1_global_sort", "o2_topk", "o2_topk_per_group",
+    "w4_running_agg", "p3_between_computed", "p5_or_inequality",
+    "a3_global_agg", "a9_pivot",
+    "s2_rest_json_source", "s3_parallel_fetch", "s4_csv_roundtrip",
+    "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
+    "u2_dedup_latest", "u5_delete_keys", "u6_compaction",
+    "j6_asof_join", "a7_salted_agg", "j10_star_join",
 ]
-# a12_sketch_rollup is rows-only by design (sketch estimates are
-# library-specific). Queries added DURING round 6 should displace
-# backfill entries (never the first-ever-row block above).
-# TODO(round 7): every query with round-6 code changes is in THIS
-# window (j11 included — derived predicate); rotate next from the
-# oldest remaining rows (set1-4, f-battery, o1/o2, w4, p3/p5/a3/a9,
-# s-battery leftovers, u-family r5 rows) plus anything round 7 touches.
+# a12_sketch_rollup / f7 / a8 are rows-only by design. Queries added or
+# code-changed DURING round 7 must displace backfill (c) entries so the
+# "every changed query is windowed" claim stays true against the
+# CORRECTNESS_r07 keys (round-6 lesson: j12/x3 changed in r6 without a
+# row and the coverage text overclaimed it).
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",
