@@ -79,6 +79,14 @@ def sequence_pack(df: DataFrame, stratum: str, key: str, weight: str,
     must be filtered by the caller (they occupy no tokens; the
     arithmetic would place them degenerately).
 
+    ``weight`` must be a NON-NEGATIVE INTEGRAL column (token counts).
+    Spark's ``div`` operator only accepts integral/decimal operands —
+    a double weight column fails analysis outright — and it truncates
+    toward zero where DuckDB's ``//`` floors, so negative weights (and
+    the negative cums they produce) would silently diverge between the
+    engines. Both constraints are vacuous for real token counts, hence
+    documented rather than runtime-validated.
+
     Scale shape: identical to token_budget_sample_scalable — the
     two-phase distributed prefix sum (range-chunk subtotals + offsets
     over the chunk-count-sized table) followed by a map-only

@@ -78,6 +78,12 @@ def _lock_holder_alive(lock: str) -> bool | None:
     return _pid_alive(pid)
 
 
+# Test seam: called with the lock path just before a steal's rename,
+# so tests can deterministically interleave a concurrent stealer in
+# the stat -> rename window. None in production.
+_pre_steal_hook = None
+
+
 def _acquire_version_lock(table_dir: str, v: int) -> str:
     """O_CREAT|O_EXCL per-version lock: turns the compute-max+1 /
     rmtree race between two concurrent writers into a loud failure for
@@ -88,8 +94,12 @@ def _acquire_version_lock(table_dir: str, v: int) -> str:
     LOCK_HARD_GRACE_S, past which the pid is presumed recycled
     (reboot / pid-space wrap) and the lock reclaimed. mtime grace
     (LOCK_GRACE_S) is the fallback when the pid can't be read.
-    Steals are ATOMIC (rename-then-delete), so concurrent stealers
-    can't hand two writers the same version."""
+    Steals are ATOMIC (rename-then-delete) and IDENTITY-CHECKED: the
+    rename alone only prevents double-claim of the same inode — if a
+    faster stealer already replaced the stale lock with its own FRESH
+    one, our rename would grab the winner's live lock. The post-rename
+    st_ino/st_mtime_ns compare against the inspected file detects
+    that, restores the winner's lock, and fails loudly."""
     import time
 
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
@@ -102,9 +112,10 @@ def _acquire_version_lock(table_dir: str, v: int) -> str:
             return lock
         except FileExistsError:
             try:
-                age = time.time() - os.path.getmtime(lock)
+                st = os.stat(lock)
             except OSError:
                 continue  # holder just committed/released; retry
+            age = time.time() - st.st_mtime
             alive = _lock_holder_alive(lock)
             if alive is None:
                 alive = age < LOCK_GRACE_S
@@ -122,13 +133,43 @@ def _acquire_version_lock(table_dir: str, v: int) -> str:
             # stealers must not both proceed (a bare unlink would let
             # the slow stealer delete the fast one's freshly created
             # NEW lock and hand both writers the same version). Only
-            # one rename on the same source succeeds; the loser loops
-            # and finds the fast stealer's fresh lock.
+            # one rename on the same source INODE succeeds; the loser
+            # either gets FileNotFoundError (fast stealer renamed it
+            # first) or — the TOCTOU the identity check below closes —
+            # renames the fast stealer's freshly CREATED replacement
+            # lock, because rename resolves the path again and does
+            # not verify file identity.
+            if _pre_steal_hook is not None:
+                _pre_steal_hook(lock)  # test seam: interleave a racer
             claimed = f"{lock}.stale.{os.getpid()}.{time.monotonic_ns()}"
             try:
                 os.rename(lock, claimed)
             except FileNotFoundError:
                 continue  # another stealer claimed it first
+            try:
+                cst = os.stat(claimed)
+            except OSError:
+                continue
+            if (cst.st_ino, cst.st_mtime_ns) != (st.st_ino, st.st_mtime_ns):
+                # We grabbed a DIFFERENT file than the one we judged
+                # dead: a concurrent stealer won the race and already
+                # holds this version under its own fresh lock. Restore
+                # it and fail as a live-holder conflict. (The restore
+                # itself has a microscopic window where a third writer
+                # O_EXCL-creates at the path and gets overwritten; that
+                # requires a second independent steal race inside this
+                # few-instruction span and is accepted as out of
+                # contract for the single-host store.)
+                try:
+                    os.rename(claimed, lock)
+                except OSError:
+                    pass
+                raise RuntimeError(
+                    f"version v{v:06d} of {table_dir} is being written "
+                    "by another live process (lost a concurrent "
+                    "stale-lock steal); snapshot tables are "
+                    "single-writer per version — retry after the "
+                    "other commit finishes") from None
             try:
                 os.unlink(claimed)
             except OSError:

@@ -85,9 +85,13 @@ WHERE n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter) >= 0.5
         "argument, on natural rather than perturbed plants): the "
         "fixture corpus is BIMODAL — its generator plants near-dups "
         "far above the detection knee (every pair >= 0.8 Jaccard at "
-        "sf0.1, >= 0.89 at sf0.01/0.001; NOTHING in [0.35, 0.8) at "
+        "sf0.1, >= 8/9 at sf0.01/0.001; NOTHING in [0.35, 0.8) at "
         "any sf), where 8-band/r=4 banding detection is >= 0.985 per "
-        "pair and deterministic given the seeded hash family. The "
+        "pair and deterministic given the seeded hash family; "
+        "tests/test_llm_queries.py pins the union-bound P(any miss) "
+        "< 1% on the live fixtures (measured ~5e-4), so a fixture "
+        "regeneration that voids this argument fails pytest before "
+        "the driver gate sees it. The "
         "verify step makes surviving values exactly Jaccard, so "
         "output == brute force on this corpus. A fixture regeneration "
         "that planted pairs NEAR the 0.5 threshold would break this "

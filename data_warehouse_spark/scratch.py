@@ -12,6 +12,15 @@ leaves a full table copy behind. Two reapers bound that:
     cannot).
 
 A live process's dirs are never touched: liveness is os.kill(pid, 0).
+
+SINGLE-HOST / SAME-PID-NAMESPACE ASSUMPTION (same contract as
+operators/snapshots.py): os.kill(pid, 0) only answers liveness for
+pids visible in THIS process's namespace. If two containers (or host
+plus container) ever shared a /tmp mount, each would see the other's
+live pids as nonexistent and reap in-use dirs mid-query. The scratch
+store is process-local benchmark plumbing, never a shared data path,
+so the single-host assumption is by construction — but do not point
+TMPDIR at a cross-namespace shared mount.
 """
 
 from __future__ import annotations

@@ -241,3 +241,61 @@ def test_validation_report_rejects_colliding_rule_names(spark):
                           unique_key=["k"])
     with pytest.raises(ValueError):
         validation_report(df, rules={"__n": F.col("k") > 0})
+
+
+def test_x2_oracle_validity_fixture_pairs_sit_above_banding_knee():
+    """Round-7 advice guard: x2's exact-Jaccard DuckDB oracle equals
+    the LSH output only because the fixture corpus is bimodal — the
+    x2 registration doc claims every true pair sits far above the
+    8-band/r=4 detection knee (miss prob per pair ~4e-4 at j~0.89 vs
+    ~46% at j=0.55). A fixture regeneration that planted pairs NEAR
+    the 0.5 threshold would re-roll a per-pair miss chance every
+    round and surface as a driver hash-fail. This pins the claim at
+    the gate's scale factors with the actual banding math: the UNION
+    BOUND over all true pairs of P(miss) = (1 - j^4)^8 must stay
+    under 1% per run (measured 5.2e-4 at sf0.001, 2.0e-4 at sf0.01
+    on the current fixtures, min pair j = 8/9), and NOTHING may fall
+    in the [0.35, 0.5) shadow zone just below threshold (where a
+    boundary pair could flip in under tokenization drift).
+    DuckDB-only — no Spark needed."""
+    import duckdb
+
+    pair_sql = """
+WITH toks AS (
+    SELECT doc_id AS id,
+           string_split_regex(lower(trim(text)), '\\s+') AS l
+    FROM read_parquet('{path}')
+), grams AS (
+    SELECT id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(l) - 2, 0) + 1),
+        i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS g
+    FROM toks
+), sizes AS (
+    SELECT id, COUNT(*) AS n_g FROM grams GROUP BY id
+), inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+    FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+    GROUP BY a.id, b.id
+)
+SELECT n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter) AS j
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.id
+JOIN sizes sb ON i.id_b = sb.id
+WHERE n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter) >= 0.35
+"""
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        js = [r[0] for r in con.sql(pair_sql.format(path=path)).fetchall()]
+        assert js, f"{sf}: no planted near-dup pairs found at all"
+        shadow = [j for j in js if j < 0.5]
+        assert not shadow, (
+            f"{sf}: pairs in the [0.35, 0.5) shadow zone: {shadow} — "
+            "boundary pairs make the x2 oracle flip under drift")
+        miss_bound = sum((1 - j ** 4) ** 8 for j in js)
+        assert miss_bound < 0.01, (
+            f"{sf}: union-bound P(any LSH miss) = {miss_bound:.2e} "
+            f">= 1% (min pair j = {min(js):.4f}, {len(js)} pairs) — "
+            "the exact-Jaccard oracle is no longer safely equal to "
+            "the LSH output; re-derive the x2 oracle-validity "
+            "argument or demote x2 to rows-only")

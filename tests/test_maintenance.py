@@ -344,3 +344,52 @@ def test_snapshot_changes_key_only_table_and_schema_guard(spark, tmp_path):
                                          "k int, v string"), t2)
     with pytest.raises(ValueError, match="congruent schemas"):
         snapshot_changes(spark, t2, 1, 2, keys=["k"])
+
+
+def test_snapshot_steal_identity_check_closes_toctou(tmp_path):
+    """Round-7 advice fix: two stealers race on the same stale lock.
+    The fast one (simulated in the hook) renames it away and O_EXCL-
+    creates its own FRESH lock; the slow one's rename then grabs the
+    FAST STEALER'S live lock — rename re-resolves the path and does
+    not verify identity. The post-rename st_ino/st_mtime_ns compare
+    must detect the swap, restore the winner's lock, and raise the
+    live-holder error instead of handing both writers the version."""
+    import os
+
+    import pytest
+
+    from data_warehouse_spark.operators import snapshots as snap
+
+    t = str(tmp_path / "snap")
+    os.makedirs(snap._versions_dir(t))
+    lock = os.path.join(snap._versions_dir(t), ".v000001.lock")
+
+    # a guaranteed-dead pid for the stale lock
+    dead_pid = os.fork()
+    if dead_pid == 0:
+        os._exit(0)
+    os.waitpid(dead_pid, 0)
+    with open(lock, "w") as fh:
+        fh.write(str(dead_pid))
+
+    winner_pid = os.getpid()  # the fast stealer is alive (it's us)
+
+    def fast_stealer_wins(path):
+        # interleave between the slow stealer's stat and its rename:
+        # the fast stealer claims the stale lock and plants its own
+        os.rename(path, path + ".winner-claimed")
+        os.unlink(path + ".winner-claimed")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(winner_pid).encode())
+        os.close(fd)
+
+    snap._pre_steal_hook = fast_stealer_wins
+    try:
+        with pytest.raises(RuntimeError, match="live process"):
+            snap._acquire_version_lock(t, 1)
+    finally:
+        snap._pre_steal_hook = None
+
+    # the winner's fresh lock survived the loser's steal attempt
+    with open(lock) as fh:
+        assert int(fh.read()) == winner_pid

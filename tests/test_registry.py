@@ -6,40 +6,38 @@ from __future__ import annotations
 
 from data_warehouse_spark.queries.registry import DRIVER_WINDOW, load_all
 
-# Round-6 window: the 20 late-round-5 queries with no driver rows yet
-# (first-ever rows), queries added or re-oracled in round 6
-# (e1c / x2), and backfill with the 30 oldest (r3/r4) rows — the
-# relational/join/window core re-verified on current fixtures.
+# Round-7 window (VERDICT.md round-6 asks #1/#3): the four re-cast
+# oracles re-certifying, every round-6 code change that lacked a
+# round-6 driver row, the round-7 perf targets pre-emptively, and
+# backfill with the oldest remaining (r4/r5) rows.
 MUST_BE_WINDOWED = {
-    # first-ever driver rows (late round-5 additions)
-    "s9_jsonl_roundtrip", "s10_orc_roundtrip", "s11_schema_evolution",
-    "u7_incremental_rollup", "u8_zorder_scan",
-    "u9_time_travel", "u9b_snapshot_diff",
-    "a11_cube", "a13_histogram",
-    "dq1_validation_report", "f13_url_parse", "w6_distribution",
-    "st10_stream_static_join", "st11_dedup_retries",
-    "x11_pii_redaction", "x12_dedup_corpus", "x13_decontaminate",
+    # (a) re-certify the four fixed HUGEINT oracles
+    "s9_jsonl_roundtrip", "s10_orc_roundtrip",
     "x14_token_budget_sample", "x14b_token_budget_scalable",
-    "x2e_incremental_dedup",
-    # round-6 additions: new queries, first-ever oracle, and mid-round
-    # code changes (NULL-safe block keys) re-certifying
-    "e1c_trips_localtime", "x2_minhash_lsh", "x15_sequence_packing",
-    "x2c_ngram_jaccard", "x4_pairwise_sim", "x8_dup_components",
-    "j11_fact_fact_join",
-    # backfill — oldest current rows (r3/r4)
-    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
-    "j4_semi_join", "j4_anti_join", "j5_range_join",
-    "j7_cross_join", "j8_two_source_merge",
-    "s1_scan_filter", "s7_scan_full",
-    "p1_project", "p2_range_predicate",
-    "p4_null_predicate", "p6_having",
-    "a1_q1_pricing_summary", "a2_count_by_key",
-    "a4_distinct", "a5_rollup", "a6_stats", "a10_unpivot",
-    "w1_lag", "w2_lead_first_last", "w3_ranking",
+    # (b) round-6 code changes without a round-6 driver row
+    "j12_bucketed_fact_join", "x3_cosine_topk",
+    "w5_sessionize", "e1_trips", "e1b_bucketed_trips",
+    "e2_carbon_savings", "e3_enriched_trips",
+    "u1_upsert", "u4_scd2_dimension", "x2d_cosine_lsh",
+    # (d) round-7 perf targets
+    "dq1_validation_report", "j11_fact_fact_join",
+    # (c) backfill — oldest remaining rows (r4/r5)
+    "set1_union_all", "set2_union_distinct", "set3_intersect",
+    "set4_except",
+    "f1_timezone", "f2_epoch_diff", "f3_haversine", "f5_cast",
+    "f6_date_format", "f8_strings", "f9_json", "f10_null_handling",
+    "f11_arrays", "f12_case",
+    "o1_global_sort", "o2_topk", "o2_topk_per_group",
+    "w4_running_agg", "p3_between_computed", "p5_or_inequality",
+    "a3_global_agg", "a9_pivot",
+    "s2_rest_json_source", "s3_parallel_fetch", "s4_csv_roundtrip",
+    "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
+    "u2_dedup_latest", "u5_delete_keys", "u6_compaction",
+    "j6_asof_join", "a7_salted_agg", "j10_star_join",
 }
 
 
-def test_driver_window_is_exactly_the_round6_set():
+def test_driver_window_is_exactly_the_round7_set():
     # DRIVER_WINDOW is the explicit first-50 contract; it must hold
     # every query that needs (re-)verification this round and fit the
     # driver's 50-entry budget.
