@@ -220,13 +220,30 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
-                         bits: int = 64) -> DataFrame:
+                         bits: int = 64,
+                         hash_family: str = "xxhash64") -> DataFrame:
     """SimHash: per-token 64-bit hashes vote per bit position; the sign
     of each bit-sum forms the fingerprint.
 
-    Plan shape: explode distinct tokens -> xxhash64 -> one groupBy(id)
-    with 64 trivial bitmask-sum aggregates (all codegen'd, map-side
-    combined) -> fingerprint assembly. One shuffle keyed on the doc id."""
+    Plan shape: explode distinct tokens -> token hash -> one groupBy(id)
+    with `bits` trivial bitmask-sum aggregates (all codegen'd, map-side
+    combined) -> fingerprint assembly. One shuffle keyed on the doc id.
+
+    ``hash_family`` picks the per-token hash:
+      - "xxhash64" (default): Spark's native JVM xxhash64 — the fast
+        production path.
+      - "md5": the low 60 bits of md5 (conv(substr(md5(t),1,15),16,10))
+        — slower, but EXACTLY reproducible in DuckDB SQL
+        (('0x'||substr(md5(t),1,15))::BIGINT, verified bit-equal incl.
+        Unicode), which is what lets the x2b registry query carry a
+        value-level oracle instead of a rows-only check. 15 hex digits
+        = 60 bits < 2**63, so the signed-long parse is exact; callers
+        should pass bits=60 (bits 60-63 would vote on constant zeros
+        and come out 0 in every fingerprint — harmless for hamming,
+        pure waste)."""
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown simhash hash_family: {hash_family!r}")
+
     def mask_for(b: int) -> int:
         # bit 63 is the sign bit: 1<<63 overflows signed long, but the
         # two's-complement long with only that bit set is LONG_MIN.
@@ -234,8 +251,13 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
 
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     df = spread_for_compute(df)
+    if hash_family == "md5":
+        tok_hash = F.conv(F.substring(F.md5(F.col("__t")), 1, 15),
+                          16, 10).cast("long")
+    else:
+        tok_hash = F.xxhash64("__t")
     tok_hashes = (df.select(F.col(id_col), F.explode(toks).alias("__t"))
-                  .select(id_col, F.xxhash64("__t").alias("__h")))
+                  .select(id_col, tok_hash.alias("__h")))
     votes = tok_hashes.groupBy(id_col).agg(*[
         F.sum(F.when(F.col("__h").bitwiseAND(F.lit(mask_for(b))) != 0, 1)
               .otherwise(-1)).alias(f"__v{b}")
@@ -291,7 +313,8 @@ def simhash_pairs_from_fingerprints(fps: DataFrame, id_col: str,
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
-                       max_hamming: int = 8) -> DataFrame:
+                       max_hamming: int = 8, bits: int = 64,
+                       hash_family: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: fingerprint, then Manku-style
     (max_hamming + 1)-chunk banding with exact hamming verify.
 
@@ -306,7 +329,9 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     materialization job to the first action; the fault-tolerance trade
     (executor-local blocks, no lineage replay — an executor loss fails
     the job and it re-runs) is the same one graph.py documents."""
-    fps = simhash_fingerprints(df, text_col, id_col).localCheckpoint(eager=False)
+    fps = simhash_fingerprints(df, text_col, id_col, bits=bits,
+                               hash_family=hash_family) \
+        .localCheckpoint(eager=False)
     return simhash_pairs_from_fingerprints(fps, id_col, max_hamming)
 
 

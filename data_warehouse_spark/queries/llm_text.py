@@ -106,17 +106,61 @@ def x2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                              num_hashes=32, bands=8, jaccard_threshold=0.5)
 
 
+# x2b oracle: full SimHash replay in DuckDB SQL. The registry query
+# runs the operator with hash_family="md5" (low 60 bits of md5 — the
+# one 64-bit-ish hash both engines compute bit-identically; see
+# operators/dedup.py:simhash_fingerprints), so the oracle can rebuild
+# the EXACT fingerprints: per-token hash -> 60 per-bit vote sums ->
+# sign bits -> brute-force hamming join. Banding on the Spark side is
+# Manku pigeonhole (h+1 chunks => ZERO false negatives at hamming<=h),
+# so brute force is value-identical, not probabilistically so — unlike
+# x2, no fixture-distribution argument is needed.
+_X2B_VOTES = ",\n           ".join(
+    f"SUM(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(60))
+_X2B_FP = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+    for b in range(60))
+_X2B_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id AS id, unnest(list_distinct({_TOKS})) AS t
+    FROM documents
+), th AS (
+    SELECT id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+), votes AS (
+    SELECT id,
+           {_X2B_VOTES}
+    FROM th GROUP BY id
+), fp AS (
+    SELECT id, {_X2B_FP} AS f FROM votes
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.f, b.f)) <= 4
+"""
+
+
 @register(
     "x2b_simhash",
-    oracle=None,
-    doc="X2b: SimHash near-dup pairs (64-bit fingerprints, Manku-style "
-        "max_hamming+1 chunk banding, hamming <= 4).",
+    oracle=_X2B_ORACLE,
+    doc="X2b: SimHash near-dup pairs (Manku-style max_hamming+1 chunk "
+        "banding, hamming <= 4) — run with the md5-60 hash family so "
+        "the oracle replays the full fingerprint pipeline in DuckDB "
+        "and certifies VALUES (pair set + exact hamming), not just "
+        "rows: both engines parse the low 60 bits of md5 identically, "
+        "and the h+1-chunk banding is pigeonhole-exact, so Spark's "
+        "banded join provably equals the oracle's brute-force join. "
+        "The operator's default stays xxhash64 (JVM-native fast path); "
+        "the hash family only changes WHICH near-boundary pairs land "
+        "at hamming<=4, not the algorithm under test.",
     tags=("ext", "dedup"),
 )
 def x2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, text_col="text", id_col="doc_id",
-                              max_hamming=4)
+                              max_hamming=4, bits=60, hash_family="md5") \
+        .withColumn("hamming", F.col("hamming").cast("long"))
 
 
 @register(
