@@ -91,14 +91,75 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        query_vec=_query_vec(spark, sf_dir), k=20)
 
 
+# x3b oracle: the IVF pipeline is DETERMINISTIC given the seeded
+# centroids, so DuckDB can replay it end to end: seed cells = the 16
+# smallest-id vectors, one Lloyd step (cosine argmax assign -> per-
+# component double AVG cast to FLOAT), final re-assign, probe the
+# nprobe best cells by centroid cosine, exact top-k within them. The
+# single inexact step is the Lloyd AVG: Spark's distributed double sum
+# is summation-order-nondeterministic at ~1e-16 relative, but the
+# result is quantized to float32 (~6e-8 relative grid), so engines
+# agree unless an average sits within ~1e-9 of a float32 rounding
+# boundary AND a downstream argmax/top-k margin is just as tight —
+# margins on the fixtures are ~1e-3 (pinned by
+# tests/test_llm_queries.py's x3b margin test).
+_IVF_ORACLE = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+           embedding AS cvec
+    FROM (SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT 16)
+),
+a1 AS (
+    SELECT vec_id, embedding, cell
+    FROM (SELECT e.vec_id, e.embedding, s.cell,
+                 {_COS_SQL.format(a='e.embedding', b='s.cvec')} AS sim
+          FROM emb e CROSS JOIN seeds s)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+cavg AS (
+    SELECT cell, pos, CAST(AVG(x) AS FLOAT) AS cx
+    FROM (SELECT cell, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 unnest(range(1, 65)) AS pos
+          FROM a1)
+    GROUP BY cell, pos
+),
+cent AS (
+    SELECT cell, list(cx ORDER BY pos) AS cvec FROM cavg GROUP BY cell
+),
+a2 AS (
+    SELECT vec_id, embedding, cell
+    FROM (SELECT e.vec_id, e.embedding, c.cell,
+                 {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS sim
+          FROM emb e CROSS JOIN cent c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+q AS (SELECT embedding AS qv FROM emb WHERE vec_id = 0),
+probe_cells AS (
+    SELECT cell FROM cent CROSS JOIN q
+    ORDER BY {_COS_SQL.format(a='cvec', b='qv')} DESC, cell LIMIT 4
+)
+SELECT a2.vec_id,
+       ROUND({_COS_SQL.format(a='a2.embedding', b='qv')}, 6) AS cos_sim
+FROM a2 JOIN probe_cells USING (cell) CROSS JOIN q
+ORDER BY cos_sim DESC, vec_id LIMIT 20
+"""
+
+
 @register(
     "x3b_ivf_topk",
-    oracle=None,  # approximate by design -> rows-only (+ pytest recall check)
+    oracle=_IVF_ORACLE,
     doc="X3b: IVF-style approximate top-k — deterministic coarse "
         "quantizer (seeded centroids + Lloyd steps as DataFrame ops), "
         "probe nprobe=4 of 16 cells. The scale path: scoring cost drops "
         "~4x here, ~n_cells/nprobe generally; recall vs X3 asserted in "
-        "tests.",
+        "tests. The oracle replays the whole pipeline in SQL (see "
+        "_IVF_ORACLE note on why the Lloyd-average float cast makes "
+        "the replay engine-stable), upgrading x3b from rows-only to a "
+        "value-level hash check: 'approximate' describes recall vs "
+        "exact search, not nondeterminism.",
     tags=("ext", "vector"),
 )
 def x3b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

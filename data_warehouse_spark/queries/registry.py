@@ -95,12 +95,14 @@ DRIVER_WINDOW = [
     "s2_rest_json_source", "s3_parallel_fetch", "s4_csv_roundtrip",
     "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
     "u2_dedup_latest", "u5_delete_keys", "u6_compaction",
-    "j6_asof_join", "j10_star_join",
+    "j6_asof_join",
     # first-ever ORACLE rows (round-7 additions, displacing backfill):
     # x2b ran rows-only until now — its md5-60 hash family makes the
     # full fingerprint pipeline DuckDB-replayable (code changed, so it
-    # must be windowed regardless)
-    "x2b_simhash",
+    # must be windowed regardless); x3b's IVF pipeline is replayed end
+    # to end in SQL (deterministic seeded quantizer, margins pinned in
+    # tests), its first value-level row
+    "x2b_simhash", "x3b_ivf_topk",
 ]
 # a12_sketch_rollup / f7 / a8 are rows-only by design. Queries added or
 # code-changed DURING round 7 must displace backfill (c) entries so the

@@ -299,3 +299,86 @@ WHERE n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter) >= 0.35
             "the exact-Jaccard oracle is no longer safely equal to "
             "the LSH output; re-derive the x2 oracle-validity "
             "argument or demote x2 to rows-only")
+
+
+def test_x3b_oracle_validity_ivf_margins_dwarf_float_noise():
+    """Round-7 guard for x3b's full-replay oracle: the one inexact
+    step in the IVF pipeline is the Lloyd centroid average — Spark's
+    distributed double sum is summation-order-nondeterministic at
+    ~1e-16 relative, quantized by the float32 cast to a ~6e-8 grid,
+    so a cross-engine (or cross-run) divergence needs a decision
+    margin at the ~1e-9 scale. This pins every decision's actual
+    margin far above that: min runner-up gap in the final cell
+    assignment, the nprobe=4 cell-rank boundary, and the k=20
+    boundary within the probed set (measured 3.8e-5 / 6.0e-2 /
+    3.9e-3 at sf0.001). DuckDB-only."""
+    import duckdb
+
+    COS = """
+list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+/ (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+ * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+"""
+    base = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS cvec
+    FROM (SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT 16)),
+s1 AS (SELECT e.vec_id, e.embedding, s.cell,
+              {COS.format(a='e.embedding', b='s.cvec')} AS sim
+       FROM emb e CROSS JOIN seeds s),
+a1 AS (SELECT vec_id, embedding, cell FROM s1
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) = 1),
+cavg AS (SELECT cell, pos, CAST(AVG(x) AS FLOAT) AS cx
+         FROM (SELECT cell, CAST(unnest(embedding) AS DOUBLE) AS x,
+                      unnest(range(1,65)) AS pos FROM a1)
+         GROUP BY cell, pos),
+cent AS (SELECT cell, list(cx ORDER BY pos) AS cvec FROM cavg GROUP BY cell),
+s2 AS (SELECT e.vec_id, e.embedding, c.cell,
+              {COS.format(a='e.embedding', b='c.cvec')} AS sim
+       FROM emb e CROSS JOIN cent c),
+a2 AS (SELECT vec_id, embedding, cell FROM s2
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) = 1),
+q AS (SELECT embedding AS qv FROM emb WHERE vec_id = 0),
+crank AS (SELECT cell, {COS.format(a='cvec', b='qv')} AS csim,
+                 row_number() OVER (
+                     ORDER BY {COS.format(a='cvec', b='qv')} DESC,
+                              cell) AS rn
+          FROM cent CROSS JOIN q),
+probed AS (SELECT a2.vec_id, {COS.format(a='a2.embedding', b='qv')} AS cs
+           FROM a2 JOIN (SELECT cell FROM crank WHERE rn <= 4) pc
+             USING (cell) CROSS JOIN q),
+pr AS (SELECT cs, row_number() OVER (ORDER BY cs DESC, vec_id) AS rn
+       FROM probed)
+"""
+    for sf in ("sf0.001", "sf0.01"):
+        con = duckdb.connect()
+        con.sql("CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+                f"'/root/testdata/{sf}/embeddings.parquet')")
+        m_assign = con.sql(base + """
+SELECT MIN(m) FROM (
+  SELECT vec_id, MAX(sim) - ANY_VALUE(s2nd) AS m FROM (
+    SELECT vec_id, sim,
+           nth_value(sim, 2) OVER (PARTITION BY vec_id
+             ORDER BY sim DESC, cell
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING) AS s2nd
+    FROM s2) GROUP BY vec_id)
+""").fetchone()[0]
+        m_cell = con.sql(base + """
+SELECT (SELECT csim FROM crank WHERE rn = 4)
+     - (SELECT csim FROM crank WHERE rn = 5)
+""").fetchone()[0]
+        m_k = con.sql(base + """
+SELECT (SELECT cs FROM pr WHERE rn = 20)
+     - (SELECT cs FROM pr WHERE rn = 21)
+""").fetchone()[0]
+        for name, m in (("assignment", m_assign), ("probe-cell", m_cell),
+                        ("top-k boundary", m_k)):
+            assert m is not None and m > 1e-6, (
+                f"{sf}: {name} margin {m} within float-noise range — "
+                "the x3b full-replay oracle is no longer engine-stable "
+                "on these fixtures; demote x3b to rows-only or "
+                "re-derive the stability argument")

@@ -33,7 +33,7 @@ MUST_BE_WINDOWED = {
     "s2_rest_json_source", "s3_parallel_fetch", "s4_csv_roundtrip",
     "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
     "u2_dedup_latest", "u5_delete_keys", "u6_compaction",
-    "j6_asof_join", "j10_star_join", "x2b_simhash",
+    "j6_asof_join", "x2b_simhash", "x3b_ivf_topk",
 }
 
 
@@ -63,5 +63,5 @@ def test_every_query_has_fn_and_most_have_oracles():
     # rows-only is reserved for genuinely non-SQL-expressible ops
     assert no_oracle <= {"f7_current_timestamp", "st6_stream_dedup",
                          "st7_foreach_upsert", "x2_minhash_lsh",
-                         "x3b_ivf_topk", "x5d_fingerprint",
+                         "x5d_fingerprint",
                          "a8_approx_agg", "a12_sketch_rollup"}
