@@ -129,6 +129,15 @@ def _arrow_query_scan(df: DataFrame, vec_col: str, id_col: str,
     round 6). Rows with null/ragged embeddings fall back to a per-row
     loop within the batch (never expected on real corpora).
 
+    Round 7 measured — do not "optimize" this to float32: fp32
+    accumulation flips the round(...,6) value on ~1% of rows on the
+    real fixtures (4/500 at sf0.01, 1934/200k at the 1024x amplified
+    corpus; max raw delta 7.4e-8 straddles the 5e-7 rounding
+    boundary), which breaks the hash-compared oracle whenever a
+    boundary row reaches the top-k. The shipped lever is batch size
+    instead: session.py defaults arrow.maxRecordsPerBatch to 262144
+    (1.165 -> 1.032 s best-of-3 on a 33.6M x 64 scan).
+
     `prefilter_k`: emit only the rows that can still reach a global
     top-k over ROUND(cos_sim, 6) — per batch, the top k raw sims plus
     a 1e-6 safety margin (and every NaN, which Spark's descending sort

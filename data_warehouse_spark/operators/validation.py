@@ -59,6 +59,16 @@ def validation_report(df: DataFrame, rules: dict[str, Column],
         the key columns only (the rule columns never reach it).
       - "inline": count(*) - countDistinct(struct(keys)) inside the
         one aggregate (the historical form, kept measurable).
+
+    Round-7 note (SCALE.md "Round-7 perf closures"): an observe()-based
+    fusion — rule metrics collected by CollectMetrics during the
+    uniqueness job's scan, one pass total — was built and measured at
+    256x: 2.58 s vs 2.62 s for the two-branch form. No gain (the
+    branch costs are additive either way, and fusing re-widens the
+    uniqueness pass to every rule column), so the two-branch plan
+    stays: it is simpler, retry-exact (accumulator semantics under
+    stage retries are a cluster-side caveat for CollectMetrics), and
+    each branch prunes to exactly the columns it needs.
     """
     if not rules:
         raise ValueError("validation_report needs at least one rule")

@@ -284,7 +284,13 @@ GROUP BY 1
         "buckets both facts on the order key at ingest "
         "(operators/bucketing.py) and gets the J12 plan for every "
         "recurring join on that key; tests/test_bucketing.py pins the "
-        "zero-Exchange plan.",
+        "zero-Exchange plan. Structurally closed in round 7: SHJ "
+        "hints (r6), DPP (inapplicable — no partition column on the "
+        "key), and a force-injected runtime bloom filter (r7: 51.5 s "
+        "vs 49.5 s bloom-off at 1024x, injection plan-verified — the "
+        "derived l_shipdate predicate already subsumes the bloom's "
+        "selectivity) are all measured unhelpful; the residual IS the "
+        "ad-hoc two-sided shuffle (SCALE.md round-7 closures).",
     tags=("join", "agg"),
 )
 def j11_fact_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:

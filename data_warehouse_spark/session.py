@@ -69,6 +69,13 @@ def get_spark(app_name: str = "data_warehouse_spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 262144 rows/batch (default 10000): the Arrow kernels
+        # (similarity.py, multimodal) do one numpy op per batch, so
+        # bigger batches amortize the per-batch JVM<->Python round trip
+        # — measured 1.165 -> 1.032 s on x3's 33.6M x 64 brute-force
+        # scan (round 7). Peak per-worker buffer at 64-float rows is
+        # ~64 MB; tasks stream batches, so memory stays bounded.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Bucketed-sorted tables (operators/bucketing.py) are written
         # with exactly one file per bucket, the regime where trusting
