@@ -442,7 +442,14 @@ def e3_enriched_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_spark.operators.joins import asof_join
     from data_warehouse_spark.operators.spatial import point_in_polygon_exact
 
-    trips = trips_fact(spark, sf_dir)
+    # Materialize the fact ONCE (lazy localCheckpoint, the e1 sort-fix
+    # pattern): this plan references `trips` from three join branches
+    # (the spatial assign input, the enriched left side, and through
+    # the as-of union), and Spark does no cross-branch common-subtree
+    # reuse — unmaterialized, the whole events->window->agg chain
+    # re-executed per branch (measured 5.8 s -> see SCALE.md round-7
+    # note; the fact is bike-trip-sized, so the checkpoint is tiny).
+    trips = trips_fact(spark, sf_dir).localCheckpoint(eager=False)
 
     polys = spark.createDataFrame(
         _E3_REGIONS,
