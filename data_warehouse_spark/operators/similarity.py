@@ -569,17 +569,75 @@ def build_ivf_centroids(df: DataFrame, vec_col: str, id_col: str,
 
 def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str,
                  id_col: str = "vec_id", dim: int | None = None) -> DataFrame:
-    """Nearest-centroid assignment via broadcast join + per-id argmax.
+    """Nearest-centroid assignment, MAP-ONLY: the centroid table is
+    collected (it is n_cells rows by construction — the quantizer's
+    whole point is a tiny coarse codebook) and shipped to an Arrow
+    kernel that does one (batch x n_cells) cosine matmul + argmax per
+    Arrow batch. Zero exchange: the round-6 form — broadcast join to
+    n_cells replicated rows, then a row_number window argmax — shuffled
+    N x n_cells rows on the id for what is a per-row reduction; at
+    corpus scale that is a full-table shuffle with n_cells-fold
+    amplification, and locally it measured 0.66 s vs ~0.2 s per assign
+    at sf0.1 (round 7). Tie-break matches the old window ORDER BY
+    (__sim DESC, cell ASC): centroids are sorted by cell, sims are
+    SNAPPED to 12 decimals, and np.argmax takes the first maximum.
+    The snap is load-bearing: BLAS matmul is position-dependent in
+    its final ulps, so two BIT-IDENTICAL centroid columns can score
+    0.9999999999999999 vs 1.0 for the same row (observed — duplicate
+    seed vectors in the dedup route), which would break the
+    deterministic smallest-cell tie contract the sequential JVM fold
+    gave for free. Snapping at 1e-12 collapses ulp-level ties while
+    staying ~7 orders below any real decision margin (the x3b
+    oracle-margin test pins every assignment >= 3.8e-5 from a flip).
+    A null/ragged vector gets the smallest cell, exactly where the
+    window's nulls-last ordering placed it."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
 
-    The window partitions on the row id, never on the embedding array —
-    an array-keyed shuffle would hash/compare 64 floats per row for no
-    selectivity gain."""
-    sim = _dot(vec_col, "cvec", dim) / (
-        _norm(vec_col, dim) * _norm("cvec", dim))
-    scored = df.join(F.broadcast(centroids)).withColumn("__sim", sim)
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), "cell")
-    return (scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn", "__sim", "cvec"))
+    crows = sorted(((r["cell"], list(r["cvec"]))
+                    for r in centroids.select("cell", "cvec").collect()),
+                   key=lambda cv: cv[0])
+    if not crows:
+        raise ValueError("assign_cells: empty centroid table")
+    cells = np.array([c for c, _ in crows], dtype=np.int64)
+    C = np.array([v for _, v in crows], dtype=np.float64)
+    Cn = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
+
+    out_schema = T.StructType(
+        list(df.schema) + [T.StructField("cell", T.IntegerType())])
+    vec_ix_name, id_like_schema = vec_col, df.schema
+
+    def assign_batches(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            emb = b.column(b.schema.get_field_index(vec_ix_name))
+            lens = np.diff(emb.offsets.to_numpy())
+            if emb.null_count == 0 and len(lens) and \
+                    (lens == lens[0]).all() and lens[0] == Cn.shape[1]:
+                flat = emb.flatten().to_numpy(zero_copy_only=False)
+                m = flat.reshape(-1, int(lens[0])).astype(np.float64)
+                norms = np.sqrt((m * m).sum(axis=1))
+                norms[norms == 0] = 1.0
+                sims = np.round((m / norms[:, None]) @ Cn.T, 12)
+                best = cells[np.argmax(sims, axis=1)]
+            else:
+                best = np.empty(b.num_rows, dtype=np.int64)
+                for i, v in enumerate(emb.to_pylist()):
+                    if v and len(v) == Cn.shape[1]:
+                        a = np.asarray(v, dtype=np.float64)
+                        n = np.sqrt((a * a).sum()) or 1.0
+                        best[i] = cells[int(np.argmax(
+                            np.round(Cn @ (a / n), 12)))]
+                    else:
+                        best[i] = cells[0]  # window nulls-last semantics
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(b.num_columns)]
+                + [pa.array(best.astype(np.int32), type=pa.int32())],
+                names=[f.name for f in id_like_schema] + ["cell"])
+
+    return df.mapInArrow(assign_batches, out_schema)
 
 
 class IvfIndex:
