@@ -281,3 +281,49 @@ def test_ngram_oversized_block_routes_through_lsh(spark):
     exact_plan = executed_plan(exact)
     assert "Union" in routed_plan and "ExistingRDD" in routed_plan
     assert "Union" not in exact_plan and "ExistingRDD" not in exact_plan
+
+
+def test_x3b_assignment_is_map_only_zero_exchange(spark):
+    """Round-7 rewrite pin: IVF cell assignment must be a pure map —
+    the centroid codebook is collected (n_cells rows by construction)
+    into a mapInArrow argmax kernel, so the assignment stage carries
+    ZERO Exchange and no Window. The round-6 form broadcast-joined
+    every row against the centroid table and ran a row_number window
+    partitioned on the id: an N x n_cells full-table shuffle per
+    assignment pass, which is exactly the plan shape that must never
+    come back at 100 TB."""
+    from data_warehouse_spark.io import load_table
+    from data_warehouse_spark.operators.similarity import (
+        assign_cells, build_ivf_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    cent = build_ivf_centroids(emb, "embedding", "vec_id",
+                               n_cells=8, iters=1, dim=64)
+    assigned = assign_cells(emb, cent, "embedding", "vec_id", dim=64)
+    plan = executed_plan(assigned)
+    assert "MapInArrow" in plan
+    assert count_exchanges(assigned) == 0
+    assert "Window" not in plan
+
+
+def test_e3_executes_the_trips_chain_once(spark):
+    """Round-7 fix pin: e3's plan references the trips fact from three
+    join branches and Spark does no cross-branch common-subtree reuse,
+    so the fact MUST be materialized (localCheckpoint). The fixed plan
+    reads the checkpointed RDD, and the only remaining events parquet
+    scan is the weather branch's — before the fix the
+    events->window->agg chain appeared (and executed) once per branch:
+    5.84 -> 2.60 s at sf0.1. (The one Window left in the plan is the
+    as-of join's last(ignorenulls) — not the trips sessionization.)"""
+    from data_warehouse_spark.queries.registry import load_all
+
+    e3 = load_all()["e3_enriched_trips"].fn(spark, SF)
+    plan = executed_plan(e3)
+    assert "Scan ExistingRDD" in plan, (
+        "e3's trips fact is no longer checkpoint-materialized")
+    events_scans = [ln for ln in plan.splitlines()
+                    if "Scan parquet" in ln and "events" in ln]
+    assert len(events_scans) == 1, (
+        f"expected exactly the weather branch's events scan, got "
+        f"{len(events_scans)} — the trips chain is re-deriving inline")
