@@ -86,9 +86,8 @@ DRIVER_WINDOW = [
     # (c) backfill: oldest remaining rows, code unchanged since r4/r5
     "set1_union_all", "set2_union_distinct", "set3_intersect",
     "set4_except",
-    "f1_timezone", "f2_epoch_diff", "f3_haversine", "f5_cast",
-    "f6_date_format", "f8_strings", "f9_json", "f10_null_handling",
-    "f11_arrays", "f12_case",
+    "f1_timezone", "f2_epoch_diff", "f3_haversine",
+    "f8_strings", "f9_json", "f10_null_handling", "f11_arrays",
     "o1_global_sort", "o2_topk", "o2_topk_per_group",
     "w4_running_agg", "p3_between_computed", "p5_or_inequality",
     "a3_global_agg", "a9_pivot",
@@ -103,6 +102,12 @@ DRIVER_WINDOW = [
     # to end in SQL (deterministic seeded quantizer, margins pinned in
     # tests), its first value-level row
     "x2b_simhash", "x3b_ivf_topk",
+    # round-7 code changes displacing backfill (f5/f6/f12 rotate out —
+    # r4-green stock Catalyst casts, code unchanged): u9/u9b sit on the
+    # snapshot store whose stale-lock steal gained the TOCTOU identity
+    # check; x4 sits on cosine_pairs_blocked whose oversized route uses
+    # the rewritten map-only assign_cells
+    "u9_time_travel", "u9b_snapshot_diff", "x4_pairwise_sim",
 ]
 # a12_sketch_rollup / f7 / a8 are rows-only by design. Queries added or
 # code-changed DURING round 7 must displace backfill (c) entries so the

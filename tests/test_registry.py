@@ -24,9 +24,8 @@ MUST_BE_WINDOWED = {
     # (c) backfill — oldest remaining rows (r4/r5)
     "set1_union_all", "set2_union_distinct", "set3_intersect",
     "set4_except",
-    "f1_timezone", "f2_epoch_diff", "f3_haversine", "f5_cast",
-    "f6_date_format", "f8_strings", "f9_json", "f10_null_handling",
-    "f11_arrays", "f12_case",
+    "f1_timezone", "f2_epoch_diff", "f3_haversine",
+    "f8_strings", "f9_json", "f10_null_handling", "f11_arrays",
     "o1_global_sort", "o2_topk", "o2_topk_per_group",
     "w4_running_agg", "p3_between_computed", "p5_or_inequality",
     "a3_global_agg", "a9_pivot",
@@ -34,6 +33,7 @@ MUST_BE_WINDOWED = {
     "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
     "u2_dedup_latest", "u5_delete_keys", "u6_compaction",
     "j6_asof_join", "x2b_simhash", "x3b_ivf_topk",
+    "u9_time_travel", "u9b_snapshot_diff", "x4_pairwise_sim",
 }
 
 
