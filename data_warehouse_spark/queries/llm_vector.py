@@ -101,8 +101,13 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # result is quantized to float32 (~6e-8 relative grid), so engines
 # agree unless an average sits within ~1e-9 of a float32 rounding
 # boundary AND a downstream argmax/top-k margin is just as tight —
-# margins on the fixtures are ~1e-3 (pinned by
-# tests/test_llm_queries.py's x3b margin test).
+# the smallest measured decision margin on the fixtures is 3.8e-5
+# (final-assignment runner-up gap at sf0.001; probe-cell and top-k
+# boundaries sit at 1e-3..1e-2), pinned >= 1e-6 by
+# tests/test_llm_queries.py's x3b margin test. The Spark kernel
+# additionally snaps sims to 12 decimals before its argmax (see
+# operators/similarity.py:assign_cells), which only canonicalizes
+# ulp-level ties and cannot cross any of those margins.
 _IVF_ORACLE = f"""
 WITH emb AS (SELECT vec_id, embedding FROM embeddings),
 seeds AS (

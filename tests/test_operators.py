@@ -682,3 +682,39 @@ def test_asof_join_carries_whole_row_not_per_column_fill(spark):
     # the t(20) row wins atomically: temp is its genuine NULL, never
     # t(10)'s 10.0
     assert r.temp is None and r.precip == 5.0
+
+
+def test_md5_60bit_hash_family_bit_equal_across_engines(spark):
+    """x2b's oracle rests on one cross-engine invariant: Spark's
+    conv(substr(md5(t),1,15),16,10)::long equals DuckDB's
+    ('0x'||substr(md5(t),1,15))::BIGINT for EVERY string. Pin it on a
+    deterministic battery of edge inputs — empty, whitespace, long,
+    multi-byte unicode (2/3/4-byte UTF-8), control chars, digits-only
+    hex-looking strings — plus 200 seeded random unicode strings."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    corpus = ["", " ", "\t", "a", "hello world", "0xff", "deadbeef",
+              "wörld", "日本語テキスト", "🚀🚀🚀", "\x00\x01", "é" * 500,
+              "the " * 1000]
+    alphabet = "abc äöü 東京 🙂 0123456789"
+    corpus += ["".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(1, 80)))
+               for _ in range(200)]
+
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                                "i long, t string")
+    got = {r.i: r.h for r in sdf.select(
+        "i", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+        .cast("long").alias("h")).collect()}
+
+    con = duckdb.connect()
+    con.register("c", __import__("pandas").DataFrame(
+        {"i": range(len(corpus)), "t": corpus}))
+    want = dict(con.sql(
+        "SELECT i, ('0x' || substr(md5(t), 1, 15))::BIGINT FROM c"
+    ).fetchall())
+    assert got == want
