@@ -602,7 +602,16 @@ def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str,
         raise ValueError("assign_cells: empty centroid table")
     cells = np.array([c for c, _ in crows], dtype=np.int64)
     C = np.array([v for _, v in crows], dtype=np.float64)
-    Cn = C / np.sqrt((C * C).sum(axis=1, keepdims=True))
+    # A zero-norm or non-finite centroid must never win: the old window
+    # form scored it null/NaN and desc-nulls-last skipped it, but
+    # np.argmax treats NaN as maximal — normalize defensively and mask
+    # such codebook rows out of every argmax below.
+    bad_c = ~np.isfinite(C).all(axis=1) | ((C * C).sum(axis=1) == 0)
+    cnorm = np.sqrt((C * C).sum(axis=1, keepdims=True))
+    cnorm[~np.isfinite(cnorm) | (cnorm == 0)] = 1.0
+    Cn = np.nan_to_num(C / cnorm, nan=0.0, posinf=0.0, neginf=0.0)
+    if bad_c.all():
+        raise ValueError("assign_cells: every centroid is zero/non-finite")
 
     out_schema = T.StructType(
         list(df.schema) + [T.StructField("cell", T.IntegerType())])
@@ -621,6 +630,10 @@ def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str,
                 norms = np.sqrt((m * m).sum(axis=1))
                 norms[norms == 0] = 1.0
                 sims = np.round((m / norms[:, None]) @ Cn.T, 12)
+                # NaN row values (non-finite embedding components) and
+                # masked centroids must lose, not win-by-NaN
+                sims = np.nan_to_num(sims, nan=-np.inf)
+                sims[:, bad_c] = -np.inf
                 best = cells[np.argmax(sims, axis=1)]
             else:
                 best = np.empty(b.num_rows, dtype=np.int64)
@@ -628,8 +641,10 @@ def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str,
                     if v and len(v) == Cn.shape[1]:
                         a = np.asarray(v, dtype=np.float64)
                         n = np.sqrt((a * a).sum()) or 1.0
-                        best[i] = cells[int(np.argmax(
-                            np.round(Cn @ (a / n), 12)))]
+                        s = np.nan_to_num(np.round(Cn @ (a / n), 12),
+                                          nan=-np.inf)
+                        s[bad_c] = -np.inf
+                        best[i] = cells[int(np.argmax(s))]
                     else:
                         best[i] = cells[0]  # window nulls-last semantics
             yield pa.RecordBatch.from_arrays(
