@@ -589,8 +589,10 @@ def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str,
     gave for free. Snapping at 1e-12 collapses ulp-level ties while
     staying ~7 orders below any real decision margin (the x3b
     oracle-margin test pins every assignment >= 3.8e-5 from a flip).
-    A null/ragged vector gets the smallest cell, exactly where the
-    window's nulls-last ordering placed it."""
+    A null/ragged vector — or one whose every score is masked out
+    below — gets the smallest NON-masked cell (the window form's
+    nulls-last ordering assigned the smallest cell; same answer
+    whenever cell 1 is healthy, and never a masked cell)."""
     import numpy as np
     import pyarrow as pa
     from pyspark.sql import types as T
@@ -602,19 +604,41 @@ def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str,
         raise ValueError("assign_cells: empty centroid table")
     cells = np.array([c for c, _ in crows], dtype=np.int64)
     C = np.array([v for _, v in crows], dtype=np.float64)
-    # A zero-norm or non-finite centroid must never win: the old window
-    # form scored it null/NaN and desc-nulls-last skipped it, but
-    # np.argmax treats NaN as maximal — normalize defensively and mask
-    # such codebook rows out of every argmax below.
+    # A zero-norm or non-finite centroid must never win. This is a
+    # DELIBERATE behavior change from the round-6 window form, not
+    # parity with it: Spark orders NaN GREATER than any double, so the
+    # window's `__sim DESC` put NaN-scored centroids FIRST — they WON
+    # every row (only NULL sims, from null/ragged vectors, sorted
+    # last). That was the bug commit 71391ea set out to fix; the mask
+    # is the fix, and np.argmax treating NaN as maximal is why the
+    # mask (not just nan_to_num on the centroid matrix) is needed.
     bad_c = ~np.isfinite(C).all(axis=1) | ((C * C).sum(axis=1) == 0)
     cnorm = np.sqrt((C * C).sum(axis=1, keepdims=True))
     cnorm[~np.isfinite(cnorm) | (cnorm == 0)] = 1.0
     Cn = np.nan_to_num(C / cnorm, nan=0.0, posinf=0.0, neginf=0.0)
     if bad_c.all():
         raise ValueError("assign_cells: every centroid is zero/non-finite")
+    # Fallback for rows with NO usable score (null/ragged vector, or an
+    # all-NaN embedding of correct length whose sims are all -inf):
+    # the smallest non-masked cell. cells[0] would hand such rows a
+    # masked-out centroid whenever bad_c[0] is set.
+    fallback_cell = int(cells[np.flatnonzero(~bad_c)[0]])
+
+    # The output `cell` column mirrors the centroid table's cell dtype
+    # — hardcoding int32 would silently wrap a caller's int64 ids.
+    # Internal callers use row_number() (int32), so int32/int64 both
+    # occur only by caller choice.
+    cell_dt = centroids.schema["cell"].dataType
+    _cell_np_pa = {"integer": (np.int32, pa.int32()),
+                   "long": (np.int64, pa.int64()),
+                   "short": (np.int16, pa.int16())}
+    if cell_dt.typeName() not in _cell_np_pa:
+        raise TypeError(
+            f"assign_cells: unsupported centroid cell dtype {cell_dt}")
+    np_cell, pa_cell = _cell_np_pa[cell_dt.typeName()]
 
     out_schema = T.StructType(
-        list(df.schema) + [T.StructField("cell", T.IntegerType())])
+        list(df.schema) + [T.StructField("cell", cell_dt)])
     vec_ix_name, id_like_schema = vec_col, df.schema
 
     def assign_batches(batches):
@@ -634,7 +658,9 @@ def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str,
                 # masked centroids must lose, not win-by-NaN
                 sims = np.nan_to_num(sims, nan=-np.inf)
                 sims[:, bad_c] = -np.inf
-                best = cells[np.argmax(sims, axis=1)]
+                am = np.argmax(sims, axis=1)
+                best = np.where(np.isneginf(sims[np.arange(len(am)), am]),
+                                fallback_cell, cells[am])
             else:
                 best = np.empty(b.num_rows, dtype=np.int64)
                 for i, v in enumerate(emb.to_pylist()):
@@ -644,12 +670,14 @@ def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str,
                         s = np.nan_to_num(np.round(Cn @ (a / n), 12),
                                           nan=-np.inf)
                         s[bad_c] = -np.inf
-                        best[i] = cells[int(np.argmax(s))]
+                        am = int(np.argmax(s))
+                        best[i] = (fallback_cell if np.isneginf(s[am])
+                                   else cells[am])
                     else:
-                        best[i] = cells[0]  # window nulls-last semantics
+                        best[i] = fallback_cell  # no usable score
             yield pa.RecordBatch.from_arrays(
                 [b.column(i) for i in range(b.num_columns)]
-                + [pa.array(best.astype(np.int32), type=pa.int32())],
+                + [pa.array(best.astype(np_cell), type=pa_cell)],
                 names=[f.name for f in id_like_schema] + ["cell"])
 
     return df.mapInArrow(assign_batches, out_schema)

@@ -718,3 +718,57 @@ def test_md5_60bit_hash_family_bit_equal_across_engines(spark):
         "SELECT i, ('0x' || substr(md5(t), 1, 15))::BIGINT FROM c"
     ).fetchall())
     assert got == want
+
+
+def test_assign_cells_masked_fallback_and_cell_dtype(spark):
+    """Round-8 advice closure: (a) a row with NO usable score — null
+    vector, ragged vector, all-NaN embedding of correct length — must
+    fall back to the smallest NON-masked cell, never to a masked-out
+    centroid at index 0; (b) the output `cell` column mirrors the
+    centroid table's dtype (an int64 codebook must not wrap through a
+    hardcoded int32)."""
+    import pyspark.sql.types as T
+    from pyspark.sql import Row
+
+    from data_warehouse_spark.operators.similarity import assign_cells
+
+    # Centroid 1 is zero-norm (masked); centroid 2/3 are healthy.
+    big = 2**31 + 7  # would wrap negative through int32
+    cent = spark.createDataFrame(
+        [Row(cell=1, cvec=[0.0, 0.0]),
+         Row(cell=2, cvec=[1.0, 0.0]),
+         Row(cell=big, cvec=[0.0, 1.0])],
+        "cell long, cvec array<double>")
+    rows = [
+        Row(vec_id=1, embedding=[10.0, 0.1]),        # -> cell 2
+        Row(vec_id=2, embedding=[0.1, 10.0]),        # -> cell big (int64!)
+        Row(vec_id=3, embedding=None),               # no score -> 2, NOT 1
+        Row(vec_id=4, embedding=[1.0]),              # ragged -> 2
+        Row(vec_id=5, embedding=[float("nan")] * 2),  # all -inf -> 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = assign_cells(df, cent, "embedding", "vec_id")
+    assert out.schema["cell"].dataType == T.LongType()
+    got = {r.vec_id: r.cell for r in out.collect()}
+    assert got == {1: 2, 2: big, 3: 2, 4: 2, 5: 2}
+
+    # Same battery down the row-at-a-time path (mixed-length batch) —
+    # int32 codebook keeps int32 output.
+    cent32 = spark.createDataFrame(
+        [Row(cell=1, cvec=[0.0, 0.0]), Row(cell=2, cvec=[1.0, 0.0])],
+        "cell int, cvec array<double>")
+    out32 = assign_cells(df, cent32, "embedding", "vec_id")
+    assert out32.schema["cell"].dataType == T.IntegerType()
+    got32 = {r.vec_id: r.cell for r in out32.collect()}
+    assert got32 == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
+
+    # Vectorized (uniform-length, null-free) path: the all-NaN row's
+    # sims are all -inf after nan_to_num — np.where must route it to
+    # the fallback there too, in the same batch as healthy rows.
+    uniform = spark.createDataFrame(
+        [rows[0], rows[1], rows[4]],
+        "vec_id long, embedding array<double>").coalesce(1)
+    gotu = {r.vec_id: r.cell
+            for r in assign_cells(uniform, cent, "embedding",
+                                  "vec_id").collect()}
+    assert gotu == {1: 2, 2: big, 5: 2}
