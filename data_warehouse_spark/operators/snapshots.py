@@ -78,10 +78,12 @@ def _lock_holder_alive(lock: str) -> bool | None:
     return _pid_alive(pid)
 
 
-# Test seam: called with the lock path just before a steal's rename,
-# so tests can deterministically interleave a concurrent stealer in
-# the stat -> rename window. None in production.
+# Test seams: called with the lock path just before a steal's rename
+# (resp. just before an identity-mismatch restore), so tests can
+# deterministically interleave a concurrent stealer / third writer in
+# those windows. None in production.
 _pre_steal_hook = None
+_pre_restore_hook = None
 
 
 def _acquire_version_lock(table_dir: str, v: int) -> str:
@@ -154,14 +156,30 @@ def _acquire_version_lock(table_dir: str, v: int) -> str:
                 # We grabbed a DIFFERENT file than the one we judged
                 # dead: a concurrent stealer won the race and already
                 # holds this version under its own fresh lock. Restore
-                # it and fail as a live-holder conflict. (The restore
-                # itself has a microscopic window where a third writer
-                # O_EXCL-creates at the path and gets overwritten; that
-                # requires a second independent steal race inside this
-                # few-instruction span and is accepted as out of
-                # contract for the single-host store.)
+                # it NON-DESTRUCTIVELY and fail as a live-holder
+                # conflict. link (not rename): link fails EEXIST if
+                # anything now sits at the lock path — a third writer's
+                # fresh O_EXCL lock, or the winner's next incarnation —
+                # where rename would silently clobber it; EEXIST means
+                # the path is already protected, so just drop our
+                # claim. Residual window (documented, not closed): if
+                # the winner RELEASED in the few instructions between
+                # our rename and this link and no one has re-locked the
+                # path yet, the restored lock names a live-but-done pid.
+                # Harmless if the winner committed (next writers compute
+                # v+1 past the manifest); if it released on its failure
+                # path, v is wedged until that pid exits or
+                # LOCK_HARD_GRACE_S — bounded. Strictly narrower than
+                # the old rename, which additionally clobbered any
+                # third writer's fresh lock.
+                if _pre_restore_hook is not None:
+                    _pre_restore_hook(lock)  # test seam: third writer
                 try:
-                    os.rename(claimed, lock)
+                    os.link(claimed, lock)
+                except OSError:
+                    pass  # EEXIST: path re-protected by someone else
+                try:
+                    os.unlink(claimed)
                 except OSError:
                     pass
                 raise RuntimeError(

@@ -393,3 +393,60 @@ def test_snapshot_steal_identity_check_closes_toctou(tmp_path):
     # the winner's fresh lock survived the loser's steal attempt
     with open(lock) as fh:
         assert int(fh.read()) == winner_pid
+
+
+def test_snapshot_restore_link_never_clobbers_third_writer(tmp_path):
+    """Round-8 advice fix: the identity-mismatch restore used rename,
+    which would CLOBBER a third writer's freshly O_EXCL-created lock
+    if the race winner released in the restore window. link fails
+    EEXIST instead: the third writer's lock must survive byte-for-byte
+    and the loser's claimed file must be cleaned up."""
+    import os
+
+    import pytest
+
+    from data_warehouse_spark.operators import snapshots as snap
+
+    t = str(tmp_path / "snap")
+    os.makedirs(snap._versions_dir(t))
+    lock = os.path.join(snap._versions_dir(t), ".v000001.lock")
+
+    dead_pid = os.fork()
+    if dead_pid == 0:
+        os._exit(0)
+    os.waitpid(dead_pid, 0)
+    with open(lock, "w") as fh:
+        fh.write(str(dead_pid))
+
+    live_pid = os.getpid()
+
+    def fast_stealer_wins(path):
+        os.rename(path, path + ".winner-claimed")
+        os.unlink(path + ".winner-claimed")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(live_pid).encode())
+        os.close(fd)
+
+    def third_writer_relocks(path):
+        # the loser's rename already moved the winner's fresh lock to
+        # its claimed name, so the path is FREE here — exactly the
+        # window where a third writer O_EXCL-creates its own lock
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, f"{live_pid} third".encode())
+        os.close(fd)
+
+    snap._pre_steal_hook = fast_stealer_wins
+    snap._pre_restore_hook = third_writer_relocks
+    try:
+        with pytest.raises(RuntimeError, match="live process"):
+            snap._acquire_version_lock(t, 1)
+    finally:
+        snap._pre_steal_hook = None
+        snap._pre_restore_hook = None
+
+    # third writer's lock untouched; no .stale.* residue left behind
+    with open(lock) as fh:
+        assert fh.read() == f"{live_pid} third"
+    residue = [f for f in os.listdir(snap._versions_dir(t))
+               if ".stale." in f]
+    assert residue == []
