@@ -89,13 +89,39 @@ def quality_score(text: Column) -> Column:
     return (length_ok * punct_ok * stop_ok).alias("quality")
 
 
-def rolling_fingerprint(text: Column, window: int = 8) -> Column:
-    """Document fingerprint: min of xxhash64 over character n-gram
-    windows (a winnowing-style rolling-hash signature)."""
+def rolling_fingerprint(text: Column, window: int = 8,
+                        hash_family: str = "xxhash64") -> Column:
+    """Document fingerprint: min of a per-window hash over character
+    n-gram windows (a winnowing-style rolling-hash signature).
+
+    ``hash_family`` picks the window hash (same convention as
+    operators/dedup.py:simhash_fingerprints):
+      - "xxhash64" (default): Spark's native JVM xxhash64 — the fast
+        production path, not portable to other engines.
+      - "md5": low 60 bits of md5, conv(substr(md5(g),1,15),16,10) —
+        slower, but bit-equal to DuckDB's
+        ('0x'||substr(md5(g),1,15))::BIGINT for every string (pinned
+        incl. unicode in tests/test_operators.py), which is what lets
+        the x5d registry query carry a value-level oracle: the whole
+        min-over-windows pipeline replays in SQL as
+        list_min(list_transform(generate_series(...), i -> hash)).
+    Both engines use CHARACTER substring semantics, so multi-byte
+    UTF-8 windows agree; texts shorter than ``window`` hash the whole
+    text once; null text -> null fingerprint."""
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"unknown rolling_fingerprint hash_family: {hash_family!r}")
     n = F.greatest(F.length(text) - (window - 1), F.lit(1))
     idx = F.sequence(F.lit(1), n)
-    grams = F.transform(idx, lambda i: F.xxhash64(F.substr(text, i, F.lit(window))))
-    return F.array_min(grams)
+    if hash_family == "md5":
+        def gram_hash(i):
+            return F.conv(F.substring(
+                F.md5(F.substr(text, i, F.lit(window))), 1, 15),
+                16, 10).cast("long")
+    else:
+        def gram_hash(i):
+            return F.xxhash64(F.substr(text, i, F.lit(window)))
+    return F.array_min(F.transform(idx, gram_hash))
 
 
 # PII patterns shared by the Spark expressions and the DuckDB oracle.

@@ -560,15 +560,31 @@ def x5c_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x5d_fingerprint",
-    oracle=None,  # xxhash64 rolling hash not portable
-    doc="X5d: winnowing-style document fingerprint — min xxhash64 over "
-        "8-char windows (functions/text.py:rolling_fingerprint).",
+    # The registry query runs the md5-60 hash family (r7's x2b
+    # convention) PRECISELY so the min-over-8-char-windows pipeline is
+    # replayable bit-for-bit in DuckDB — the production default stays
+    # xxhash64 (faster JVM hash, not portable). Cross-engine equality
+    # of the md5-60 window hash AND the full fingerprint is pinned on
+    # an edge battery in tests/test_operators.py.
+    oracle="""
+SELECT doc_id,
+       list_min(list_transform(
+           generate_series(1, greatest(length(text) - 7, 1)),
+           i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT
+       )) AS fingerprint
+FROM documents
+""",
+    doc="X5d: winnowing-style document fingerprint — min 60-bit window "
+        "hash over 8-char windows (functions/text.py:"
+        "rolling_fingerprint; production default xxhash64, oracle "
+        "configuration md5-60). Map-only: no shuffle at any scale.",
     tags=("ext", "text"),
 )
 def x5d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint"))
+        "doc_id", rolling_fingerprint(F.col("text"), hash_family="md5")
+        .alias("fingerprint"))
 
 
 @register(

@@ -772,3 +772,52 @@ def test_assign_cells_masked_fallback_and_cell_dtype(spark):
             for r in assign_cells(uniform, cent, "embedding",
                                   "vec_id").collect()}
     assert gotu == {1: 2, 2: big, 5: 2}
+
+
+def test_rolling_fingerprint_md5_family_bit_equal_across_engines(spark):
+    """x5d's new oracle rests on the md5-60 family surviving the FULL
+    winnowing pipeline (substr windows -> md5-60 -> array/list min)
+    bit-equal across engines, not just the bare hash. Pin it on the
+    edge battery — empty, shorter-than-window, exactly-window,
+    multi-byte unicode (2/3/4-byte UTF-8), nulls — plus 150 seeded
+    random unicode strings. Also pin that the xxhash64 production
+    default still answers (shape only) and rejects unknown families."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.functions.text import rolling_fingerprint
+
+    rng = random.Random(8)
+    corpus = ["", " ", "a", "exactly8", "seven77", "nine chars",
+              "hello world, a longer english sentence.",
+              "wörld wörld", "日本語テキストのサンプルです",
+              "🚀🚀🚀🚀🚀🚀🚀🚀🚀", "é" * 40, None]
+    alphabet = "abc äöü 東京 🙂 0123456789 .,!"
+    corpus += ["".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(1, 60)))
+               for _ in range(150)]
+
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                                "i long, t string")
+    got = {r.i: r.fp for r in sdf.select(
+        "i", rolling_fingerprint(F.col("t"), hash_family="md5")
+        .alias("fp")).collect()}
+
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(
+        {"i": range(len(corpus)), "t": corpus}))
+    want = dict(con.sql("""
+        SELECT i, list_min(list_transform(
+            generate_series(1, greatest(length(t) - 7, 1)),
+            k -> ('0x' || substr(md5(substr(t, k, 8)), 1, 15))::BIGINT))
+        FROM c""").fetchall())
+    assert got == want
+
+    xx = sdf.select(rolling_fingerprint(F.col("t")).alias("fp")).collect()
+    assert len(xx) == len(corpus)
+    with pytest.raises(ValueError, match="hash_family"):
+        rolling_fingerprint(F.col("t"), hash_family="sha1")
