@@ -30,6 +30,14 @@ def _ensure_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Reset the Arrow batch tier between queries: vector/blob queries
+    # pin their own tier at build time (session.set_arrow_batch), and
+    # a leaked 262144-row vector tier would oversize the next query's
+    # Arrow batches (hazardous for blob payloads).
+    from data_warehouse_spark.session import (
+        ARROW_BATCH_DEFAULT, set_arrow_batch,
+    )
+    set_arrow_batch(spark, ARROW_BATCH_DEFAULT)
 
 
 def entry(spark: SparkSession) -> DataFrame:

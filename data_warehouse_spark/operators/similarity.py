@@ -135,8 +135,11 @@ def _arrow_query_scan(df: DataFrame, vec_col: str, id_col: str,
     corpus; max raw delta 7.4e-8 straddles the 5e-7 rounding
     boundary), which breaks the hash-compared oracle whenever a
     boundary row reaches the top-k. The shipped lever is batch size
-    instead: session.py defaults arrow.maxRecordsPerBatch to 262144
-    (1.165 -> 1.032 s best-of-3 on a 33.6M x 64 scan).
+    instead: the vector queries pin arrow.maxRecordsPerBatch to
+    ARROW_BATCH_VECTOR=262144 per action (session.set_arrow_batch;
+    1.165 -> 1.032 s best-of-3 on a 33.6M x 64 scan). The tier is
+    per-query, not session-wide — 262144 rows of KB-scale BLOBS would
+    be a multi-GB Arrow batch on the multimodal paths.
 
     `prefilter_k`: emit only the rows that can still reach a global
     top-k over ROUND(cos_sim, 6) — per batch, the top k raw sims plus

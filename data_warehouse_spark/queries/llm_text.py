@@ -3,8 +3,10 @@ plus the dedup / text-analysis / multimodal mandate) over the
 `documents` fixture.
 
 Oracle-checkable wherever the computation is expressible in portable
-SQL; hash-based ops (MinHash/SimHash/fingerprints use xxhash64, which
-DuckDB lacks) are rows-only with pytest invariants instead.
+SQL. Hash-based ops default to xxhash64 (JVM-native, which DuckDB
+lacks); where a value-level oracle is wanted (x2b, x5d) the registry
+query runs the md5-60 hash family instead, which both engines compute
+bit-identically (tests/test_operators.py).
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ from data_warehouse_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from data_warehouse_spark.queries.registry import register
+from data_warehouse_spark.session import ARROW_BATCH_BLOB, set_arrow_batch
 
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 
@@ -737,6 +740,7 @@ FROM documents
     tags=("ext", "multimodal"),
 )
 def mm1_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    set_arrow_batch(spark, ARROW_BATCH_BLOB)  # opaque payload rows
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
@@ -795,6 +799,7 @@ FROM decoded
     tags=("ext", "multimodal"),
 )
 def mm2_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    set_arrow_batch(spark, ARROW_BATCH_BLOB)  # opaque payload rows
     from data_warehouse_spark.operators.multimodal import (
         decode_images, png_blob_table, resize_plan,
     )
@@ -825,6 +830,7 @@ WHERE strlen(text) > 0
     tags=("ext", "multimodal"),
 )
 def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    set_arrow_batch(spark, ARROW_BATCH_BLOB)  # opaque payload rows
     from data_warehouse_spark.operators.multimodal import attach_blob, sample_frames
     docs = load_table(spark, sf_dir, "documents")
     frames = sample_frames(attach_blob(docs), frame_every_bytes=1024)
@@ -861,6 +867,7 @@ LIMIT 20
     tags=("ext", "multimodal", "vector"),
 )
 def mm4_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    set_arrow_batch(spark, ARROW_BATCH_BLOB)  # opaque payload rows
     import pandas as pd
 
     from data_warehouse_spark.operators.multimodal import attach_blob

@@ -19,6 +19,7 @@ from data_warehouse_spark.operators.similarity import (
     cosine_topk_multi, ivf_topk,
 )
 from data_warehouse_spark.queries.registry import register
+from data_warehouse_spark.session import ARROW_BATCH_VECTOR, set_arrow_batch
 
 _COS_SQL = """
 list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
@@ -86,6 +87,7 @@ LIMIT 20
     tags=("ext", "vector"),
 )
 def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    set_arrow_batch(spark, ARROW_BATCH_VECTOR)  # 64-float rows
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, vec_col="embedding", id_col="vec_id",
                        query_vec=_query_vec(spark, sf_dir), k=20)
@@ -168,6 +170,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 20
     tags=("ext", "vector"),
 )
 def x3b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    set_arrow_batch(spark, ARROW_BATCH_VECTOR)  # 64-float rows
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, vec_col="embedding", id_col="vec_id",
                     query_vec=_query_vec(spark, sf_dir), k=20,
@@ -204,6 +207,7 @@ FROM ranked WHERE rn <= 20
     tags=("ext", "vector"),
 )
 def x3c_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    set_arrow_batch(spark, ARROW_BATCH_VECTOR)  # 64-float rows
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_multi(emb, vec_col="embedding", id_col="vec_id",
                              query_vecs=_query_vecs(spark, sf_dir, (0, 1, 2)),
@@ -251,6 +255,7 @@ WHERE ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.9
     tags=("ext", "vector", "dedup"),
 )
 def x2d_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    set_arrow_batch(spark, ARROW_BATCH_VECTOR)  # 64-float rows
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
                         F.expr(_PERTURB_SPARK).alias("embedding"))
@@ -279,6 +284,7 @@ WHERE ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.25
     tags=("ext", "vector"),
 )
 def x4_pairwise_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    set_arrow_batch(spark, ARROW_BATCH_VECTOR)  # 64-float rows
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_blocked(emb, vec_col="embedding", id_col="vec_id",
                                 block_col="label", threshold=0.25,
