@@ -56,64 +56,63 @@ _QUERY_MODULES = [
 # This list IS the round's window, in order; load_all() puts these names
 # first and everything else after, in registration order.
 #
-# Round-7 rotation (per VERDICT.md round-6 asks #1/#3):
-#   (a) the four round-6 driver hash-FAILs stay in for re-certification
-#       — their oracles gained the repo's CAST(SUM AS BIGINT) convention
-#       (DuckDB HUGEINT reached the driver hash as float64);
-#   (b) queries whose CODE changed in round 6 but that had no round-6
-#       driver row: j12 (shuffle-hash probe + derived predicate), x3
-#       (heap prefilter), the sessions.py-refactor dependents
-#       (w5/e1/e1b/e2/e3), u1/u4 (merge.py first-load dedup), x2d —
-#       all were parity-verified locally in r6, now get driver rows;
-#   (c) backfill with the OLDEST remaining driver rows (r4/r5 vintage,
-#       code unchanged since): set1-4, the scalar f-battery, o1/o2,
-#       w4, p3/p5, a3/a9, s2-s6/s8, u2/u5/u6, j6;
-#   (d) dq1 and j11 re-certify pre-emptively: both are round-7 perf
-#       targets, so any code change they take this round lands inside
-#       the window. Queries added or changed during round 7 displace
-#       backfill (c) entries — never blocks (a)/(b).
+# Round-8 rotation (VERDICT.md round-7 ask #1): the board is green, so
+# this round's window is CERTIFICATION HYGIENE — rotate the stalest
+# driver rows back through the gate so no query's last driver record
+# predates the round-6 fixture regeneration:
+#   (a) the r4 cohort (last driver row r4: a7, f5, f6, f12, j10) and
+#       the r5 cohort (udf1-4, st1-st9, mm1-mm4, x1, x3c, x5/b/c,
+#       x6, x7, x9, x10, j9) — all re-verified green by the round-7
+#       judge's full parity run, but their driver archive rows predate
+#       the current fixtures;
+#   (b) a12_sketch_rollup — registry slot 53 every prior round, so it
+#       has NEVER had a driver row; rows-only by design (mergeable HLL
+#       sketch), the driver records its row count;
+#   (c) every query whose CODE (or execution conf) changed in round 8:
+#       x5d (md5-60 hash family + first value oracle), u3 (new
+#       registry entry: micro-batched append sink), x3b/x4 (the
+#       assign_cells fallback + dtype fix), u9/u9b (snapshot lock
+#       restore via link), x3/x2d (vector Arrow-tier pinning; x3c/mm*
+#       likewise but already in cohort (a));
+#   (d) backfill with the oldest remaining rows (r6 vintage, code
+#       unchanged since): st10/st11 complete the streaming family,
+#       plus the dedup/graph family x2/x2c/x2e/x8/x12 whose operators
+#       are the repo's most complex, and f13/a13.
+# Queries added or changed during round 8 displace (d) — never (a)-(c).
 DRIVER_WINDOW = [
-    # (a) re-certify the four fixed oracles
-    "s9_jsonl_roundtrip", "s10_orc_roundtrip",
-    "x14_token_budget_sample", "x14b_token_budget_scalable",
-    # (b) round-6 code changes without a round-6 driver row
-    "j12_bucketed_fact_join", "x3_cosine_topk",
-    "w5_sessionize", "e1_trips", "e1b_bucketed_trips",
-    "e2_carbon_savings", "e3_enriched_trips",
-    "u1_upsert", "u4_scd2_dimension", "x2d_cosine_lsh",
-    # (d) round-7 perf targets (re-certify alongside any change)
-    "dq1_validation_report", "j11_fact_fact_join",
-    # (c) backfill: oldest remaining rows, code unchanged since r4/r5
-    "set1_union_all", "set2_union_distinct", "set3_intersect",
-    "set4_except",
-    "f1_timezone", "f2_epoch_diff", "f3_haversine",
-    "f8_strings", "f9_json", "f10_null_handling", "f11_arrays",
-    "o1_global_sort", "o2_topk", "o2_topk_per_group",
-    "w4_running_agg", "p3_between_computed", "p5_or_inequality",
-    "a3_global_agg", "a9_pivot",
-    "s2_rest_json_source", "s3_parallel_fetch", "s4_csv_roundtrip",
-    "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
-    "u2_dedup_latest", "u5_delete_keys", "u6_compaction",
-    "j6_asof_join",
-    # first-ever ORACLE rows (round-7 additions, displacing backfill):
-    # x2b ran rows-only until now — its md5-60 hash family makes the
-    # full fingerprint pipeline DuckDB-replayable (code changed, so it
-    # must be windowed regardless); x3b's IVF pipeline is replayed end
-    # to end in SQL (deterministic seeded quantizer, margins pinned in
-    # tests), its first value-level row
-    "x2b_simhash", "x3b_ivf_topk",
-    # round-7 code changes displacing backfill (f5/f6/f12 rotate out —
-    # r4-green stock Catalyst casts, code unchanged): u9/u9b sit on the
-    # snapshot store whose stale-lock steal gained the TOCTOU identity
-    # check; x4 sits on cosine_pairs_blocked whose oversized route uses
-    # the rewritten map-only assign_cells
-    "u9_time_travel", "u9b_snapshot_diff", "x4_pairwise_sim",
+    # (a) r4 cohort
+    "a7_salted_agg", "f5_cast", "f6_date_format", "f12_case",
+    "j10_star_join",
+    # (a) r5 cohort
+    "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
+    "udf4_udtf_words",
+    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
+    "st4_session_window", "st5_watermark_late_drop", "st6_stream_dedup",
+    "st7_foreach_upsert", "st8_custom_stateful", "st9_stream_stream_join",
+    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
+    "mm4_feature_ann",
+    "x1_exact_dedup", "x3c_multi_topk",
+    "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
+    "x6_token_freq", "x7_tfidf", "x9_stratified_split",
+    "x10_repetition_filter", "j9_spatial_join",
+    # (b) first-ever driver row
+    "a12_sketch_rollup",
+    # (c) round-8 code/conf changes
+    "x5d_fingerprint", "u3_microbatch_write",
+    "x3b_ivf_topk", "x4_pairwise_sim",
+    "u9_time_travel", "u9b_snapshot_diff",
+    "x3_cosine_topk", "x2d_cosine_lsh",
+    # (d) backfill: oldest remaining (r6) rows, code unchanged since
+    "st10_stream_static_join", "st11_dedup_retries",
+    "x2_minhash_lsh", "x2c_ngram_jaccard", "x2e_incremental_dedup",
+    "x8_dup_components", "x12_dedup_corpus",
+    "f13_url_parse", "a13_histogram",
 ]
-# a12_sketch_rollup / f7 / a8 are rows-only by design. Queries added or
-# code-changed DURING round 7 must displace backfill (c) entries so the
-# "every changed query is windowed" claim stays true against the
-# CORRECTNESS_r07 keys (round-6 lesson: j12/x3 changed in r6 without a
-# row and the coverage text overclaimed it).
+# f7 / a8 / a12 are rows-only by design (a12 is windowed this round for
+# its first driver ROW-COUNT record). Queries added or code-changed
+# DURING round 8 must displace backfill (d) entries so the "every
+# changed query is windowed" claim stays true against the
+# CORRECTNESS_r08 keys.
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

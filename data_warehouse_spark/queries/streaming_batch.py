@@ -15,7 +15,9 @@ from data_warehouse_spark.queries.registry import register
 from data_warehouse_spark.queries.util import (
     money_sum, money_sum_sql, scratch_dir,
 )
-from data_warehouse_spark.streaming.jobs import read_events_stream, start_memory_sink
+from data_warehouse_spark.streaming.jobs import (
+    read_events_stream, run_microbatch_append, start_memory_sink,
+)
 
 
 @register(
@@ -404,3 +406,45 @@ def st10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_memory_sink(agg, "st10_out", "complete")
     q.awaitTermination()
     return spark.sql("SELECT segment, n, sum_cents FROM st10_out")
+
+
+@register(
+    "u3_microbatch_write",
+    oracle=f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       {money_sum_sql('value')} AS sum_value
+FROM events GROUP BY event_type
+""",
+    doc="U3: micro-batched atomic append sink (air_lambda.py:90-98 — "
+        "executemany batches, one commit each). The events log is "
+        "staged into 4 files, streamed one file per trigger, and each "
+        "micro-batch appends atomically via foreachBatch plus a "
+        "commit-log record (streaming/jobs.py:run_microbatch_append). "
+        "The registry result is the FINAL TABLE STATE read back from "
+        "the sink (append algebra: every source row exactly once), "
+        "which is deterministic and hash-checkable against the events "
+        "aggregate regardless of how rows split into batches; the "
+        "per-batch commit bookkeeping (>=2 batches, committed rows sum "
+        "to the total, no half-visible batch) is pinned in "
+        "tests/test_streaming.py where batch boundaries are "
+        "controllable. Distinct from ST7 (merge per batch) and S5 "
+        "(batch-mode append): U3 is the streaming append commit loop.",
+    tags=("streaming", "sink"),
+)
+def u3_microbatch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = scratch_dir("u3_microbatch")
+    staging, target = base + "/in", base + "/t"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value")
+    # 4 staged files -> 4 micro-batches under maxFilesPerTrigger=1
+    ev.repartition(4).write.mode("overwrite").parquet(staging)
+    stream = (spark.readStream.format("parquet")
+              .schema("event_id long, user_id long, event_type string, "
+                      "ts timestamp, value double")
+              .option("maxFilesPerTrigger", 1).load(staging))
+    q = run_microbatch_append(stream, target, base + "/commits.jsonl")
+    q.awaitTermination()
+    back = spark.read.parquet(target)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum("value").alias("sum_value"))

@@ -242,3 +242,42 @@ def running_user_stats(events: DataFrame, watermark: str = "1 hour",
                 stateStructType=state_schema,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def run_microbatch_append(events: DataFrame, target_path: str,
+                          commit_log: str) -> StreamingQuery:
+    """U3: micro-batched APPEND sink — the reference's batched-INSERT
+    commit loop (air_lambda.py:90-98: executemany over fixed-size row
+    batches, one DB commit per batch) re-expressed as foreachBatch:
+    each micro-batch is ONE atomic parquet append job plus a commit-log
+    record (epoch, rows) written only after the append succeeds.
+
+    Semantics the shape preserves at any scale:
+      - per-batch atomicity: a batch's files land under a Spark write
+        job (task temp files + commit protocol), so a crashed batch
+        leaves no half-visible rows and no commit-log record;
+      - restartability: the checkpoint + availableNow trigger replays
+        un-committed batches only, exactly like the Lambda's cursor;
+      - the commit log is driver-side metadata (two small writes per
+        batch), never row data — payload rows flow executor-side only.
+
+    The count() before the write runs on the persisted batch, so the
+    source is read once per batch, not twice.
+    """
+    import json
+    import os
+
+    def append_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch.persist()
+        try:
+            n = batch.count()
+            batch.write.mode("append").parquet(target_path)
+        finally:
+            batch.unpersist()
+        os.makedirs(os.path.dirname(commit_log), exist_ok=True)
+        with open(commit_log, "a") as fh:
+            fh.write(json.dumps({"epoch": int(epoch_id), "rows": n}) + "\n")
+
+    return (events.writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", target_path + "_ckpt")
+            .trigger(availableNow=True).start())

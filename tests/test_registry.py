@@ -6,38 +6,43 @@ from __future__ import annotations
 
 from data_warehouse_spark.queries.registry import DRIVER_WINDOW, load_all
 
-# Round-7 window (VERDICT.md round-6 asks #1/#3): the four re-cast
-# oracles re-certifying, every round-6 code change that lacked a
-# round-6 driver row, the round-7 perf targets pre-emptively, and
-# backfill with the oldest remaining (r4/r5) rows.
+# Round-8 window (VERDICT.md round-7 ask #1): certification hygiene —
+# the r4/r5 cohorts whose driver rows predate the round-6 fixture
+# regeneration, a12's first-ever driver row, every round-8 code/conf
+# change, and r6-vintage backfill. Composition rationale lives next to
+# DRIVER_WINDOW in queries/registry.py.
 MUST_BE_WINDOWED = {
-    # (a) re-certify the four fixed HUGEINT oracles
-    "s9_jsonl_roundtrip", "s10_orc_roundtrip",
-    "x14_token_budget_sample", "x14b_token_budget_scalable",
-    # (b) round-6 code changes without a round-6 driver row
-    "j12_bucketed_fact_join", "x3_cosine_topk",
-    "w5_sessionize", "e1_trips", "e1b_bucketed_trips",
-    "e2_carbon_savings", "e3_enriched_trips",
-    "u1_upsert", "u4_scd2_dimension", "x2d_cosine_lsh",
-    # (d) round-7 perf targets
-    "dq1_validation_report", "j11_fact_fact_join",
-    # (c) backfill — oldest remaining rows (r4/r5)
-    "set1_union_all", "set2_union_distinct", "set3_intersect",
-    "set4_except",
-    "f1_timezone", "f2_epoch_diff", "f3_haversine",
-    "f8_strings", "f9_json", "f10_null_handling", "f11_arrays",
-    "o1_global_sort", "o2_topk", "o2_topk_per_group",
-    "w4_running_agg", "p3_between_computed", "p5_or_inequality",
-    "a3_global_agg", "a9_pivot",
-    "s2_rest_json_source", "s3_parallel_fetch", "s4_csv_roundtrip",
-    "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
-    "u2_dedup_latest", "u5_delete_keys", "u6_compaction",
-    "j6_asof_join", "x2b_simhash", "x3b_ivf_topk",
-    "u9_time_travel", "u9b_snapshot_diff", "x4_pairwise_sim",
+    # (a) r4 cohort
+    "a7_salted_agg", "f5_cast", "f6_date_format", "f12_case",
+    "j10_star_join",
+    # (a) r5 cohort
+    "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
+    "udf4_udtf_words",
+    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
+    "st4_session_window", "st5_watermark_late_drop", "st6_stream_dedup",
+    "st7_foreach_upsert", "st8_custom_stateful", "st9_stream_stream_join",
+    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
+    "mm4_feature_ann",
+    "x1_exact_dedup", "x3c_multi_topk",
+    "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
+    "x6_token_freq", "x7_tfidf", "x9_stratified_split",
+    "x10_repetition_filter", "j9_spatial_join",
+    # (b) never had a driver row
+    "a12_sketch_rollup",
+    # (c) round-8 code/conf changes
+    "x5d_fingerprint", "u3_microbatch_write",
+    "x3b_ivf_topk", "x4_pairwise_sim",
+    "u9_time_travel", "u9b_snapshot_diff",
+    "x3_cosine_topk", "x2d_cosine_lsh",
+    # (d) backfill (r6 vintage, code unchanged since)
+    "st10_stream_static_join", "st11_dedup_retries",
+    "x2_minhash_lsh", "x2c_ngram_jaccard", "x2e_incremental_dedup",
+    "x8_dup_components", "x12_dedup_corpus",
+    "f13_url_parse", "a13_histogram",
 }
 
 
-def test_driver_window_is_exactly_the_round7_set():
+def test_driver_window_is_exactly_the_round8_set():
     # DRIVER_WINDOW is the explicit first-50 contract; it must hold
     # every query that needs (re-)verification this round and fit the
     # driver's 50-entry budget.
@@ -63,5 +68,4 @@ def test_every_query_has_fn_and_most_have_oracles():
     # rows-only is reserved for genuinely non-SQL-expressible ops
     assert no_oracle <= {"f7_current_timestamp", "st6_stream_dedup",
                          "st7_foreach_upsert", "x2_minhash_lsh",
-                         "x5d_fingerprint",
                          "a8_approx_agg", "a12_sketch_rollup"}

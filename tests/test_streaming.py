@@ -237,3 +237,35 @@ def test_streaming_stateful_operators_plan_as_claimed(spark, sf_dir):
     q11.awaitTermination()
     p11 = q11._jsq.explainInternal(False)
     assert "WithinWatermark" in p11
+
+
+def test_u3_microbatch_append_commit_semantics(spark, sf_dir):
+    """U3's registry oracle certifies the final table state; this pins
+    the part SQL can't see — the commit loop itself: the staged 4-file
+    source yields >=2 micro-batches, every batch logged a commit whose
+    rows sum to the source total, no batch committed empty, and the
+    sink holds exactly the source rows (append = each row once)."""
+    import json
+    import os
+
+    from data_warehouse_spark.io import load_table
+    from data_warehouse_spark.queries.registry import load_all
+    from data_warehouse_spark.scratch import process_dir
+
+    fn = load_all()["u3_microbatch_write"].fn
+    result = {r.event_type: r.n for r in fn(spark, sf_dir).collect()}
+
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert sum(result.values()) == n_src
+
+    base = os.path.join(process_dir("dws_scratch"), "u3_microbatch")
+    with open(os.path.join(base, "commits.jsonl")) as fh:
+        commits = [json.loads(line) for line in fh if line.strip()]
+    assert len(commits) >= 2, commits  # one per staged file (4 files)
+    assert all(c["rows"] > 0 for c in commits)
+    assert sum(c["rows"] for c in commits) == n_src
+    # epochs strictly increasing — each commit is a distinct batch
+    epochs = [c["epoch"] for c in commits]
+    assert epochs == sorted(set(epochs))
+    # the sink's physical state matches the committed total
+    assert spark.read.parquet(base + "/t").count() == n_src
