@@ -57,7 +57,11 @@ DEFAULT_QUERIES = {
     # in the untimed warm run, as it would in a warehouse's ingest)
     "j12_bucketed_fact_join": (16, 64, 256),
     "x3_cosine_topk": (16, 64),
-    "x2c_ngram_jaccard": (4, 16),
+    # 4x and 8x are the measurable exact-path cells (16x documented
+    # unmeasurable in r7: quadratic wall + GC pressure, 50-min timeout;
+    # >=16x the registry auto-routes through the LSH prefilter and the
+    # engines stop doing the same work — DIVERGENCE_CAPS)
+    "x2c_ngram_jaccard": (4, 8),
     # round-5 additions, all data-dominated with hash-verified oracles:
     # CUBE (Expand x4 of lineitem-shaped orders), incremental rollup
     # (events agg + group-sized merge), PII scrub (regex scan over
@@ -84,6 +88,14 @@ DEFAULT_QUERIES = {
     # 1024x); Spark's two-phase prefix sum vs DuckDB's per-stratum
     # window, hash-verified
     "x15_sequence_packing": (16, 64, 256, 1024),
+    # round-8 additions (VERDICT r7 ask #5): the three most expensive
+    # non-iterative compositions, previously sf0.1-floor-dominated
+    # only. e3 = the reference's [declared] end-state (J9 spatial
+    # prefilter + as-of + broadcast dims under ONE plan); e2 = trips
+    # rollup; j9 = grid-prefiltered ray-cast spatial join.
+    "e3_enriched_trips": (16, 64, 256),
+    "e2_carbon_savings": (16, 64, 256),
+    "j9_spatial_join": (16, 64, 256),
 }
 
 # (key columns salted as key*n+copy) per amplified table; text gets a
