@@ -69,3 +69,30 @@ def test_every_query_has_fn_and_most_have_oracles():
     assert no_oracle <= {"f7_current_timestamp", "st6_stream_dedup",
                          "st7_foreach_upsert", "x2_minhash_lsh",
                          "a8_approx_agg", "a12_sketch_rollup"}
+
+
+def test_arrow_batch_tiers_are_pinned_per_query(spark):
+    """Round-8 advice closure: the Arrow exchange batch size is a
+    per-query tier, not a session-wide bump. Building a vector query
+    must pin the VECTOR tier (262144) for its execution; building a
+    multimodal blob query must pin the BLOB tier (1024 — KB-scale
+    payloads at the vector tier would be multi-GB Arrow batches); the
+    harness reset (__spark_entry__._ensure_confs) must restore the
+    narrow-row default so tiers never leak across queries."""
+    import __spark_entry__ as entry_mod
+    from data_warehouse_spark.session import (
+        ARROW_BATCH_BLOB, ARROW_BATCH_DEFAULT, ARROW_BATCH_VECTOR,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    specs = load_all()
+    sf = "/root/testdata/sf0.001"
+
+    specs["x3_cosine_topk"].fn(spark, sf)
+    assert spark.conf.get(key) == str(ARROW_BATCH_VECTOR)
+
+    specs["mm1_multimodal_stub"].fn(spark, sf)
+    assert spark.conf.get(key) == str(ARROW_BATCH_BLOB)
+
+    entry_mod._ensure_confs(spark)
+    assert spark.conf.get(key) == str(ARROW_BATCH_DEFAULT)
