@@ -21,6 +21,7 @@ Usage: python tools/baseline_grid.py [--sf /root/testdata/sf0.1]
 from __future__ import annotations
 
 import argparse
+import os
 import datetime
 import json
 import re
@@ -37,7 +38,8 @@ from tools.parity import duck_connection  # noqa: E402
 
 ITERATIVE = {"x8_dup_components"}
 STREAMING = {"st1_stream_source", "st5_watermark_late_drop",
-             "st8_custom_stateful", "st9_stream_stream_join"}
+             "st8_custom_stateful", "st9_stream_stream_join",
+             "u3_microbatch_write"}
 
 
 def measure(sf_dir: str) -> dict[str, dict[str, float]]:
@@ -91,7 +93,7 @@ def render(rows: dict[str, dict[str, float]], sf_dir: str) -> str:
 
     lines = [
         f"## Measured baseline (sf0.1, local[32], regenerated {stamp}, "
-        "round 7)",
+        f"round {os.environ.get('SPARK_GRAFT_ROUND', '8')})",
         "",
         "Full-registry regeneration on the current fixtures via "
         "`tools/baseline_grid.py` (the round-3 grid predated "
