@@ -20,7 +20,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import duckdb  # noqa: E402
 
 from data_warehouse_spark.queries.registry import load_all  # noqa: E402
-from data_warehouse_spark.session import get_spark  # noqa: E402
+from data_warehouse_spark.session import (  # noqa: E402
+    ARROW_BATCH_DEFAULT, get_spark, set_arrow_batch,
+)
 
 # Headline set: one representative per operator family. Parity covers
 # exhaustiveness; bench covers speed.
@@ -131,6 +133,9 @@ def main() -> None:
     anchors: dict[str, float] = {}
     for _ in range(runs):
         for name in names:
+            # driver-harness parity: reset the Arrow tier so a prior
+            # query's blob/vector pin can't bias this measurement
+            set_arrow_batch(spark, ARROW_BATCH_DEFAULT)
             t0 = time.time()
             df = specs[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

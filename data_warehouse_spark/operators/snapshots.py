@@ -176,8 +176,19 @@ def _acquire_version_lock(table_dir: str, v: int) -> str:
                     _pre_restore_hook(lock)  # test seam: third writer
                 try:
                     os.link(claimed, lock)
+                except FileExistsError:
+                    pass  # path re-protected by someone else
                 except OSError:
-                    pass  # EEXIST: path re-protected by someone else
+                    # link unsupported/failed (EPERM on some mounts,
+                    # EIO): fall back to the old rename restore —
+                    # clobbering a racer's lock is recoverable (it
+                    # fails loudly), whereas dropping the claimed file
+                    # without restoring would leave v UNLOCKED while
+                    # the winner is mid-write
+                    try:
+                        os.rename(claimed, lock)
+                    except OSError:
+                        pass
                 try:
                     os.unlink(claimed)
                 except OSError:

@@ -418,8 +418,11 @@ FROM events GROUP BY event_type
     doc="U3: micro-batched atomic append sink (air_lambda.py:90-98 — "
         "executemany batches, one commit each). The events log is "
         "staged into 4 files, streamed one file per trigger, and each "
-        "micro-batch appends atomically via foreachBatch plus a "
-        "commit-log record (streaming/jobs.py:run_microbatch_append). "
+        "micro-batch lands as one overwrite into its own epoch-keyed "
+        "partition via foreachBatch plus an epoch-idempotent "
+        "commit-log record (streaming/jobs.py:run_microbatch_append — "
+        "replayed epochs rewrite themselves, so the table is "
+        "exactly-once under any crash/restart schedule). "
         "The registry result is the FINAL TABLE STATE read back from "
         "the sink (append algebra: every source row exactly once), "
         "which is deterministic and hash-checkable against the events "

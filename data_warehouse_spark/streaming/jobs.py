@@ -253,11 +253,18 @@ def run_microbatch_append(events: DataFrame, target_path: str,
     record (epoch, rows) written only after the append succeeds.
 
     Semantics the shape preserves at any scale:
-      - per-batch atomicity: a batch's files land under a Spark write
-        job (task temp files + commit protocol), so a crashed batch
-        leaves no half-visible rows and no commit-log record;
+      - per-batch atomicity + REPLAY IDEMPOTENCE: foreachBatch is
+        at-least-once (a crash between the data commit and the
+        checkpoint commit re-runs the epoch), so each batch writes
+        mode("overwrite") into its own epoch-keyed partition directory
+        — the standard foreachBatch exactly-once pattern: a replayed
+        epoch overwrites its own prior output instead of appending a
+        duplicate, and the final table state is exactly-once under any
+        crash/restart schedule;
+      - the commit log is likewise epoch-idempotent: a replayed
+        epoch's record REPLACES the prior record for that epoch;
       - restartability: the checkpoint + availableNow trigger replays
-        un-committed batches only, exactly like the Lambda's cursor;
+        un-checkpointed batches only, exactly like the Lambda's cursor;
       - the commit log is driver-side metadata (two small writes per
         batch), never row data — payload rows flow executor-side only.
 
@@ -271,12 +278,25 @@ def run_microbatch_append(events: DataFrame, target_path: str,
         batch.persist()
         try:
             n = batch.count()
-            batch.write.mode("append").parquet(target_path)
+            # overwrite-into-epoch-dir, not append-into-table: replay
+            # of this epoch rewrites the same directory (idempotent)
+            batch.write.mode("overwrite").parquet(
+                f"{target_path}/epoch={int(epoch_id)}")
         finally:
             batch.unpersist()
         os.makedirs(os.path.dirname(commit_log), exist_ok=True)
-        with open(commit_log, "a") as fh:
-            fh.write(json.dumps({"epoch": int(epoch_id), "rows": n}) + "\n")
+        prior = []
+        try:
+            with open(commit_log) as fh:
+                prior = [json.loads(line) for line in fh if line.strip()]
+        except OSError:
+            pass
+        prior = [c for c in prior if c["epoch"] != int(epoch_id)]
+        prior.append({"epoch": int(epoch_id), "rows": n})
+        with open(commit_log + ".tmp", "w") as fh:
+            for c in sorted(prior, key=lambda c: c["epoch"]):
+                fh.write(json.dumps(c) + "\n")
+        os.replace(commit_log + ".tmp", commit_log)
 
     return (events.writeStream.foreachBatch(append_batch)
             .option("checkpointLocation", target_path + "_ckpt")

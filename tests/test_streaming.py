@@ -269,3 +269,45 @@ def test_u3_microbatch_append_commit_semantics(spark, sf_dir):
     assert epochs == sorted(set(epochs))
     # the sink's physical state matches the committed total
     assert spark.read.parquet(base + "/t").count() == n_src
+
+
+def test_u3_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a crash between the data commit
+    and the checkpoint commit replays the epoch. The append sink must
+    therefore be replay-idempotent — epoch-keyed overwrite, not blind
+    append. Simulate the worst case (EVERY epoch replays: wipe the
+    checkpoint, rerun the identical source into the same target): the
+    table must hold each source row exactly once, not twice, and the
+    commit log must carry one record per epoch."""
+    import json
+    import shutil
+
+    from data_warehouse_spark.io import load_table
+    from data_warehouse_spark.streaming.jobs import run_microbatch_append
+
+    staged = str(tmp_path / "in")
+    target = str(tmp_path / "t")
+    log = str(tmp_path / "commits.jsonl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value")
+    ev.repartition(3).write.mode("overwrite").parquet(staged)
+    n_src = ev.count()
+
+    def run():
+        stream = (spark.readStream.format("parquet")
+                  .schema("event_id long, user_id long, "
+                          "event_type string, ts timestamp, value double")
+                  .option("maxFilesPerTrigger", 1).load(staged))
+        q = run_microbatch_append(stream, target, log)
+        q.awaitTermination()
+
+    run()
+    assert spark.read.parquet(target).count() == n_src
+    shutil.rmtree(target + "_ckpt")  # lose ALL progress -> full replay
+    run()
+    assert spark.read.parquet(target).count() == n_src  # not 2x
+    with open(log) as fh:
+        commits = [json.loads(line) for line in fh if line.strip()]
+    assert sorted(c["epoch"] for c in commits) == \
+        sorted(set(c["epoch"] for c in commits))  # one record per epoch
+    assert sum(c["rows"] for c in commits) == n_src

@@ -33,7 +33,9 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 from data_warehouse_spark.queries.registry import load_all  # noqa: E402
-from data_warehouse_spark.session import get_spark  # noqa: E402
+from data_warehouse_spark.session import (  # noqa: E402
+    ARROW_BATCH_DEFAULT, get_spark, set_arrow_batch,
+)
 from tools.parity import duck_connection  # noqa: E402
 
 ITERATIVE = {"x8_dup_components"}
@@ -62,6 +64,10 @@ def measure(sf_dir: str) -> dict[str, dict[str, float]]:
         con.sql(spec.oracle).fetchall()
         duck_s = time.time() - t0
 
+        # reset the Arrow batch tier between queries, like the driver
+        # harness does — otherwise a blob/vector tier pinned by an
+        # earlier query's build leaks into this one's measured runs
+        set_arrow_batch(spark, ARROW_BATCH_DEFAULT)
         spec.fn(spark, sf_dir).write.format("noop") \
             .mode("overwrite").save()  # warm (plan + cache)
         spark_s = min(_timed(spec.fn, spark, sf_dir) for _ in range(2))
@@ -71,6 +77,7 @@ def measure(sf_dir: str) -> dict[str, dict[str, float]]:
 
 
 def _timed(fn, spark, sf_dir) -> float:
+    set_arrow_batch(spark, ARROW_BATCH_DEFAULT)
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.time() - t0

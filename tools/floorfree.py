@@ -42,9 +42,11 @@ from data_warehouse_spark.session import get_spark  # noqa: E402
 
 # Queries whose runtime is data-dominated at >=16x and whose oracle is
 # hash-verified by the correctness gate (so both engines provably do
-# the same logical work). x2c is block-quadratic: capped at 16x so the
-# exact path runs on BOTH sides (Spark would auto-route oversized
-# blocks through the LSH prefilter, which DuckDB's oracle does not).
+# the same logical work). x2c is block-quadratic: capped at 8x — the
+# last cell where the exact path runs (and finishes) on BOTH sides;
+# at >=16x Spark auto-routes oversized blocks through the LSH
+# prefilter (different work than DuckDB's exact oracle) and the r7
+# attempt hit a ~50-min quadratic oracle wall anyway.
 DEFAULT_QUERIES = {
     "a1_q1_pricing_summary": (16, 64),
     "w5_sessionize": (16, 64),
@@ -104,7 +106,7 @@ DEFAULT_QUERIES = {
 # above these multipliers the Spark query and the DuckDB oracle stop
 # doing the same logical work (see DEFAULT_QUERIES notes) — enforced
 # even under an explicit --mults
-DIVERGENCE_CAPS = {"x2c_ngram_jaccard": 16}
+DIVERGENCE_CAPS = {"x2c_ngram_jaccard": 8}
 
 SALT_KEYS = {
     "lineitem": ["l_orderkey"],
