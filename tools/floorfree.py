@@ -70,7 +70,12 @@ DEFAULT_QUERIES = {
     # documents). x2d is deliberately ABSENT: its 8-bit default bands
     # are sized for ~1e5-1e6 rows (SCALE.md) and its brute-force oracle
     # is quadratic for DuckDB — neither side measures engine throughput
-    # at amplified scale.
+    # at amplified scale. x4 (label-blocked pairwise sim) is absent for
+    # the same class of reason as x2c's cap: amplification multiplies
+    # every label block 16x+, tripping the oversized-block auto-route
+    # through the IVF-cell prefilter while the DuckDB oracle stays
+    # exact-quadratic — the engines stop doing the same logical work
+    # at exactly the scales worth measuring.
     "a11_cube": (16, 64),
     "u7_incremental_rollup": (16, 64),
     "x11_pii_redaction": (16, 64),
