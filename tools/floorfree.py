@@ -100,9 +100,16 @@ DEFAULT_QUERIES = {
     # only. e3 = the reference's [declared] end-state (J9 spatial
     # prefilter + as-of + broadcast dims under ONE plan); e2 = trips
     # rollup; j9 = grid-prefiltered ray-cast spatial join.
-    "e3_enriched_trips": (16, 64, 256),
-    "e2_carbon_savings": (16, 64, 256),
-    "j9_spatial_join": (16, 64, 256),
+    "e3_enriched_trips": (16, 64, 256, 1024),
+    "e2_carbon_savings": (16, 64, 256, 1024),
+    "j9_spatial_join": (16, 64, 256, 1024),
+    # round-8 widening: the remaining core warehouse families with no
+    # amplified evidence — as-of join (union + last-window rewrite),
+    # MERGE/upsert (left-anti + union result state), and the TF-IDF
+    # explode -> tf/df agg -> broadcast-dictionary join pipeline.
+    "j6_asof_join": (16, 64, 256),
+    "u1_upsert": (16, 64, 256),
+    "x7_tfidf": (16, 64, 256),
 }
 
 # (key columns salted as key*n+copy) per amplified table; text gets a
