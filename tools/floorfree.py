@@ -107,9 +107,9 @@ DEFAULT_QUERIES = {
     # amplified evidence — as-of join (union + last-window rewrite),
     # MERGE/upsert (left-anti + union result state), and the TF-IDF
     # explode -> tf/df agg -> broadcast-dictionary join pipeline.
-    "j6_asof_join": (16, 64, 256),
-    "u1_upsert": (16, 64, 256),
-    "x7_tfidf": (16, 64, 256),
+    "j6_asof_join": (16, 64, 256, 1024),
+    "u1_upsert": (16, 64, 256, 1024),
+    "x7_tfidf": (16, 64, 256, 1024),
 }
 
 # (key columns salted as key*n+copy) per amplified table; text gets a
