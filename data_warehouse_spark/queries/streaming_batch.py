@@ -422,7 +422,9 @@ FROM events GROUP BY event_type
         "partition via foreachBatch plus an epoch-idempotent "
         "commit-log record (streaming/jobs.py:run_microbatch_append — "
         "replayed epochs rewrite themselves, so the table is "
-        "exactly-once under any crash/restart schedule). "
+        "exactly-once under any crash/restart schedule with the "
+        "checkpoint intact, and even across a full checkpoint loss "
+        "here because 1-file batching is deterministic). "
         "The registry result is the FINAL TABLE STATE read back from "
         "the sink (append algebra: every source row exactly once), "
         "which is deterministic and hash-checkable against the events "

@@ -259,8 +259,16 @@ def run_microbatch_append(events: DataFrame, target_path: str,
         mode("overwrite") into its own epoch-keyed partition directory
         — the standard foreachBatch exactly-once pattern: a replayed
         epoch overwrites its own prior output instead of appending a
-        duplicate, and the final table state is exactly-once under any
-        crash/restart schedule;
+        duplicate, so the final state is exactly-once under any
+        crash/restart schedule WITH THE CHECKPOINT INTACT (the
+        checkpoint pins each epoch's source composition, so a replay
+        rewrites exactly what it wrote before). After a full
+        checkpoint LOSS the stream is a new identity and epoch
+        numbering restarts; that is only still exactly-once when
+        batch composition is deterministic — true here
+        (maxFilesPerTrigger: each file lands in exactly one epoch, so
+        the epoch dirs collectively cover every file once, whatever
+        the order), and the property the replay test pins;
       - the commit log is likewise epoch-idempotent: a replayed
         epoch's record REPLACES the prior record for that epoch;
       - restartability: the checkpoint + availableNow trigger replays
