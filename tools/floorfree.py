@@ -107,6 +107,10 @@ DEFAULT_QUERIES = {
     # amplified evidence — as-of join (union + last-window rewrite),
     # MERGE/upsert (left-anti + union result state), and the TF-IDF
     # explode -> tf/df agg -> broadcast-dictionary join pipeline.
+    # x5d runs the md5-60 ORACLE configuration on both engines (the
+    # only hash family both compute bit-identically); the production
+    # xxhash64 path's Spark-only cost is measured in SCALE.md's note.
+    "x5d_fingerprint": (16, 64),
     "j6_asof_join": (16, 64, 256, 1024),
     "u1_upsert": (16, 64, 256, 1024),
     "x7_tfidf": (16, 64, 256, 1024),
