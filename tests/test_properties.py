@@ -491,3 +491,48 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
         got = {r.id: r.component_id for r in
                connected_components(df, "a", "b").collect()}
         assert got == want, f"trial {trial}"
+
+
+def test_rolling_fingerprint_matches_python_model(spark):
+    """x5d's engine-side min-over-windows must equal a pure-Python
+    reference on randomized seeded unicode strings, for BOTH hash
+    families. The md5-60 reference recomputes conv(substr(md5,1,15))
+    with hashlib; the xxhash64 family has no portable Python twin, so
+    its property is the structural one: fingerprint equals the min of
+    the per-window xxhash64 column computed independently (same
+    engine, different plan — catches windowing/indexing bugs without
+    trusting the hash)."""
+    import hashlib
+    import random
+
+    from data_warehouse_spark.functions.text import rolling_fingerprint
+
+    rng = random.Random(88)
+    alphabet = "ab c.12 äö 東京 🙂"
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+             for _ in range(150)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+
+    def py_md5_60(t):
+        n = max(len(t) - 7, 1)
+        return min(int(hashlib.md5(t[k:k + 8].encode()).hexdigest()[:15], 16)
+                   for k in range(n))
+
+    got = {r.i: r.fp for r in df.select(
+        "i", rolling_fingerprint(F.col("t"), hash_family="md5")
+        .alias("fp")).collect()}
+    assert got == {i: py_md5_60(t) for i, t in enumerate(texts)}
+
+    # structural property for the production family: same min via an
+    # independent explode plan
+    win = df.select(
+        "i", F.explode(F.sequence(
+            F.lit(1), F.greatest(F.length("t") - 7, F.lit(1)))).alias("k"))
+    win = win.join(df, "i").select(
+        "i", F.xxhash64(F.substr(F.col("t"), F.col("k"), F.lit(8))).alias("h"))
+    want_xx = {r.i: r.m for r in
+               win.groupBy("i").agg(F.min("h").alias("m")).collect()}
+    got_xx = {r.i: r.fp for r in df.select(
+        "i", rolling_fingerprint(F.col("t")).alias("fp")).collect()}
+    assert got_xx == want_xx
