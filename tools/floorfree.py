@@ -70,7 +70,12 @@ DEFAULT_QUERIES = {
     # documents). x2d is deliberately ABSENT: its 8-bit default bands
     # are sized for ~1e5-1e6 rows (SCALE.md) and its brute-force oracle
     # is quadratic for DuckDB — neither side measures engine throughput
-    # at amplified scale. x4 (label-blocked pairwise sim) is absent for
+    # at amplified scale. x2 (MinHash) is absent for its ORACLE's
+    # sake: the exact-Jaccard brute-force replay self-joins the gram
+    # table, and amplification multiplies every gram's frequency Nx —
+    # an N^2 join blowup on the DuckDB side only (Spark's side stays
+    # banding-bounded), so the cell would time one engine's algorithm
+    # against the other's oracle. x4 (label-blocked pairwise sim) is absent for
     # the same class of reason as x2c's cap: amplification multiplies
     # every label block 16x+, tripping the oversized-block auto-route
     # through the IVF-cell prefilter while the DuckDB oracle stays
