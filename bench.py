@@ -17,8 +17,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-import duckdb  # noqa: E402
-
 from data_warehouse_spark.queries.registry import load_all  # noqa: E402
 from data_warehouse_spark.session import (  # noqa: E402
     ARROW_BATCH_DEFAULT, get_spark, set_arrow_batch,
@@ -92,11 +90,11 @@ DUCK_ANCHOR = {
 
 
 def _duck_anchor_con(sf_dir: str) -> "duckdb.DuckDBPyConnection":
-    con = duckdb.connect()
-    for t in ("lineitem", "events", "documents"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sf_dir}/{t}.parquet')")
-    return con
+    # one view-registration helper for the whole repo (parity.py owns
+    # it); registering every fixture table is harmless — the frozen
+    # anchor definition covers the SQL and rep counts, not the views
+    from tools.parity import duck_connection
+    return duck_connection(sf_dir)
 
 
 def main() -> None:

@@ -634,7 +634,8 @@ def assign_cells(df: DataFrame, centroids: DataFrame, vec_col: str,
     cell_dt = centroids.schema["cell"].dataType
     _cell_np_pa = {"integer": (np.int32, pa.int32()),
                    "long": (np.int64, pa.int64()),
-                   "short": (np.int16, pa.int16())}
+                   "short": (np.int16, pa.int16()),
+                   "byte": (np.int8, pa.int8())}
     if cell_dt.typeName() not in _cell_np_pa:
         raise TypeError(
             f"assign_cells: unsupported centroid cell dtype {cell_dt}")

@@ -174,10 +174,12 @@ def _acquire_version_lock(table_dir: str, v: int) -> str:
                 # third writer's fresh lock.
                 if _pre_restore_hook is not None:
                     _pre_restore_hook(lock)  # test seam: third writer
+                restored = False
                 try:
                     os.link(claimed, lock)
+                    restored = True
                 except FileExistsError:
-                    pass  # path re-protected by someone else
+                    restored = True  # path re-protected by someone else
                 except OSError:
                     # link unsupported/failed (EPERM on some mounts,
                     # EIO): fall back to the old rename restore —
@@ -187,12 +189,19 @@ def _acquire_version_lock(table_dir: str, v: int) -> str:
                     # the winner is mid-write
                     try:
                         os.rename(claimed, lock)
+                        restored = True
                     except OSError:
                         pass
-                try:
-                    os.unlink(claimed)
-                except OSError:
-                    pass
+                if restored:
+                    # after a rename restore the claimed path is
+                    # already gone — the unlink is then a no-op ENOENT
+                    try:
+                        os.unlink(claimed)
+                    except OSError:
+                        pass
+                # if NEITHER restore worked, keep the claimed file: it
+                # is the only surviving copy of the winner's lock, and
+                # deleting it would leave v unlocked mid-write
                 raise RuntimeError(
                     f"version v{v:06d} of {table_dir} is being written "
                     "by another live process (lost a concurrent "

@@ -38,7 +38,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from data_warehouse_spark.io import TABLES, load_table  # noqa: E402
 from data_warehouse_spark.queries.registry import load_all  # noqa: E402
-from data_warehouse_spark.session import get_spark  # noqa: E402
+from data_warehouse_spark.session import (  # noqa: E402
+    ARROW_BATCH_DEFAULT, get_spark, set_arrow_batch,
+)
 
 # Queries whose runtime is data-dominated at >=16x and whose oracle is
 # hash-verified by the correctness gate (so both engines provably do
@@ -247,10 +249,18 @@ def main() -> int:
         for m in mults:
             cell = {"spark_s": None, "duckdb_s": None,
                     "spark_rows": None, "duckdb_rows": None}
+            # reset the Arrow batch tier per cell, like the driver
+            # harness — a tier pinned by an earlier query in a full
+            # sweep (x3's VECTOR, mm2's BLOB) must not leak into this
+            # query's kernels. (The recorded r8 cells predate this
+            # line but were measured in dedicated --queries runs whose
+            # members pin no tier, so they already ran at the default.)
+            set_arrow_batch(spark, ARROW_BATCH_DEFAULT)
             # warm: build plan + fill page cache once, untimed
             spec.fn(spark, amp_dirs[m]).write.format("noop") \
                 .mode("overwrite").save()
             for _ in range(args.runs):
+                set_arrow_batch(spark, ARROW_BATCH_DEFAULT)
                 t0 = time.time()
                 spec.fn(spark, amp_dirs[m]).write.format("noop") \
                     .mode("overwrite").save()

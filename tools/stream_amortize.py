@@ -104,6 +104,8 @@ def run_shape(spark, staged: str, shape: str, provider: str) -> dict:
     durs_s = [d / 1000.0 for d in durs]
     tail = sorted(durs_s[1:])
     median_tail = tail[len(tail) // 2] if tail else None
+    if len(durs_s) < 1:
+        raise RuntimeError(f"{tag}: no progress telemetry captured")
     return {
         "wall_s": round(wall, 3),
         "n_batches": len(durs_s),
@@ -126,6 +128,12 @@ def main() -> int:
 
     spark = get_spark("stream_amortize")
     file_counts = [int(x) for x in str(args.files).split(",")]
+    # recentProgress is capped (default 100 entries); a --files beyond
+    # it would silently evict early batches' telemetry and misattribute
+    # their runtime to outside_batches_s — raise the cap to cover the
+    # largest sweep (no-silent-caps rule)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+                   str(max(file_counts) + 20))
 
     shapes = ["st5_tumbling_agg", "st6_dedup", "st11_retry_dedup",
               "st9_stream_stream_join"]
