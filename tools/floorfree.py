@@ -120,7 +120,7 @@ DEFAULT_QUERIES = {
     "x5d_fingerprint": (16, 64),
     # multimodal: real PNG encode->decode->resize plan over the blob
     # Arrow tier; DuckDB replays the deterministic dims arithmetic
-    "mm2_image_resize": (16, 64, 256),
+    "mm2_image_resize": (16, 64, 256, 1024),
     "j6_asof_join": (16, 64, 256, 1024),
     "u1_upsert": (16, 64, 256, 1024),
     "x7_tfidf": (16, 64, 256, 1024),
