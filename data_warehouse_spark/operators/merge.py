@@ -46,10 +46,16 @@ def upsert(old: DataFrame, new: DataFrame, keys: list[str],
     # null-safe anti join: a NULL key is one key value under the PK
     # contract (dropDuplicates above already treats it so); a plain
     # equi anti-join would never match NULL=NULL and keep the old
-    # NULL-key row alongside the new one
-    nk = new.select(*keys).distinct()
-    cond = [old[k].eqNullSafe(nk[k]) for k in keys]
-    survivors = old.join(nk, on=cond, how="left_anti")
+    # NULL-key row alongside the new one. Both sides are alias-
+    # qualified: old and new often share lineage (u1 derives both from
+    # one scan), and unqualified old[k]/nk[k] would lean on the
+    # analyzer's self-join plan-id disambiguation (correct, but it
+    # logs "trivially true equals predicate" on every run).
+    nk = new.select(*keys).distinct().alias("__upsert_new")
+    old_a = old.alias("__upsert_old")
+    cond = [F.col(f"__upsert_old.{k}").eqNullSafe(F.col(f"__upsert_new.{k}"))
+            for k in keys]
+    survivors = old_a.join(nk, on=cond, how="left_anti")
     return survivors.unionByName(new)
 
 

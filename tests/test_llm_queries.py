@@ -66,24 +66,39 @@ def test_x2e_incremental_dedup_classes(spark, sf_dir):
 def test_a12_sketch_rollup_accuracy_and_merge_equals_rebuild(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    rows = _q("a12_sketch_rollup")(spark, sf_dir).collect()
     ev = load_table(spark, sf_dir, "events")
+    # replay the rollup's estimate branch raw (the registry query now
+    # emits the hash-certifiable contract form, not the raw estimate)
+    est = {r.event_type: r.est for r in
+           ev.select("event_type", F.to_date("ts").alias("day"), "user_id")
+           .groupBy("event_type", "day")
+           .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+           .groupBy("event_type")
+           .agg(F.hll_sketch_estimate(
+               F.hll_union_agg("sk", F.lit(False))).alias("est"))
+           .collect()}
     exact = {r.event_type: r.n for r in
              ev.groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("n")).collect()}
-    assert {r.event_type for r in rows} == set(exact)
-    for r in rows:
+    assert est.keys() == exact.keys() and est
+    for et, e in est.items():
         # lgConfigK=12 -> relative standard error ~1.6%; allow 3 sigma
-        assert abs(r.est_distinct_users - exact[r.event_type]) \
-            <= max(3, 0.05 * exact[r.event_type])
+        assert abs(e - exact[et]) <= max(3, 0.05 * exact[et]), et
     # merge-equals-rebuild: union of daily sketches == one global sketch
     direct = {r.event_type: r.est for r in
               ev.groupBy("event_type")
               .agg(F.hll_sketch_estimate(
                   F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
               .collect()}
+    for et, e in est.items():
+        assert e == direct[et], et
+    # and the certified contract the driver hashes: verdicts TRUE,
+    # exact branch exact
+    rows = _q("a12_sketch_rollup")(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(exact)
     for r in rows:
-        assert r.est_distinct_users == direct[r.event_type]
+        assert r.est_within_3sigma and r.union_equals_single, r.event_type
+        assert r.exact_distinct_users == exact[r.event_type], r.event_type
 
 
 def test_w6_distribution_bounds_and_quartile_balance(spark, sf_dir):

@@ -399,8 +399,10 @@ def test_snapshot_restore_link_never_clobbers_third_writer(tmp_path):
     """Round-8 advice fix: the identity-mismatch restore used rename,
     which would CLOBBER a third writer's freshly O_EXCL-created lock
     if the race winner released in the restore window. link fails
-    EEXIST instead: the third writer's lock must survive byte-for-byte
-    and the loser's claimed file must be cleaned up."""
+    EEXIST instead: the third writer's lock must survive byte-for-byte.
+    Round-9 advice fix layered on top: on EEXIST the loser KEEPS the
+    claimed file — it is the race winner's only surviving lock copy
+    (deleting it would erase the record that the winner holds v)."""
     import os
 
     import pytest
@@ -444,9 +446,40 @@ def test_snapshot_restore_link_never_clobbers_third_writer(tmp_path):
         snap._pre_steal_hook = None
         snap._pre_restore_hook = None
 
-    # third writer's lock untouched; no .stale.* residue left behind
+    # third writer's lock untouched
     with open(lock) as fh:
         assert fh.read() == f"{live_pid} third"
+    # the winner's only lock copy SURVIVES as the claimed file (round-9
+    # advice: deleting it would leave the winner's hold on v
+    # unrecorded); it never blocks future O_EXCL acquisitions
     residue = [f for f in os.listdir(snap._versions_dir(t))
                if ".stale." in f]
-    assert residue == []
+    assert len(residue) == 1
+    with open(os.path.join(snap._versions_dir(t), residue[0])) as fh:
+        assert fh.read() == str(live_pid)  # the winner's fresh lock body
+
+
+def test_snapshot_release_is_identity_checked(tmp_path):
+    """Round-9 advice fix: release must not blindly unlink the lock
+    path — if our lock was stolen (pid-recycle adjudication) and a new
+    writer's lock now sits there, a blind unlink removes a LIVE lock.
+    _release_version_lock reads the recorded pid first."""
+    import os
+
+    from data_warehouse_spark.operators import snapshots as snap
+
+    vdir = str(tmp_path)
+    foreign = os.path.join(vdir, ".v000001.lock")
+    with open(foreign, "w") as fh:
+        fh.write(str(os.getpid() + 1))  # someone else's lock
+    snap._release_version_lock(foreign)
+    assert os.path.exists(foreign)  # left alone
+
+    ours = os.path.join(vdir, ".v000002.lock")
+    with open(ours, "w") as fh:
+        fh.write(str(os.getpid()))
+    snap._release_version_lock(ours)
+    assert not os.path.exists(ours)  # ours: released
+
+    # absent path: no-op, no raise
+    snap._release_version_lock(os.path.join(vdir, ".v000003.lock"))

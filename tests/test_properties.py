@@ -84,13 +84,20 @@ def test_sessionize_partition_invariance(spark):
 
 def test_a8_approx_within_bounds(spark, sf_dir):
     """approx_count_distinct at rsd=0.02 and approx_percentile at
-    accuracy=10000 must land near the exact answers."""
+    accuracy=10000 must land near the exact answers. The registry query
+    now emits the contract form (exact counts + verdict booleans, so
+    the driver can hash-certify it); the raw estimates are replayed
+    inline here to keep the tighter numeric bounds."""
     from data_warehouse_spark.io import load_table
     from data_warehouse_spark.queries.registry import load_all
 
-    approx = {r.event_type: r for r in
-              load_all()["a8_approx_agg"].fn(spark, sf_dir).collect()}
     ev = load_table(spark, sf_dir, "events")
+    approx = {r.event_type: r for r in
+              ev.groupBy("event_type").agg(
+                  F.approx_count_distinct("user_id", rsd=0.02)
+                  .alias("approx_users"),
+                  F.percentile_approx("value", F.lit(0.5), F.lit(10000))
+                  .alias("approx_median_value")).collect()}
     exact = {r.event_type: r for r in
              ev.groupBy("event_type").agg(
                  F.countDistinct("user_id").alias("users"),
@@ -101,6 +108,13 @@ def test_a8_approx_within_bounds(spark, sf_dir):
         assert abs(a.approx_users - e.users) <= max(2, 0.1 * e.users), et
         spread = abs(e.median) + 1e-9
         assert abs(a.approx_median_value - e.median) <= 0.05 * spread + 0.01, et
+    # and the certified contract holds: verdicts TRUE, exact branch exact
+    rows = {r.event_type: r for r in
+            load_all()["a8_approx_agg"].fn(spark, sf_dir).collect()}
+    assert rows.keys() == exact.keys()
+    for et, r in rows.items():
+        assert r.users_within_3rsd and r.median_within_rank_bound, et
+        assert r.exact_users == exact[et].users, et
 
 
 def test_cosine_lsh_recall_vs_exact_cosine():

@@ -61,14 +61,16 @@ def test_window_names_resolve_and_lead_the_registry():
         "check DRIVER_WINDOW in queries/registry.py")
 
 
-def test_every_query_has_fn_and_most_have_oracles():
+def test_every_query_has_fn_and_all_have_oracles():
     specs = load_all()
     assert len(specs) >= 88
     no_oracle = {n for n, s in specs.items() if s.oracle is None}
-    # rows-only is reserved for genuinely non-SQL-expressible ops
-    assert no_oracle <= {"f7_current_timestamp", "st6_stream_dedup",
-                         "st7_foreach_upsert", "x2_minhash_lsh",
-                         "a8_approx_agg", "a12_sketch_rollup"}
+    # Round 9: the former rows-only trio (f7/a8/a12) is contract-
+    # certified — nondeterministic outputs replaced by deterministic
+    # verdict booleans + exact branches the DuckDB oracle replays — so
+    # EVERY registered query now carries a value oracle. Equality (not
+    # <=) so a query silently losing its oracle fails loudly.
+    assert no_oracle == set()
 
 
 def test_arrow_batch_tiers_are_pinned_per_query(spark):

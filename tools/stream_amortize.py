@@ -98,10 +98,16 @@ def run_shape(spark, staged: str, shape: str, provider: str) -> dict:
     # batchDuration (ms) per progress event, in batch order
     prog = [p.asDict(True) if hasattr(p, "asDict") else p
             for p in q.recentProgress]
-    durs = [p.get("batchDuration") for p in prog
-            if p.get("batchDuration") is not None
-            and p.get("numInputRows", 0) > 0]
-    durs_s = [d / 1000.0 for d in durs]
+    timed = [(p.get("batchDuration") / 1000.0,
+              p.get("numInputRows", 0) or 0)
+             for p in prog if p.get("batchDuration") is not None]
+    durs_s = [d for d, n in timed if n > 0]
+    # The trailing empty availableNow batch (and any other 0-row
+    # trigger) is real trigger machinery, not start/stop overhead —
+    # subtract ALL batch time from wall for outside_batches_s and
+    # report the empty-batch share separately, so the fixed start/stop
+    # cost this tool isolates isn't overstated.
+    empty_s = [d for d, n in timed if n == 0]
     tail = sorted(durs_s[1:])
     median_tail = tail[len(tail) // 2] if tail else None
     if len(durs_s) < 1:
@@ -113,7 +119,9 @@ def run_shape(spark, staged: str, shape: str, provider: str) -> dict:
         "first_batch_s": round(durs_s[0], 3) if durs_s else None,
         "median_marginal_s": (round(median_tail, 3)
                               if median_tail is not None else None),
-        "outside_batches_s": round(wall - sum(durs_s), 3),
+        "empty_batches_s": round(sum(empty_s), 3),
+        "n_empty_batches": len(empty_s),
+        "outside_batches_s": round(wall - sum(durs_s) - sum(empty_s), 3),
     }
 
 
