@@ -89,6 +89,16 @@ def quality_score(text: Column) -> Column:
     return (length_ok * punct_ok * stop_ok).alias("quality")
 
 
+def md5_60(s: Column) -> Column:
+    """Low 60 bits of md5 as a BIGINT — the cross-engine-portable hash
+    family: bit-equal to DuckDB's ('0x'||substr(md5(s),1,15))::BIGINT
+    for every string (pinned incl. unicode in tests/test_operators.py).
+    Used wherever a hash must replay in the SQL oracle (x5d's
+    fingerprint, x16's span-dedup windows); the production-speed
+    alternative is xxhash64."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def rolling_fingerprint(text: Column, window: int = 8,
                         hash_family: str = "xxhash64") -> Column:
     """Document fingerprint: min of a per-window hash over character
@@ -115,9 +125,7 @@ def rolling_fingerprint(text: Column, window: int = 8,
     idx = F.sequence(F.lit(1), n)
     if hash_family == "md5":
         def gram_hash(i):
-            return F.conv(F.substring(
-                F.md5(F.substr(text, i, F.lit(window))), 1, 15),
-                16, 10).cast("long")
+            return md5_60(F.substr(text, i, F.lit(window)))
     else:
         def gram_hash(i):
             return F.xxhash64(F.substr(text, i, F.lit(window)))

@@ -11,6 +11,7 @@ driver-side similarity matrices.
   simhash_fingerprints  64-bit SimHash
   simhash_near_pairs    chunk-banding + hamming verify
   ngram_jaccard_pairs   word n-gram exact Jaccard within blocks
+  shared_spans          cross-document exact substring spans  (X16)
 """
 
 from __future__ import annotations
@@ -434,3 +435,77 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .filter(F.col("jaccard") >= threshold)
             .select(F.col("block")["v"].alias("block"), "id_a", "id_b",
                     F.round("jaccard", 6).alias("jaccard")))
+
+
+def shared_spans(df: DataFrame, text_col: str, id_col: str,
+                 min_span: int = 40,
+                 max_hash_df: int | None = None) -> DataFrame:
+    """X16: cross-document exact repeated-span (substring) dedup — the
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" exact-substring family: find every MAXIMAL character span
+    of length >= `min_span` shared verbatim between two documents (the
+    spans a training pipeline clips out, vs the whole-doc near-dups
+    x2/x2b/x2c remove).
+
+    Shape (suffix-array semantics, shuffle-bounded plan):
+      1. explode every `min_span`-char window per doc with its
+         position: (doc_id, pos, h) where h is the portable md5-60
+         window hash (functions/text.py:md5_60 — the same family that
+         gives x5d its value-level oracle, so the whole pipeline
+         replays bit-for-bit in SQL). Map-only; rows ~= corpus chars.
+      2. self-equi-join on h across doc_ids (doc_a < doc_b): a single
+         match IS a `min_span`-char exact shared substring (no
+         verify step needed — 60-bit hashes make a false window
+         collision ~2^-60; both engines hash identically so parity is
+         unaffected either way).
+      3. merge runs: matches of one shared span lie on one DIAGONAL
+         (pos_b - pos_a constant) at consecutive pos_a; standard
+         gaps-and-islands (pos_a - row_number over the diagonal) turns
+         each run into one row with span_len = run + min_span - 1.
+
+    100 TB argument: the explode is map-only; the join shuffles
+    uniform 64-bit keys; the islands window partitions by
+    (doc_a, doc_b, diagonal) — bounded by match volume, not corpus
+    size. The one quadratic hazard is an ULTRA-HOT window (boilerplate
+    shared by k docs -> k^2/2 pairs): `max_hash_df` drops window
+    hashes seen more than that many times BEFORE the pair join (the
+    Lee et al. repeated-substring frequency cap); both the cap and its
+    effect replay exactly in the SQL oracle. None = exact everywhere.
+    """
+    from data_warehouse_spark.functions.text import md5_60
+
+    w = min_span
+    win_hash = F.transform(
+        F.sequence(F.lit(1), F.length(F.col(text_col)) - (w - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            md5_60(F.substr(F.col(text_col), i, F.lit(w))).alias("h")))
+    wins = (spread_for_compute(df.filter(F.length(text_col) >= w))
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(win_hash).alias("wh"))
+            .select("doc_id", F.col("wh.pos").alias("pos"),
+                    F.col("wh.h").alias("h")))
+    if max_hash_df is not None:
+        keep = (wins.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("df_h"))
+                .filter(F.col("df_h") <= max_hash_df)
+                .select("h"))
+        wins = wins.join(keep, "h")
+    hits = (wins.alias("a")
+            .join(wins.alias("b"),
+                  (F.col("a.h") == F.col("b.h"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.pos").alias("pos_a"),
+                    F.col("b.pos").alias("pos_b")))
+    diag = hits.withColumn("diag", F.col("pos_b") - F.col("pos_a"))
+    w_run = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    islands = diag.withColumn(
+        "grp", F.col("pos_a") - F.row_number().over(w_run))
+    return (islands.groupBy("doc_a", "doc_b", "diag", "grp")
+            .agg(F.min("pos_a").alias("a_start"),
+                 (F.max("pos_a") - F.min("pos_a") + w).alias("span_len"))
+            .select("doc_a", "doc_b", "a_start",
+                    (F.col("a_start") + F.col("diag")).alias("b_start"),
+                    "span_len"))

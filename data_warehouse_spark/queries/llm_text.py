@@ -591,6 +591,62 @@ def x5d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x16_span_dedup",
+    # Same md5-60 window-hash family as x5d, so the ENTIRE pipeline —
+    # window explode, hot-hash cap, pair join, gaps-and-islands span
+    # merge — replays bit-for-bit in DuckDB SQL.
+    oracle="""
+WITH hashed AS (
+    SELECT doc_id,
+           unnest(generate_series(1, length(text) - 39)) AS pos,
+           text
+    FROM documents WHERE length(text) >= 40
+), wins AS (
+    SELECT doc_id, pos,
+           ('0x' || substr(md5(substr(text, pos, 40)), 1, 15))::BIGINT AS h
+    FROM hashed
+), keep AS (
+    SELECT h FROM wins GROUP BY h HAVING COUNT(*) <= 64
+), hits AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, b.pos AS pos_b
+    FROM wins a
+    JOIN keep k ON a.h = k.h
+    JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
+), isl AS (
+    SELECT doc_a, doc_b, pos_b - pos_a AS diag, pos_a,
+           pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pos_b - pos_a
+               ORDER BY pos_a) AS grp
+    FROM hits
+)
+SELECT doc_a, doc_b,
+       MIN(pos_a) AS a_start,
+       MIN(pos_a) + diag AS b_start,
+       MAX(pos_a) - MIN(pos_a) + 40 AS span_len
+FROM isl GROUP BY doc_a, doc_b, diag, grp
+""",
+    doc="X16 [ext]: cross-document exact repeated-span dedup — the Lee "
+        "et al. 2022 exact-substring family (operators/dedup.py:"
+        "shared_spans): every MAXIMAL character span >= 40 chars shared "
+        "verbatim between two documents, found by equi-joining rolling "
+        "window fingerprints (x5d's building block) across doc_ids and "
+        "merging diagonal runs with gaps-and-islands. Completes the "
+        "dedup matrix: x1 whole-doc exact, x2/x2b/x2c whole-doc near, "
+        "x16 SUB-document exact. Scale: map-only explode, uniform "
+        "64-bit join keys, hot-boilerplate windows capped at df<=64 "
+        "before the pair join (the quadratic guard, replayed in the "
+        "oracle), islands window bounded by match volume.",
+    tags=("ext", "dedup", "text"),
+)
+def x16_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.dedup import shared_spans
+    docs = load_table(spark, sf_dir, "documents")
+    return shared_spans(docs, "text", "doc_id", min_span=40,
+                        max_hash_df=64)
+
+
+@register(
     "x6_token_freq",
     oracle=f"""
 SELECT tok, COUNT(*) AS n

@@ -534,11 +534,18 @@ ORDER BY provider_id
     tags=("etl", "carbon"),
 )
 def e2_carbon_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _carbon_rollup(trips_fact(spark, sf_dir))
+
+
+def _carbon_rollup(fact: DataFrame) -> DataFrame:
+    """Per-provider carbon rollup over a trips fact (shared by e2 and
+    e2b — the only difference between them is the events layout the
+    fact derives from)."""
     from data_warehouse_spark.queries.util import money_sum
 
     total_km = money_sum("total_distance", 1_000_000)
     return (
-        trips_fact(spark, sf_dir)
+        fact
         .groupBy("provider_id")
         .agg(
             F.count(F.lit(1)).alias("n_trips"),
@@ -548,3 +555,35 @@ def e2_carbon_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("provider_id")
     )
+
+
+@register(
+    "e2b_carbon_bucketed",
+    oracle=_E1_FACT_SQL + f"""
+SELECT provider_id,
+       COUNT(*) AS n_trips,
+       {money_sum_sql('total_distance', 1_000_000)} AS total_km,
+       ROUND(({money_sum_sql('total_distance', 1_000_000)})
+             * {CARBON_SAVINGS_KG_PER_KM}, 6) AS co2_saved_kg
+FROM trips_fact
+GROUP BY provider_id
+ORDER BY provider_id
+""",
+    doc="E2b: e2's carbon rollup run the way the PRODUCTION job would "
+        "run it — off e1b's bucketed events layout (hash-clustered on "
+        "user_id, sorted (user_id, ts, event_id) at write time). The "
+        "reference's cadence is a recurring daily job (trips_lambda.py:"
+        "218-221), so the sessionization's one Exchange+Sort is paid "
+        "once at ingest and every daily rollup reads co-located, pre-"
+        "sorted buckets: the lag window and per-bike aggregate run with "
+        "NO Exchange and NO Sort (same plan shape test as e1b). Same "
+        "answer as e2 (identical oracle).",
+    tags=("etl", "carbon", "bucketed"),
+)
+def e2b_carbon_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.bucketing import bucketed_view
+
+    events = bucketed_view(spark, sf_dir, "events", load_table,
+                           ["user_id"], 32,
+                           sort_keys=["user_id", "ts", "event_id"])
+    return _carbon_rollup(trips_fact_from(events))

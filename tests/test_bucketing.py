@@ -51,6 +51,33 @@ def test_j12_matches_j11_and_joins_without_exchange(spark):
     assert plan.count("Exchange") <= 2  # agg exchange (+AQE read wrapper)
 
 
+def test_e2b_matches_e2_and_sessionizes_without_exchange(spark):
+    """E2b (round-9): the carbon rollup off the bucketed events layout
+    must return e2's exact answer while the sessionization window runs
+    with NO Exchange and NO Sort on the bike key — the scan's bucket
+    clustering + write-time sort satisfy both. Only the 5-group
+    provider rollup and the presentation sort may shuffle."""
+    specs = load_all()
+    # sf0.01, not the smoke SF: the fact's validity filter leaves zero
+    # trips at sf0.001, which would vacuously pass the identity check
+    sf = "/root/testdata/sf0.01"
+    e2 = specs["e2_carbon_savings"].fn(spark, sf)
+    e2b = specs["e2b_carbon_bucketed"].fn(spark, sf)
+
+    rows_a = {tuple(r) for r in e2.collect()}
+    rows_b = {tuple(r) for r in e2b.collect()}
+    assert rows_b == rows_a and rows_b
+
+    plan = _plan(e2b)
+    # the window's distribution/order come from the bucketed scan
+    assert "Exchange hashpartitioning(bike_id" not in plan
+    assert "Exchange hashpartitioning(user_id" not in plan
+    assert "Sort [bike_id" not in plan and "Sort [user_id" not in plan
+    # what remains: the provider rollup's hash exchange + the ORDER BY
+    # range exchange (each may appear twice in the AQE-wrapped dump)
+    assert "Exchange hashpartitioning(provider_id" in plan
+
+
 def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     """U8's payoff, quantified: after the z-order rewrite each file
     covers a small box in (lat, lon) space, so parquet min-max stats

@@ -66,6 +66,56 @@ def test_minhash_finds_planted_near_dup(spark, sf_dir):
         assert p.jaccard >= 0.5
 
 
+def test_x16_shared_spans_planted_exact_bounds(spark):
+    """X16 (round-9): a planted 64-char span shared verbatim by two
+    otherwise-disjoint documents must come back as exactly ONE maximal
+    span with exact 1-based offsets and length; sub-threshold overlap
+    must not report; the hot-hash cap must drop everything at df=1."""
+    from data_warehouse_spark.operators.dedup import shared_spans
+
+    import hashlib
+    # aperiodic shared text (a periodic string would match on several
+    # diagonals and split the expected single maximal span)
+    shared = "".join(hashlib.md5(f"s{i}".encode()).hexdigest()[:4]
+                     for i in range(16))
+    assert len(shared) == 64
+    short = "tiny common bit"  # < 40 chars: below the span threshold
+    # disjoint filler alphabets guarantee no accidental 40-char overlap
+    d1 = "a" * 30 + shared + "q" * 25 + short
+    d2 = "z" * 51 + shared + "m" * 20
+    d3 = short + "b" * 60
+    df = spark.createDataFrame([(1, d1), (2, d2), (3, d3)],
+                               "doc_id long, text string")
+
+    rows = shared_spans(df, "text", "doc_id", min_span=40).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.span_len == 64          # maximal, not clipped or extended
+    assert r.a_start == 31           # 1-based: after "a"*30
+    assert r.b_start == 52           # 1-based: after "z"*51
+
+    # every shared window has df>=2, so a df<=1 cap drops them all
+    assert shared_spans(df, "text", "doc_id", min_span=40,
+                        max_hash_df=1).count() == 0
+
+
+def test_x16_identical_docs_span_is_full_text(spark):
+    """Two identical documents share one span covering the whole text."""
+    from data_warehouse_spark.operators.dedup import shared_spans
+
+    import hashlib
+    text = "".join(hashlib.md5(f"t{i}".encode()).hexdigest()[:4]
+                   for i in range(30))  # 120 aperiodic chars
+    df = spark.createDataFrame([(10, text), (20, text)],
+                               "doc_id long, text string")
+    rows = shared_spans(df, "text", "doc_id", min_span=40).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.a_start, r.b_start) == (10, 20, 1, 1)
+    assert r.span_len == 120
+
+
 def test_simhash_planted_dup_hamming_zero(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(30)
     exact_copy = docs.filter(F.col("doc_id") == 1).select(
