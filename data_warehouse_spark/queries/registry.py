@@ -56,63 +56,57 @@ _QUERY_MODULES = [
 # This list IS the round's window, in order; load_all() puts these names
 # first and everything else after, in registration order.
 #
-# Round-8 rotation (VERDICT.md round-7 ask #1): the board is green, so
-# this round's window is CERTIFICATION HYGIENE — rotate the stalest
-# driver rows back through the gate so no query's last driver record
-# predates the round-6 fixture regeneration:
-#   (a) the r4 cohort (last driver row r4: a7, f5, f6, f12, j10) and
-#       the r5 cohort (udf1-4, st1-st9, mm1-mm4, x1, x3c, x5/b/c,
-#       x6, x7, x9, x10, j9) — all re-verified green by the round-7
-#       judge's full parity run, but their driver archive rows predate
-#       the current fixtures;
-#   (b) a12_sketch_rollup — registry slot 53 every prior round, so it
-#       has NEVER had a driver row; rows-only by design (mergeable HLL
-#       sketch), the driver records its row count;
-#   (c) every query whose CODE (or execution conf) changed in round 8:
-#       x5d (md5-60 hash family + first value oracle), u3 (new
-#       registry entry: micro-batched append sink), x3b/x4 (the
-#       assign_cells fallback + dtype fix), u9/u9b (snapshot lock
-#       restore via link), x3/x2d (vector Arrow-tier pinning; x3c/mm*
-#       likewise but already in cohort (a));
-#   (d) backfill with the oldest remaining rows (r6 vintage, code
-#       unchanged since): st10/st11 complete the streaming family,
-#       plus the dedup/graph family x2/x2c/x2e/x8/x12 whose operators
-#       are the repo's most complex, and f13/a13.
-# Queries added or changed during round 8 displace (d) — never (a)-(c).
+# Round-9 rotation (VERDICT.md round-8 ask #1): finish the driver-
+# archive rotation — after this round no query's last driver row
+# predates r6's fixture regeneration by more than one round:
+#   (a) the r6 cohort — the 32 queries whose latest driver row is r6
+#       (re-verified green by the round-8 judge's full parity run, but
+#       their archive rows are now the stalest);
+#   (b) first-ever HASH rows for the former rows-only trio: a8/f7
+#       (only r4 no_oracle records) and a12 (r8 rows-only record) are
+#       contract-certified this round — deterministic verdict booleans
+#       + exact branches the DuckDB oracle replays;
+#   (c) every query whose CODE changed in round 9: x16 (new: repeated-
+#       span dedup), e2b (new: bucketed carbon rollup), e2 (rollup
+#       refactored through _carbon_rollup), u1/st7 (operators/merge.py
+#       upsert anti-join alias-qualified), u9/u9b (snapshot lock
+#       release identity-checked + EEXIST restore keeps claimed file),
+#       x5d (rolling_fingerprint md5 branch now routes through the
+#       extracted md5_60 helper);
+#   (d) backfill with the oldest remaining rows (r7 vintage, code
+#       unchanged or merge-file-adjacent): u2/u4 (same module as the
+#       merge change), the flagship chain w5/e1/e1b, dq1 (band watch),
+#       x2b (x5d's hash-family sibling).
+# Queries added or changed during round 9 displace (d) — never (a)-(c).
 DRIVER_WINDOW = [
-    # (a) r4 cohort
-    "a7_salted_agg", "f5_cast", "f6_date_format", "f12_case",
-    "j10_star_join",
-    # (a) r5 cohort
-    "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
-    "udf4_udtf_words",
-    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
-    "st4_session_window", "st5_watermark_late_drop", "st6_stream_dedup",
-    "st7_foreach_upsert", "st8_custom_stateful", "st9_stream_stream_join",
-    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
-    "mm4_feature_ann",
-    "x1_exact_dedup", "x3c_multi_topk",
-    "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
-    "x6_token_freq", "x7_tfidf", "x9_stratified_split",
-    "x10_repetition_filter", "j9_spatial_join",
-    # (b) first-ever driver row
-    "a12_sketch_rollup",
-    # (c) round-8 code/conf changes
-    "x5d_fingerprint", "u3_microbatch_write",
-    "x3b_ivf_topk", "x4_pairwise_sim",
-    "u9_time_travel", "u9b_snapshot_diff",
-    "x3_cosine_topk", "x2d_cosine_lsh",
-    # (d) backfill: oldest remaining (r6) rows, code unchanged since
-    "st10_stream_static_join", "st11_dedup_retries",
-    "x2_minhash_lsh", "x2c_ngram_jaccard", "x2e_incremental_dedup",
-    "x8_dup_components", "x12_dedup_corpus",
-    "f13_url_parse", "a13_histogram",
+    # (a) r6 cohort
+    "a1_q1_pricing_summary", "a2_count_by_key", "a4_distinct",
+    "a5_rollup", "a6_stats", "a10_unpivot", "a11_cube",
+    "e1c_trips_localtime",
+    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
+    "j4_semi_join", "j4_anti_join", "j5_range_join", "j7_cross_join",
+    "j8_two_source_merge",
+    "p1_project", "p2_range_predicate", "p4_null_predicate", "p6_having",
+    "s1_scan_filter", "s7_scan_full", "s11_schema_evolution",
+    "u7_incremental_rollup", "u8_zorder_scan",
+    "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
+    "x11_pii_redaction", "x13_decontaminate", "x15_sequence_packing",
+    # (b) first hash rows for the contract-certified trio
+    "a8_approx_agg", "f7_current_timestamp", "a12_sketch_rollup",
+    # (c) round-9 code changes
+    "x16_span_dedup", "e2b_carbon_bucketed", "e2_carbon_savings",
+    "u1_upsert", "st7_foreach_upsert",
+    "u9_time_travel", "u9b_snapshot_diff", "x5d_fingerprint",
+    # (d) backfill: oldest remaining (r7) rows
+    "u2_dedup_latest", "u4_scd2_dimension",
+    "w5_sessionize", "e1_trips", "e1b_bucketed_trips",
+    "dq1_validation_report", "x2b_simhash",
 ]
-# f7 / a8 / a12 are rows-only by design (a12 is windowed this round for
-# its first driver ROW-COUNT record). Queries added or code-changed
-# DURING round 8 must displace backfill (d) entries so the "every
-# changed query is windowed" claim stays true against the
-# CORRECTNESS_r08 keys.
+# As of round 9 EVERY registry query carries a DuckDB value oracle
+# (the former rows-only trio f7/a8/a12 is contract-certified). Queries
+# added or code-changed DURING round 9 must displace backfill (d)
+# entries so the "every changed query is windowed" claim stays true
+# against the CORRECTNESS_r09 keys.
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

@@ -159,6 +159,13 @@ def start_memory_sink(df: DataFrame, name: str, output_mode: str) -> StreamingQu
             .outputMode(output_mode).trigger(availableNow=True).start())
 
 
+# Test seam: called with the epoch id AFTER a batch's data commit but
+# BEFORE Spark records the epoch in the checkpoint — the exact window
+# where a crash forces an at-least-once replay of the epoch. None in
+# production.
+_st7_post_batch_hook = None
+
+
 def run_foreach_batch_upsert(events: DataFrame, target_path: str,
                              keys: list[str],
                              ts_col: str = "ts") -> StreamingQuery:
@@ -175,6 +182,8 @@ def run_foreach_batch_upsert(events: DataFrame, target_path: str,
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         merge_into_partitioned(batch.sparkSession, target_path, batch,
                                keys=keys, ts_col=ts_col)
+        if _st7_post_batch_hook is not None:
+            _st7_post_batch_hook(epoch_id)
 
     return (events.writeStream.foreachBatch(merge_batch)
             .option("checkpointLocation", target_path + "_ckpt")

@@ -6,43 +6,38 @@ from __future__ import annotations
 
 from data_warehouse_spark.queries.registry import DRIVER_WINDOW, load_all
 
-# Round-8 window (VERDICT.md round-7 ask #1): certification hygiene —
-# the r4/r5 cohorts whose driver rows predate the round-6 fixture
-# regeneration, a12's first-ever driver row, every round-8 code/conf
-# change, and r6-vintage backfill. Composition rationale lives next to
-# DRIVER_WINDOW in queries/registry.py.
+# Round-9 window (VERDICT.md round-8 ask #1): finish the rotation —
+# the r6 cohort (now the stalest driver rows), first HASH rows for the
+# contract-certified trio, every round-9 code change, r7-vintage
+# backfill. Composition rationale lives next to DRIVER_WINDOW in
+# queries/registry.py.
 MUST_BE_WINDOWED = {
-    # (a) r4 cohort
-    "a7_salted_agg", "f5_cast", "f6_date_format", "f12_case",
-    "j10_star_join",
-    # (a) r5 cohort
-    "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
-    "udf4_udtf_words",
-    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
-    "st4_session_window", "st5_watermark_late_drop", "st6_stream_dedup",
-    "st7_foreach_upsert", "st8_custom_stateful", "st9_stream_stream_join",
-    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
-    "mm4_feature_ann",
-    "x1_exact_dedup", "x3c_multi_topk",
-    "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
-    "x6_token_freq", "x7_tfidf", "x9_stratified_split",
-    "x10_repetition_filter", "j9_spatial_join",
-    # (b) never had a driver row
-    "a12_sketch_rollup",
-    # (c) round-8 code/conf changes
-    "x5d_fingerprint", "u3_microbatch_write",
-    "x3b_ivf_topk", "x4_pairwise_sim",
-    "u9_time_travel", "u9b_snapshot_diff",
-    "x3_cosine_topk", "x2d_cosine_lsh",
-    # (d) backfill (r6 vintage, code unchanged since)
-    "st10_stream_static_join", "st11_dedup_retries",
-    "x2_minhash_lsh", "x2c_ngram_jaccard", "x2e_incremental_dedup",
-    "x8_dup_components", "x12_dedup_corpus",
-    "f13_url_parse", "a13_histogram",
+    # (a) r6 cohort
+    "a1_q1_pricing_summary", "a2_count_by_key", "a4_distinct",
+    "a5_rollup", "a6_stats", "a10_unpivot", "a11_cube",
+    "e1c_trips_localtime",
+    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
+    "j4_semi_join", "j4_anti_join", "j5_range_join", "j7_cross_join",
+    "j8_two_source_merge",
+    "p1_project", "p2_range_predicate", "p4_null_predicate", "p6_having",
+    "s1_scan_filter", "s7_scan_full", "s11_schema_evolution",
+    "u7_incremental_rollup", "u8_zorder_scan",
+    "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
+    "x11_pii_redaction", "x13_decontaminate", "x15_sequence_packing",
+    # (b) first hash rows for the contract-certified trio
+    "a8_approx_agg", "f7_current_timestamp", "a12_sketch_rollup",
+    # (c) round-9 code changes
+    "x16_span_dedup", "e2b_carbon_bucketed", "e2_carbon_savings",
+    "u1_upsert", "st7_foreach_upsert",
+    "u9_time_travel", "u9b_snapshot_diff", "x5d_fingerprint",
+    # (d) backfill (r7 vintage)
+    "u2_dedup_latest", "u4_scd2_dimension",
+    "w5_sessionize", "e1_trips", "e1b_bucketed_trips",
+    "dq1_validation_report", "x2b_simhash",
 }
 
 
-def test_driver_window_is_exactly_the_round8_set():
+def test_driver_window_is_exactly_the_round9_set():
     # DRIVER_WINDOW is the explicit first-50 contract; it must hold
     # every query that needs (re-)verification this round and fit the
     # driver's 50-entry budget.

@@ -67,6 +67,65 @@ def test_st7_foreach_batch_upsert(spark, sf_dir):
     assert written.count() == ev.dropDuplicates(["user_id", "ts"]).count()
 
 
+def test_st7_crash_after_write_before_checkpoint_recovers(spark, sf_dir,
+                                                          tmp_path):
+    """Round-9 ask #7: st7 is the reference's ON CONFLICT load path
+    (trips_lambda.py:180-206), so it gets the same crash-recovery
+    certification u3 got in round 8 — kill the stream AFTER batch N's
+    data commit but BEFORE the checkpoint commit (the at-least-once
+    window), restart on the intact checkpoint, and the merged state
+    must equal a clean one-run state: the replayed epoch's upsert is a
+    key-level no-op, never a duplicate."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from data_warehouse_spark.streaming import jobs
+
+    src_schema = "user_id long, ts timestamp, value double"
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    staged = str(tmp_path / "in")
+    ev.repartition(3).write.mode("overwrite").parquet(staged)
+
+    def stream():
+        return (spark.readStream.format("parquet").schema(src_schema)
+                .option("maxFilesPerTrigger", 1).load(staged))
+
+    def rows(path):
+        return sorted(map(tuple, spark.read.parquet(path)
+                          .select("user_id", "ts", "value").collect()))
+
+    # clean single-run baseline into its own target
+    baseline = str(tmp_path / "baseline")
+    jobs.run_foreach_batch_upsert(stream(), baseline + "/t",
+                                  ["user_id", "ts"]).awaitTermination()
+
+    # crashing run: epoch 0's merge commits, then the stream dies
+    # before Spark checkpoints the epoch
+    target = str(tmp_path / "crashy")
+    fired = []
+
+    def boom(epoch_id):
+        if not fired:
+            fired.append(epoch_id)
+            raise RuntimeError("injected crash after data commit")
+
+    jobs._st7_post_batch_hook = boom
+    try:
+        q = jobs.run_foreach_batch_upsert(stream(), target + "/t",
+                                          ["user_id", "ts"])
+        with pytest.raises(StreamingQueryException):
+            q.awaitTermination()
+    finally:
+        jobs._st7_post_batch_hook = None
+    assert fired == [0]  # the crash really hit the post-commit window
+
+    # restart on the SAME checkpoint: epoch 0 replays (at-least-once),
+    # remaining files process; final state == one clean run
+    jobs.run_foreach_batch_upsert(stream(), target + "/t",
+                                  ["user_id", "ts"]).awaitTermination()
+    assert rows(target + "/t") == rows(baseline + "/t")
+
+
 def test_st5_watermark_drops_late_file(spark, sf_dir):
     """ST5: a second micro-batch of rows older than the watermark must
     not appear in the append-mode windowed output, and the finalized
