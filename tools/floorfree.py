@@ -109,7 +109,21 @@ DEFAULT_QUERIES = {
     # rollup; j9 = grid-prefiltered ray-cast spatial join.
     "e3_enriched_trips": (16, 64, 256, 1024),
     "e2_carbon_savings": (16, 64, 256, 1024),
+    # round-9 (VERDICT r8 ask #2): the carbon rollup the way the
+    # recurring daily job runs it — off e1b's bucketed layout
+    "e2b_carbon_bucketed": (16, 64, 256, 1024),
     "j9_spatial_join": (16, 64, 256, 1024),
+    # round-9: repeated-span dedup. Capped at 16x: amplification makes
+    # every document body a copy-clique (the per-copy token sits at the
+    # END of the text, so the body's 40-char windows repeat across all
+    # N copies) — match volume grows as N^2 per window (C(N,2) pairs),
+    # so 16x already means ~1.3M windows x 120 pairs ~ 150M hit rows on
+    # BOTH engines (the honest same-work cell), 64x would be ~2.6B
+    # (unmeasurable either side), and >=128x the df<=64 hot-hash cap
+    # drops every body window on both engines, leaving a trivially-
+    # empty cell. Real corpora share spans sparsely; the clique cells
+    # still compare join+islands throughput on identical volumes.
+    "x16_span_dedup": (4, 16),
     # round-8 widening: the remaining core warehouse families with no
     # amplified evidence — as-of join (union + last-window rewrite),
     # MERGE/upsert (left-anti + union result state), and the TF-IDF
@@ -132,7 +146,11 @@ DEFAULT_QUERIES = {
 # above these multipliers the Spark query and the DuckDB oracle stop
 # doing the same logical work (see DEFAULT_QUERIES notes) — enforced
 # even under an explicit --mults
-DIVERGENCE_CAPS = {"x2c_ngram_jaccard": 8}
+DIVERGENCE_CAPS = {"x2c_ngram_jaccard": 8,
+                   # copy-clique match volume: 64x ~ 2.6B hit rows on
+                   # both engines (unmeasurable), >=128x trivially
+                   # empty under the df<=64 cap — see DEFAULT_QUERIES
+                   "x16_span_dedup": 16}
 
 SALT_KEYS = {
     "lineitem": ["l_orderkey"],
@@ -143,20 +161,33 @@ SALT_KEYS = {
 }
 
 
-def build_amplified(spark, src: str, out: str, n: int) -> str:
+def build_amplified(spark, src: str, out: str, n: int,
+                    tables: list[str] | None = None) -> str:
     """Materialize src fixtures amplified n-x under {out}/<src>_amp{n}/
     — an in-plan explode per table (one scan), keys salted per copy.
     The cache directory is keyed by the SOURCE path too: a bare amp{n}
     marker would silently serve one --src's amplified data to a run
-    against another (wrong data, right-looking label)."""
+    against another (wrong data, right-looking label).
+
+    `tables` limits the build to the listed tables (per-table done
+    markers, so later runs can top the directory up) — the lever that
+    makes a 4096x cell fit on disk: a FULL 4096x build is ~56 GB, but
+    w5 needs only events (~8 GB). A query touching an unbuilt table
+    fails loudly (missing path), never silently on partial data."""
     import hashlib
     src_tag = hashlib.md5(src.encode()).hexdigest()[:8]
     amp_dir = f"{out}/{src_tag}_amp{n}"
     done_marker = Path(amp_dir) / "_DONE"
-    if done_marker.exists():
+    wanted = list(tables) if tables else list(TABLES)
+    if done_marker.exists():  # legacy full-build marker
         return amp_dir
-    shutil.rmtree(amp_dir, ignore_errors=True)
+    per_table_done = {t: (Path(amp_dir) / f"_DONE_{t}").exists()
+                      for t in wanted}
+    if all(per_table_done.values()):
+        return amp_dir
     for t in TABLES:
+        if t not in wanted or per_table_done.get(t):
+            continue
         df = load_table(spark, src, t)
         if t in SALT_KEYS:
             # repartition BEFORE the explode: the source arrives as a
@@ -180,15 +211,19 @@ def build_amplified(spark, src: str, out: str, n: int) -> str:
         # trial run on that layout cut DuckDB's e1 window time 9x.
         df.repartition(32).write.mode("overwrite") \
             .parquet(f"{amp_dir}/{t}.parquet")
-    done_marker.touch()
+        (Path(amp_dir) / f"_DONE_{t}").touch()
+    if not tables:  # a full build also earns the legacy whole-dir marker
+        done_marker.touch()
     return amp_dir
 
 
 def duck_con(amp_dir: str) -> duckdb.DuckDBPyConnection:
     # shared with tools/parity.py — one view-registration helper, the
-    # glob suffix is the only difference between the two layouts
+    # glob suffix is the only difference between the two layouts;
+    # skip_missing tolerates table-limited (--tables) amplified builds
     from tools.parity import duck_connection
-    return duck_connection(amp_dir, pattern="{dir}/{t}.parquet/*.parquet")
+    return duck_connection(amp_dir, pattern="{dir}/{t}.parquet/*.parquet",
+                           skip_missing=True)
 
 
 def main() -> int:
@@ -199,6 +234,10 @@ def main() -> int:
                     choices=range(1, 100), metavar="N")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--mults", default="")
+    ap.add_argument("--tables", default="",
+                    help="comma list: amplify only these tables (disk "
+                         "lever for very large mults; queries touching "
+                         "unbuilt tables fail loudly)")
     args = ap.parse_args()
 
     specs = load_all()
@@ -236,7 +275,10 @@ def main() -> int:
     floor_s = round(time.time() - t0, 3)
 
     mult_set = sorted({m for ms in plan.values() for m in ms})
-    amp_dirs = {m: build_amplified(spark, args.src, args.out, m)
+    only_tables = ([t for t in args.tables.split(",") if t]
+                   if args.tables else None)
+    amp_dirs = {m: build_amplified(spark, args.src, args.out, m,
+                                   tables=only_tables)
                 for m in mult_set}
     cons = {m: duck_con(d) for m, d in amp_dirs.items()}
 

@@ -30,13 +30,24 @@ from data_warehouse_spark.session import get_spark  # noqa: E402
 
 
 def duck_connection(sf_dir: str,
-                    pattern: str = "{dir}/{t}.parquet") -> duckdb.DuckDBPyConnection:
+                    pattern: str = "{dir}/{t}.parquet",
+                    skip_missing: bool = False) -> duckdb.DuckDBPyConnection:
     """Register every fixture table as a DuckDB view. `pattern` adapts
     the path layout (single-file fixtures vs floorfree's multi-part
-    directories) so this stays the one view-registration helper."""
+    directories) so this stays the one view-registration helper.
+    `skip_missing` tolerates absent tables (floorfree's table-limited
+    amplified builds): DuckDB binds read_parquet eagerly at CREATE
+    VIEW, so a missing table would otherwise fail registration of the
+    whole connection; a query touching a skipped table still fails
+    loudly (unknown view)."""
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
         path = pattern.format(dir=sf_dir, t=t)
+        if skip_missing and not os.path.exists(
+                os.path.join(sf_dir, f"{t}.parquet")):
+            continue
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
