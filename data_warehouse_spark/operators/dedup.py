@@ -484,7 +484,15 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(win_hash).alias("wh"))
             .select("doc_id", F.col("wh.pos").alias("pos"),
-                    F.col("wh.h").alias("h")))
+                    F.col("wh.h").alias("h"))
+            # wins feeds three consumers (the hot-hash aggregate and
+            # both sides of the self-join); without pinning, Catalyst's
+            # self-join dedup re-aliases each branch and re-runs the
+            # explode + per-window md5 — the dominant per-row cost —
+            # up to 3x. Lazy localCheckpoint computes it once (the
+            # x7_tfidf pattern; on a cluster the same role is played by
+            # writing the fingerprint table, which x2e materializes).
+            .localCheckpoint(eager=False))
     if max_hash_df is not None:
         keep = (wins.groupBy("h")
                 .agg(F.count(F.lit(1)).alias("df_h"))

@@ -53,7 +53,11 @@ def upsert(old: DataFrame, new: DataFrame, keys: list[str],
     # logs "trivially true equals predicate" on every run).
     nk = new.select(*keys).distinct().alias("__upsert_new")
     old_a = old.alias("__upsert_old")
-    cond = [F.col(f"__upsert_old.{k}").eqNullSafe(F.col(f"__upsert_new.{k}"))
+    # Backtick-quote the key so names containing dots keep resolving
+    # as plain columns (F.col would parse `a.b` as struct access —
+    # the old old[k]/nk[k] indexing accepted such names).
+    cond = [F.col(f"__upsert_old.`{k}`").eqNullSafe(
+                F.col(f"__upsert_new.`{k}`"))
             for k in keys]
     survivors = old_a.join(nk, on=cond, how="left_anti")
     return survivors.unionByName(new)

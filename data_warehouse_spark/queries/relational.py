@@ -535,11 +535,18 @@ FROM events GROUP BY event_type
         "is what this query emits: the exact answers plus boolean "
         "verdicts that the estimates land inside their published "
         "bounds (|approx-exact| <= 3*rsd*exact for HLL; the approx "
-        "median inside the exact p45..p55 envelope, far looser than "
-        "percentile_approx's rank-error <= n/accuracy guarantee). The "
-        "oracle replays the exact branch and literal TRUE, so the "
-        "driver hash certifies the contract; tests/test_properties.py "
-        "keeps the tighter numeric bounds.",
+        "median inside a DISCRETE p45..p55 rank envelope). The "
+        "envelope percentiles are nearest-rank (percentile_approx at "
+        "10x the median's accuracy), NOT interpolated: an interpolated "
+        "p45/p55 can exclude every actual data value in a small group "
+        "(2 rows {0,100} -> p45=45, p55=55, median estimate 0), while "
+        "rank-based bounds are data values ordered by rank, so the "
+        "envelope holds for ANY group size — exactly when both "
+        "sketches are exact (n <= accuracy) and by disjoint rank-error "
+        "intervals (n/1e4 + n/1e5 < 0.05n) when not. The oracle "
+        "replays the exact branch and literal TRUE, so the driver hash "
+        "certifies the contract; tests/test_properties.py keeps the "
+        "tighter numeric bounds.",
     tags=("agg", "approx"),
 )
 def a8_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,8 +557,10 @@ def a8_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.countDistinct("user_id").alias("exact_users"),
                 F.percentile_approx("value", F.lit(0.5), F.lit(10000))
                 .alias("approx_median_value"),
-                F.percentile("value", F.lit(0.45)).alias("p45"),
-                F.percentile("value", F.lit(0.55)).alias("p55"),
+                F.percentile_approx("value", F.lit(0.45), F.lit(100000))
+                .alias("p45"),
+                F.percentile_approx("value", F.lit(0.55), F.lit(100000))
+                .alias("p55"),
                 F.count(F.lit(1)).alias("n")))
     return agg.select(
         "event_type", "exact_users", "n",

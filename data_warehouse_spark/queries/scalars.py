@@ -142,8 +142,12 @@ def f6_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f7_current_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as dt
-    # Session timezone is pinned UTC; naive literals mean UTC wall time.
-    job_start = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    # The bounds MUST stay tz-aware: pyspark converts a NAIVE datetime
+    # literal through time.mktime in the DRIVER's OS timezone (not the
+    # UTC-pinned session timezone), which would shift lo/hi by the host
+    # offset and fail the gate on any non-UTC box; aware datetimes go
+    # through calendar.timegm and are host-independent.
+    job_start = dt.datetime.now(dt.timezone.utc)
     lo = job_start - dt.timedelta(minutes=5)
     hi = job_start + dt.timedelta(hours=1)
     ev = load_table(spark, sf_dir, "events")
