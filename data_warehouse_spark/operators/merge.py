@@ -25,6 +25,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _qcol(name: str, qualifier: str | None = None):
+    """Backtick-quoted column reference: key names containing dots (or
+    backticks) must resolve as PLAIN columns, not struct access — and
+    in Spark 4 even DataFrame indexing (df["a.b"]) parses the dot, so
+    explicit quoting is the one resolution path that keeps working."""
+    q = name.replace("`", "``")
+    return F.col(f"{qualifier}.`{q}`" if qualifier else f"`{q}`")
+
+
 def upsert(old: DataFrame, new: DataFrame, keys: list[str],
            order_col: str | None = None) -> DataFrame:
     """INSERT ... ON CONFLICT(keys) DO UPDATE equivalent: one row per
@@ -51,13 +60,10 @@ def upsert(old: DataFrame, new: DataFrame, keys: list[str],
     # one scan), and unqualified old[k]/nk[k] would lean on the
     # analyzer's self-join plan-id disambiguation (correct, but it
     # logs "trivially true equals predicate" on every run).
-    nk = new.select(*keys).distinct().alias("__upsert_new")
+    nk = new.select(*[_qcol(k) for k in keys]).distinct() \
+            .alias("__upsert_new")
     old_a = old.alias("__upsert_old")
-    # Backtick-quote the key so names containing dots keep resolving
-    # as plain columns (F.col would parse `a.b` as struct access —
-    # the old old[k]/nk[k] indexing accepted such names).
-    cond = [F.col(f"__upsert_old.`{k}`").eqNullSafe(
-                F.col(f"__upsert_new.`{k}`"))
+    cond = [_qcol(k, "__upsert_old").eqNullSafe(_qcol(k, "__upsert_new"))
             for k in keys]
     survivors = old_a.join(nk, on=cond, how="left_anti")
     return survivors.unionByName(new)
@@ -67,7 +73,7 @@ def dedup_latest(df: DataFrame, keys: list[str], order_col: str,
                  tiebreak: str | None = None) -> DataFrame:
     """Newest row per key (PK semantics for batches with duplicates)."""
     order = [F.col(order_col).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
-    w = Window.partitionBy(*keys).orderBy(*order)
+    w = Window.partitionBy(*[_qcol(k) for k in keys]).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
 

@@ -871,3 +871,64 @@ def test_rolling_fingerprint_md5_family_bit_equal_across_engines(spark):
     assert len(xx) == len(corpus)
     with pytest.raises(ValueError, match="hash_family"):
         rolling_fingerprint(F.col("t"), hash_family="sha1")
+
+
+def test_upsert_accepts_dotted_key_names(spark):
+    """The alias-qualified anti-join condition must backtick-quote key
+    names: a bare F.col("__upsert_old.a.b") parses the dot as struct
+    access and fails resolution, where the pre-alias old[k] indexing
+    accepted such names (round-9 review finding)."""
+    from pyspark.sql.types import StructType, StructField, IntegerType, StringType
+    schema = StructType([StructField("a.b", IntegerType()),
+                         StructField("v", StringType())])
+    old = spark.createDataFrame([(1, "old"), (2, "keep")], schema)
+    new = spark.createDataFrame([(1, "new")], schema)
+    got = {(r["a.b"], r["v"]) for r in upsert(old, new, ["a.b"]).collect()}
+    assert got == {(1, "new"), (2, "keep")}
+
+
+def test_f7_bounds_survive_non_utc_driver_tz(spark, sf_dir):
+    """f7's freeze-compare bounds must be tz-AWARE datetimes: pyspark
+    converts a naive literal through time.mktime in the PYTHON
+    process timezone, so on a non-UTC host naive lo/hi shift by the
+    offset and the verdict goes false (round-9 review finding,
+    repro'd at TZ=Asia/Tokyo). tzset only moves the python-side
+    conversion — the JVM session stays UTC — which is exactly the
+    asymmetry the bug needs."""
+    import os
+    import time
+    from data_warehouse_spark.queries.scalars import f7_current_timestamp
+    if not hasattr(time, "tzset"):
+        pytest.skip("tzset unavailable on this platform")
+    prev = os.environ.get("TZ")
+    os.environ["TZ"] = "Asia/Tokyo"
+    time.tzset()
+    try:
+        row = f7_current_timestamp(spark, sf_dir).collect()[0]
+    finally:
+        if prev is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev
+        time.tzset()
+    assert row.stamped_within_job is True
+
+
+def test_a8_median_envelope_holds_for_tiny_groups(spark, tmp_path):
+    """a8's median verdict uses DISCRETE (nearest-rank) p45/p55: an
+    interpolated envelope excludes every actual data value in a small
+    group (2 rows {0,100} -> p45=45, p55=55, estimate 0 -> FALSE) and
+    would fail the gate on any fixture with a thin event_type
+    (round-9 review finding). Exercises the REAL registry query on a
+    planted 2-row-per-group events table."""
+    from data_warehouse_spark.queries.relational import a8_approx_agg
+    rows = [("click", 1, 0.0), ("click", 2, 100.0),
+            ("view", 3, 7.0)]
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id int, value double")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in a8_approx_agg(spark, str(tmp_path)).collect()}
+    assert out["click"].median_within_rank_bound is True
+    assert out["view"].median_within_rank_bound is True
+    assert out["click"].users_within_3rsd is True
+    assert out["click"].exact_users == 2 and out["click"].n == 2
