@@ -149,7 +149,13 @@ DIVERGENCE_CAPS = {"x2c_ngram_jaccard": 8,
                    # copy-clique match volume: 64x ~ 2.6B hit rows on
                    # both engines (unmeasurable), >=128x trivially
                    # empty under the df<=64 cap — see DEFAULT_QUERIES
-                   "x16_span_dedup": 16}
+                   "x16_span_dedup": 16,
+                   # measured refusal, not divergence: DuckDB's replay
+                   # of the 614.4M-row result state at 4096x was
+                   # OOM-killed at 130.6 GB standalone (the recorded
+                   # r9 cell carries duckdb_oom); re-running would
+                   # just OOM the box again
+                   "u1_upsert": 1024}
 
 SALT_KEYS = {
     "lineitem": ["l_orderkey"],
