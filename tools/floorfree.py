@@ -155,7 +155,12 @@ DIVERGENCE_CAPS = {"x2c_ngram_jaccard": 8,
                    # OOM-killed at 130.6 GB standalone (the recorded
                    # r9 cell carries duckdb_oom); re-running would
                    # just OOM the box again
-                   "u1_upsert": 1024}
+                   "u1_upsert": 1024,
+                   # same class: x13's oracle at 4096x only completes
+                   # STANDALONE (peak 111 GB RSS); the recorded r9
+                   # cell documents that protocol — a co-resident
+                   # harness re-run OOMs
+                   "x13_decontaminate": 1024}
 
 SALT_KEYS = {
     "lineitem": ["l_orderkey"],
