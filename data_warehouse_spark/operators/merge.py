@@ -24,14 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _qcol(name: str, qualifier: str | None = None):
-    """Backtick-quoted column reference: key names containing dots (or
-    backticks) must resolve as PLAIN columns, not struct access — and
-    in Spark 4 even DataFrame indexing (df["a.b"]) parses the dot, so
-    explicit quoting is the one resolution path that keeps working."""
-    q = name.replace("`", "``")
-    return F.col(f"{qualifier}.`{q}`" if qualifier else f"`{q}`")
+# Caller-supplied key/order/attr names resolve through qcol: dots (or
+# backticks) in a name must reference a PLAIN column, not struct access
+# — and in Spark 4 even DataFrame indexing (df["a.b"]) parses the dot,
+# so explicit quoting is the one resolution path that keeps working.
+from data_warehouse_spark.functions.colref import qcol as _qcol
 
 
 def upsert(old: DataFrame, new: DataFrame, keys: list[str],
@@ -72,7 +69,7 @@ def upsert(old: DataFrame, new: DataFrame, keys: list[str],
 def dedup_latest(df: DataFrame, keys: list[str], order_col: str,
                  tiebreak: str | None = None) -> DataFrame:
     """Newest row per key (PK semantics for batches with duplicates)."""
-    order = [F.col(order_col).desc()] + ([F.col(tiebreak).desc()] if tiebreak else [])
+    order = [_qcol(order_col).desc()] + ([_qcol(tiebreak).desc()] if tiebreak else [])
     w = Window.partitionBy(*[_qcol(k) for k in keys]).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
@@ -124,33 +121,36 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, keys: list[str],
     # (its valid_from would be NULL) — drop it rather than emit a
     # malformed row; upstream loads should gate on dq1's
     # validation_report to catch these before the merge.
-    updates = updates.filter(F.col(eff_ts_col).isNotNull())
+    updates = updates.filter(_qcol(eff_ts_col).isNotNull())
     updates = dedup_latest(updates, keys, eff_ts_col)
     # NULL is_current rows are malformed dim state (e.g. an outer-join-
     # built dim): route them through the untouched-history branch so
     # they are preserved verbatim, never silently dropped by both
     # boolean filters
-    history = dim.filter(~F.coalesce(F.col(current_col), F.lit(False)))
-    cur = dim.filter(F.col(current_col))
+    history = dim.filter(~F.coalesce(_qcol(current_col), F.lit(False)))
+    cur = dim.filter(_qcol(current_col))
 
+    # the __u_ aliases inherit any dots from the caller's names, so
+    # every later reference to them must also go through _qcol
     u = updates.select(
-        *[F.col(k).alias(f"__u_{k}") for k in keys],
-        *[F.col(a).alias(f"__u_{a}") for a in attrs],
-        F.col(eff_ts_col).alias("__u_eff"))
+        *[_qcol(k).alias(f"__u_{k}") for k in keys],
+        *[_qcol(a).alias(f"__u_{a}") for a in attrs],
+        _qcol(eff_ts_col).alias("__u_eff"))
     join_cond = None
     for k in keys:
-        c = cur[k] == F.col(f"__u_{k}")
+        # unqualified but unambiguous: every u column is __u_-renamed
+        c = _qcol(k) == _qcol(f"__u_{k}")
         join_cond = c if join_cond is None else (join_cond & c)
     j = cur.join(u, join_cond, "full_outer")
 
-    matched = F.col("__u_eff").isNotNull() & F.col(current_col).isNotNull()
-    late = matched & (F.col("__u_eff") < F.col(valid_from))
+    matched = F.col("__u_eff").isNotNull() & _qcol(current_col).isNotNull()
+    late = matched & (F.col("__u_eff") < _qcol(valid_from))
     changed = None
     for a in attrs:
-        d = ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
+        d = ~_qcol(a).eqNullSafe(_qcol(f"__u_{a}"))
         changed = d if changed is None else (changed | d)
     applies = matched & changed & ~late
-    dim_cols = dim.columns
+    dim_cols = [_qcol(c) for c in dim.columns]
 
     kept = j.filter((matched & (~changed | late))
                     | F.col("__u_eff").isNull()) \
@@ -160,17 +160,17 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, keys: list[str],
               .withColumn(current_col, F.lit(False))
               .select(*dim_cols))
     new_version = (j.filter(applies)
-                   .select(*[F.col(f"__u_{k}").alias(k) for k in keys],
-                           *[F.col(f"__u_{a}").alias(a) for a in attrs],
+                   .select(*[_qcol(f"__u_{k}").alias(k) for k in keys],
+                           *[_qcol(f"__u_{a}").alias(a) for a in attrs],
                            F.col("__u_eff").alias(valid_from),
                            F.lit(None).cast(dim.schema[valid_to].dataType)
                            .alias(valid_to),
                            F.lit(True).alias(current_col))
                    .select(*dim_cols))
     inserted = (j.filter(F.col("__u_eff").isNotNull()
-                         & F.col(current_col).isNull())
-                .select(*[F.col(f"__u_{k}").alias(k) for k in keys],
-                        *[F.col(f"__u_{a}").alias(a) for a in attrs],
+                         & _qcol(current_col).isNull())
+                .select(*[_qcol(f"__u_{k}").alias(k) for k in keys],
+                        *[_qcol(f"__u_{a}").alias(a) for a in attrs],
                         F.col("__u_eff").alias(valid_from),
                         F.lit(None).cast(dim.schema[valid_to].dataType)
                         .alias(valid_to),
@@ -220,20 +220,22 @@ def incremental_rollup(existing: DataFrame | None, delta: DataFrame,
                          "into sum/min/max (+count) first")
     if existing is None:
         return delta
+    # __ek_/__dk_/__e_/__d_ aliases inherit any dots from the caller's
+    # names — reference them through _qcol like the originals
     e = existing.select(
-        *[F.col(k).alias(f"__ek_{k}") for k in keys],
-        *[F.col(c).alias(f"__e_{c}") for c in merges])
+        *[_qcol(k).alias(f"__ek_{k}") for k in keys],
+        *[_qcol(c).alias(f"__e_{c}") for c in merges])
     d = delta.select(
-        *[F.col(k).alias(f"__dk_{k}") for k in keys],
-        *[F.col(c).alias(f"__d_{c}") for c in merges])
+        *[_qcol(k).alias(f"__dk_{k}") for k in keys],
+        *[_qcol(c).alias(f"__d_{c}") for c in merges])
     cond = None
     for k in keys:
-        eq = e[f"__ek_{k}"].eqNullSafe(d[f"__dk_{k}"])
+        eq = _qcol(f"__ek_{k}").eqNullSafe(_qcol(f"__dk_{k}"))
         cond = eq if cond is None else cond & eq
     joined = e.join(d, on=cond, how="full_outer")
-    out_keys = [F.coalesce(F.col(f"__ek_{k}"), F.col(f"__dk_{k}")).alias(k)
+    out_keys = [F.coalesce(_qcol(f"__ek_{k}"), _qcol(f"__dk_{k}")).alias(k)
                 for k in keys]
-    out_vals = [_ROLLUP_MERGES[op](F.col(f"__e_{c}"), F.col(f"__d_{c}")).alias(c)
+    out_vals = [_ROLLUP_MERGES[op](_qcol(f"__e_{c}"), _qcol(f"__d_{c}")).alias(c)
                 for c, op in merges.items()]
     return joined.select(*out_keys, *out_vals)
 
@@ -269,7 +271,7 @@ def merge_into_partitioned(spark, target_path: str, new: DataFrame,
     to upsert) — the deterministic form of the reference's
     last-writer-wins ON CONFLICT DO UPDATE.
     """
-    new_dt = new.withColumn("dt", F.to_date(F.col(ts_col)))
+    new_dt = new.withColumn("dt", F.to_date(_qcol(ts_col)))
     # bounded driver-side list: one entry per calendar day touched by
     # the batch (the reference's window is 1-2 days); guard so a
     # mis-typed ts_col can't explode it into a per-row collect
@@ -293,8 +295,8 @@ def merge_into_partitioned(spark, target_path: str, new: DataFrame,
         if any(d is None for d in dates):
             dt_filter = dt_filter | F.col("dt").isNull()
         old = spark.read.parquet(target_path).filter(dt_filter)
-        merged = upsert(old, new_dt.select(*old.columns), keys=keys,
-                        order_col=ts_col)
+        merged = upsert(old, new_dt.select(*[_qcol(c) for c in old.columns]),
+                        keys=keys, order_col=ts_col)
     else:
         # First load obeys the same last-writer-wins contract as the
         # merge path: an initial batch carrying a key twice must land

@@ -93,14 +93,16 @@ def sequence_pack(df: DataFrame, stratum: str, key: str, weight: str,
     projection; no extra shuffle beyond the prefix sum itself.
     Returns (stratum, key, weight, cum, start_seq, end_seq).
     """
+    from data_warehouse_spark.functions.colref import quote_ident
+
     cum = prefix_sum_scalable(df, stratum, key, weight, coarse)
-    # backtick-quoted (embedded backticks doubled, Spark's escape) so
-    # any weight column name — spaces, reserved words, backticks —
-    # parses instead of injecting into the expression
-    w = weight.replace("`", "``")
+    # quoted (shared colref escape) so any weight column name — spaces,
+    # reserved words, backticks — parses instead of injecting into the
+    # expression
+    w = quote_ident(weight)
     return (cum
             .withColumn("start_seq", F.expr(
-                f"(cum - `{w}`) div {int(seq_len)}"))
+                f"(cum - {w}) div {int(seq_len)}"))
             .withColumn("end_seq", F.expr(f"(cum - 1) div {int(seq_len)}")))
 
 

@@ -566,8 +566,13 @@ def a8_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "exact_users", "n",
         (F.abs(F.col("approx_users") - F.col("exact_users"))
          <= 3 * 0.02 * F.col("exact_users")).alias("users_within_3rsd"),
-        F.col("approx_median_value").between(F.col("p45"), F.col("p55"))
-        .alias("median_within_rank_bound"))
+        # coalesce TRUE: a group whose every value is NULL has no
+        # estimate to bound (percentile_approx returns NULL on all
+        # three), and the contract is trivially satisfied — without the
+        # guard the NULL verdict would hash-mismatch the oracle's TRUE
+        F.coalesce(
+            F.col("approx_median_value").between(F.col("p45"), F.col("p55")),
+            F.lit(True)).alias("median_within_rank_bound"))
 
 
 @register(

@@ -897,6 +897,9 @@ def test_f7_bounds_survive_non_utc_driver_tz(spark, sf_dir):
     asymmetry the bug needs."""
     import os
     import time
+
+    import pytest
+
     from data_warehouse_spark.queries.scalars import f7_current_timestamp
     if not hasattr(time, "tzset"):
         pytest.skip("tzset unavailable on this platform")
@@ -923,12 +926,17 @@ def test_a8_median_envelope_holds_for_tiny_groups(spark, tmp_path):
     planted 2-row-per-group events table."""
     from data_warehouse_spark.queries.relational import a8_approx_agg
     rows = [("click", 1, 0.0), ("click", 2, 100.0),
-            ("view", 3, 7.0)]
+            ("view", 3, 7.0),
+            # all-NULL value group: no estimate exists to bound, so the
+            # verdict must be literal TRUE (coalesce guard), never NULL
+            ("scroll", 4, None), ("scroll", 5, None)]
     df = spark.createDataFrame(
         rows, "event_type string, user_id int, value double")
     df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     out = {r.event_type: r for r in a8_approx_agg(spark, str(tmp_path)).collect()}
     assert out["click"].median_within_rank_bound is True
     assert out["view"].median_within_rank_bound is True
+    assert out["scroll"].median_within_rank_bound is True
+    assert out["scroll"].users_within_3rsd is True
     assert out["click"].users_within_3rsd is True
     assert out["click"].exact_users == 2 and out["click"].n == 2

@@ -142,25 +142,27 @@ DEFAULT_QUERIES = {
 # (key columns salted as key*n+copy) per amplified table; text gets a
 # per-copy token so amplification never plants exact-duplicate cliques
 # that would blow candidate pairs up quadratically.
-# above these multipliers the Spark query and the DuckDB oracle stop
-# doing the same logical work (see DEFAULT_QUERIES notes) — enforced
-# even under an explicit --mults
+# above these multipliers a cell cannot be honestly measured by this
+# harness — enforced even under an explicit --mults. Two distinct cap
+# classes, distinguished so the warning says WHY:
+#   divergence — the Spark query and the DuckDB oracle stop doing the
+#     same logical work above the cap (see DEFAULT_QUERIES notes);
+#   oom — the DuckDB oracle exceeds the box's memory above the cap
+#     (the recorded r9 cells carry the refusal / standalone protocol);
+#     a co-resident harness re-run would just OOM the box again.
 DIVERGENCE_CAPS = {"x2c_ngram_jaccard": 8,
                    # copy-clique match volume: 64x ~ 2.6B hit rows on
                    # both engines (unmeasurable), >=128x trivially
                    # empty under the df<=64 cap — see DEFAULT_QUERIES
                    "x16_span_dedup": 16,
-                   # measured refusal, not divergence: DuckDB's replay
-                   # of the 614.4M-row result state at 4096x was
-                   # OOM-killed at 130.6 GB standalone (the recorded
-                   # r9 cell carries duckdb_oom); re-running would
-                   # just OOM the box again
+                   # DuckDB's replay of the 614.4M-row result state at
+                   # 4096x was OOM-killed at 130.6 GB even standalone
                    "u1_upsert": 1024,
-                   # same class: x13's oracle at 4096x only completes
-                   # STANDALONE (peak 111 GB RSS); the recorded r9
-                   # cell documents that protocol — a co-resident
-                   # harness re-run OOMs
+                   # x13's oracle at 4096x only completes STANDALONE
+                   # (peak 111 GB RSS)
                    "x13_decontaminate": 1024}
+CAP_REASONS = {"u1_upsert": "DuckDB oracle OOMs the box",
+               "x13_decontaminate": "DuckDB oracle OOMs co-resident"}
 
 SALT_KEYS = {
     "lineitem": ["l_orderkey"],
@@ -262,8 +264,9 @@ def main() -> int:
     for q, cap in DIVERGENCE_CAPS.items():
         if q in plan and any(m > cap for m in plan[q]):
             kept = tuple(m for m in plan[q] if m <= cap)
-            print(f"capping {q} mults {plan[q]} -> {kept} (engines "
-                  f"diverge above {cap}x)", file=sys.stderr)
+            why = CAP_REASONS.get(q, "engines diverge")
+            print(f"capping {q} mults {plan[q]} -> {kept} ({why} "
+                  f"above {cap}x)", file=sys.stderr)
             plan[q] = kept
 
     # Merge into any existing FLOORFREE.json: partial re-runs (one query,
