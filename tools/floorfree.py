@@ -123,6 +123,14 @@ DEFAULT_QUERIES = {
     # empty cell. Real corpora share spans sparsely; the clique cells
     # still compare join+islands throughput on identical volumes.
     "x16_span_dedup": (4, 16),
+    # round-9 widening: the two headline families still without
+    # amplified cells where a cell is meaningful — exact sha2 dedup
+    # (hash-groupBy over the full text payload) and top-k
+    # (TakeOrderedAndProject vs ORDER BY LIMIT). j2 is deliberately
+    # absent (broadcast join is floor-bound at every mult) and x2's
+    # absence is documented (oracle-side quadratic blowup).
+    "x1_exact_dedup": (16, 64, 256, 1024),
+    "o2_topk": (16, 64, 256, 1024),
     # round-8 widening: the remaining core warehouse families with no
     # amplified evidence — as-of join (union + last-window rewrite),
     # MERGE/upsert (left-anti + union result state), and the TF-IDF
