@@ -66,10 +66,11 @@ def _lock_holder_alive(lock: str) -> bool | None:
     """Liveness of the pid recorded in a lock file: True/False when it
     can be determined (same host — the plain-filesystem snapshot store
     is single-host by construction), None when the file is unreadable
-    or carries no pid."""
+    or carries no pid. The body is ``pid:nonce`` (plain ``pid`` from
+    pre-round-10 writers is still parsed)."""
     try:
         with open(lock) as fh:
-            pid = int(fh.read().strip() or "0")
+            pid = int(fh.read().strip().split(":", 1)[0] or "0")
     except (OSError, ValueError):
         return None
     if pid <= 0:
@@ -78,20 +79,33 @@ def _lock_holder_alive(lock: str) -> bool | None:
     return _pid_alive(pid)
 
 
-def _release_version_lock(lock: str) -> None:
+def _release_version_lock(lock: str, token: str | None = None) -> None:
     """Release ONLY if the lock at the path is still ours. A stale-lock
     stealer may have renamed our lock away (pid-recycle adjudication)
     and a third writer's fresh lock may now sit at the path — a blind
     unlink would remove that LIVE lock and hand two writers the same
-    version. The lock body records the holder pid, so identity is one
-    read; an unreadable/absent/foreign lock is simply left alone."""
+    version. The lock body records the holder's per-acquisition token
+    (``pid:nonce``, round-10 advice fix), so identity is one read and
+    is distinct even between two writer THREADS in the same process —
+    pid-only comparison would let same-pid siblings unlink each other's
+    live lock. ``token=None`` (legacy callers/tests) falls back to the
+    pid-prefix compare. An unreadable/absent/foreign lock is left
+    alone."""
     try:
         with open(lock) as fh:
-            pid = int(fh.read().strip() or "0")
-    except (OSError, ValueError):
+            body = fh.read().strip()
+    except OSError:
         return  # gone (stolen) or unreadable: not provably ours
-    if pid != os.getpid():
-        return  # someone else's live lock sits at the path
+    if token is not None:
+        if body != token:
+            return  # replaced — possibly a same-pid sibling thread's
+    else:
+        try:
+            pid = int(body.split(":", 1)[0] or "0")
+        except ValueError:
+            return
+        if pid != os.getpid():
+            return  # someone else's live lock sits at the path
     try:
         os.unlink(lock)
     except OSError:
@@ -106,7 +120,7 @@ _pre_steal_hook = None
 _pre_restore_hook = None
 
 
-def _acquire_version_lock(table_dir: str, v: int) -> str:
+def _acquire_version_lock(table_dir: str, v: int) -> tuple[str, str]:
     """O_CREAT|O_EXCL per-version lock: turns the compute-max+1 /
     rmtree race between two concurrent writers into a loud failure for
     the loser. A dead holder's lock (pid no longer exists — checked
@@ -126,12 +140,17 @@ def _acquire_version_lock(table_dir: str, v: int) -> str:
 
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
     lock = os.path.join(_versions_dir(table_dir), f".v{v:06d}.lock")
+    # Per-acquisition token (round-10 advice fix): pid alone cannot
+    # distinguish two writer THREADS in one process; the monotonic
+    # nonce makes each acquisition's body unique so release compares
+    # exact identity, not just process identity.
+    token = f"{os.getpid()}:{time.monotonic_ns()}"
     for _ in range(2):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, token.encode())
             os.close(fd)
-            return lock
+            return lock, token
         except FileExistsError:
             try:
                 st = os.stat(lock)
@@ -260,7 +279,7 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
 
     while True:
         v = (versions(table_dir) or [0])[-1] + 1
-        lock = _acquire_version_lock(table_dir, v)
+        lock, token = _acquire_version_lock(table_dir, v)
         # Re-validate AFTER the lock: another writer may have computed
         # the same v, committed it, and RELEASED its lock between our
         # versions() read and the os.open — without this check we
@@ -270,7 +289,7 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
         if not os.path.exists(os.path.join(_versions_dir(table_dir),
                                            f"v{v:06d}.json")):
             break
-        _release_version_lock(lock)
+        _release_version_lock(lock, token)
     try:
         # abspath: the manifest must resolve from ANY later working
         # directory / Spark default FS, not just the writer's cwd
@@ -305,8 +324,9 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
             pass
     finally:
         # release (also on failure — don't wedge retries on grace);
-        # identity-checked so a stolen-and-replaced path is left alone
-        _release_version_lock(lock)
+        # token-checked so a stolen-and-replaced path — or a same-pid
+        # sibling thread's fresh lock — is left alone
+        _release_version_lock(lock, token)
     return v
 
 

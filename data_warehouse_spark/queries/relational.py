@@ -519,7 +519,7 @@ def a7_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type,
        COUNT(DISTINCT user_id) AS exact_users,
        COUNT(*) AS n,
-       TRUE AS users_within_3rsd,
+       TRUE AS users_within_4rsd,
        TRUE AS median_within_rank_bound
 FROM events GROUP BY event_type
 """,
@@ -564,8 +564,13 @@ def a8_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n")))
     return agg.select(
         "event_type", "exact_users", "n",
+        # 4 rsd certified (round-10 advice fix): the hash gate must
+        # survive a fixture REGENERATION, and a redrawn fixture has a
+        # small per-group chance of a 3-4 rsd HLL estimate with no code
+        # defect; the tighter 3 rsd numeric check stays in pytest
+        # (tests/test_properties.py) where a flake is diagnosable.
         (F.abs(F.col("approx_users") - F.col("exact_users"))
-         <= 3 * 0.02 * F.col("exact_users")).alias("users_within_3rsd"),
+         <= 4 * 0.02 * F.col("exact_users")).alias("users_within_4rsd"),
         # coalesce TRUE: a group whose every value is NULL has no
         # estimate to bound (percentile_approx returns NULL on all
         # three), and the contract is trivially satisfied — without the

@@ -135,9 +135,15 @@ def f6_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw stamp is nondeterministic by nature, so the certified "
         "output is the freeze-compare CONTRACT: current_timestamp() "
         "must land inside the job's wall-clock envelope (driver clock "
-        "minus 5 min skew guard .. plus 1 h), emitted as a boolean the "
-        "oracle replays as literal TRUE. current_timestamp() is still "
-        "evaluated per run — a frozen/epoch-zero clock fails the gate.",
+        "minus 5 min skew guard .. plus 24 h), emitted as a boolean "
+        "the oracle replays as literal TRUE. The frozen/epoch-zero-"
+        "clock detector is the LOWER bound; hi only rejects absurd "
+        "future clocks, so it is sized to the longest plausible "
+        "build-then-execute gap (a day-long driver run re-executing a "
+        "cached spec) rather than a single query's latency — a 1 h hi "
+        "failed the gate for any consumer that collected a plan built "
+        "an hour earlier (r10 advice fix). Executions more than 24 h "
+        "after construction are out of contract (documented here).",
     tags=("scalar",),
 )
 def f7_current_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,7 +155,7 @@ def f7_current_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through calendar.timegm and are host-independent.
     job_start = dt.datetime.now(dt.timezone.utc)
     lo = job_start - dt.timedelta(minutes=5)
-    hi = job_start + dt.timedelta(hours=1)
+    hi = job_start + dt.timedelta(hours=24)
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(
         F.count(F.lit(1)).alias("n"),

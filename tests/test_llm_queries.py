@@ -97,8 +97,13 @@ def test_a12_sketch_rollup_accuracy_and_merge_equals_rebuild(spark, sf_dir):
     rows = _q("a12_sketch_rollup")(spark, sf_dir).collect()
     assert {r.event_type for r in rows} == set(exact)
     for r in rows:
-        assert r.est_within_3sigma and r.union_equals_single, r.event_type
+        assert r.est_within_4sigma and r.union_equals_single, r.event_type
         assert r.exact_distinct_users == exact[r.event_type], r.event_type
+    # tighter 3 rsd bound kept in pytest only (r10 advice): the union-
+    # of-daily-sketches estimate vs the exact count, per group
+    rsd = 1.04 / (2.0 ** 6)
+    for et, e in est.items():
+        assert abs(e - exact[et]) <= 3 * rsd * exact[et] + 1, et
 
 
 def test_w6_distribution_bounds_and_quartile_balance(spark, sf_dir):

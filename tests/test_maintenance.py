@@ -483,3 +483,39 @@ def test_snapshot_release_is_identity_checked(tmp_path):
 
     # absent path: no-op, no raise
     snap._release_version_lock(os.path.join(vdir, ".v000003.lock"))
+
+
+def test_snapshot_release_token_distinguishes_same_pid(tmp_path):
+    """Round-10 advice fix: pid-only release identity lets two writer
+    THREADS in one process unlink each other's live lock. The lock
+    body now records a per-acquisition token (pid:nonce); release with
+    a token must leave a SAME-PID lock with a different nonce alone,
+    and the full acquire->release cycle must round-trip its own."""
+    import os
+
+    from data_warehouse_spark.operators import snapshots as snap
+
+    t = str(tmp_path / "snap")
+
+    # full cycle: acquire writes the token, release-with-token removes
+    lock, token = snap._acquire_version_lock(t, 1)
+    assert token.startswith(f"{os.getpid()}:")
+    with open(lock) as fh:
+        assert fh.read() == token
+    snap._release_version_lock(lock, token)
+    assert not os.path.exists(lock)
+
+    # a sibling thread's lock: same pid, different nonce — release
+    # with OUR token must not unlink it (the old pid-compare would)
+    sibling, sibling_token = snap._acquire_version_lock(t, 2)
+    stale_token = f"{os.getpid()}:0"
+    assert stale_token != sibling_token
+    snap._release_version_lock(sibling, stale_token)
+    assert os.path.exists(sibling)  # left alone
+    snap._release_version_lock(sibling, sibling_token)
+    assert not os.path.exists(sibling)
+
+    # liveness parsing still reads the pid prefix of pid:nonce bodies
+    relock, _tok = snap._acquire_version_lock(t, 3)
+    assert snap._lock_holder_alive(relock) is True
+    os.unlink(relock)

@@ -937,6 +937,6 @@ def test_a8_median_envelope_holds_for_tiny_groups(spark, tmp_path):
     assert out["click"].median_within_rank_bound is True
     assert out["view"].median_within_rank_bound is True
     assert out["scroll"].median_within_rank_bound is True
-    assert out["scroll"].users_within_3rsd is True
-    assert out["click"].users_within_3rsd is True
+    assert out["scroll"].users_within_4rsd is True
+    assert out["click"].users_within_4rsd is True
     assert out["click"].exact_users == 2 and out["click"].n == 2

@@ -113,8 +113,14 @@ def test_a8_approx_within_bounds(spark, sf_dir):
             load_all()["a8_approx_agg"].fn(spark, sf_dir).collect()}
     assert rows.keys() == exact.keys()
     for et, r in rows.items():
-        assert r.users_within_3rsd and r.median_within_rank_bound, et
+        assert r.users_within_4rsd and r.median_within_rank_bound, et
         assert r.exact_users == exact[et].users, et
+    # tighter 3 rsd bound lives HERE (pytest), not in the hash gate:
+    # a fixture regen that lands a group at 3-4 rsd should flake a
+    # diagnosable test, not fail the driver's parity hash (r10 advice)
+    for et, a in approx.items():
+        assert abs(a.approx_users - exact[et].users) \
+            <= 3 * 0.02 * exact[et].users + 1, et
 
 
 def test_cosine_lsh_recall_vs_exact_cosine():
