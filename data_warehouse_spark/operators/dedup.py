@@ -517,3 +517,76 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
             .select("doc_a", "doc_b", "a_start",
                     (F.col("a_start") + F.col("diag")).alias("b_start"),
                     "span_len"))
+
+
+def remove_shared_spans(df: DataFrame, text_col: str, id_col: str,
+                        min_span: int = 40,
+                        max_hash_df: int | None = None) -> DataFrame:
+    """X16b: excise the spans shared_spans detects — the cleaned corpus
+    a training run actually consumes (Lee et al. 2022 clip the shared
+    substrings out; X16 alone only reports them).
+
+    Policy: KEEP-FIRST — every span is cut from the pair's HIGHER
+    doc_id (doc_b; shared_spans guarantees doc_a < doc_b), so one copy
+    of the text survives in the lowest-id document that carries it.
+    (Lee et al.'s strictest variant drops every occurrence; that is
+    the same pipeline with the doc_a side unioned into the cut list.)
+
+    Shape, all pure column expressions (no UDF):
+      1. cut list: (doc_id=doc_b, [b_start, b_start+span_len)) from
+         shared_spans, distinct (one span can surface via several
+         doc_a partners).
+      2. per-doc interval UNION-MERGE: classic gaps-and-islands — a
+         running max of interval ends over (s, e) order opens a new
+         island exactly when s > max(e) seen so far; overlapping AND
+         adjacent cuts collapse to one excision (removing [1,5)+[5,9)
+         equals removing [1,9)).
+      3. excision: merged intervals collect to a sorted array per doc
+         (bounded: merged DISJOINT spans per doc <= len/min_span) and
+         one F.aggregate fold concatenates the kept segments —
+         substr(text, prev_end, s - prev_end) per interval plus the
+         tail — entirely JVM-side.
+
+    100 TB argument: steps 1-2 shuffle only the span list (match
+    volume, not corpus size); step 3 joins the corpus LEFT to the
+    per-doc interval table — docs without cuts pass through untouched
+    and AQE broadcasts the interval side when it is small (the common
+    case: most of a deduped corpus has no 40-char verbatim overlap).
+    Text moves through exactly one map stage; it is never shuffled.
+    """
+    spans = shared_spans(df, text_col, id_col,
+                         min_span=min_span, max_hash_df=max_hash_df)
+    cuts = (spans.select(
+                F.col("doc_b").alias("__sid"),
+                F.col("b_start").cast("int").alias("s"),
+                (F.col("b_start") + F.col("span_len")).cast("int").alias("e"))
+            .distinct())
+    w_ord = Window.partitionBy("__sid").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (cuts
+              .withColumn("__new", F.when(prev_max.isNull()
+                                          | (F.col("s") > prev_max), 1)
+                          .otherwise(0))
+              .withColumn("__isl", F.sum("__new").over(w_ord))
+              .groupBy("__sid", "__isl")
+              .agg(F.min("s").alias("s"), F.max("e").alias("e")))
+    ints = merged.groupBy("__sid").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__ints"),
+        F.count(F.lit(1)).cast("long").alias("__n_cut"))
+    t = F.col(text_col)
+    init = F.struct(F.lit(1).cast("int").alias("p"),
+                    F.lit("").alias("acc"))
+    folded = F.aggregate(
+        F.col("__ints"), init,
+        lambda a, iv: F.struct(
+            iv["e"].alias("p"),
+            F.concat(a["acc"],
+                     F.substr(t, a["p"], iv["s"] - a["p"])).alias("acc")),
+        lambda a: F.concat(a["acc"], F.substr(t, a["p"])))
+    return (df.join(ints, df[id_col] == ints["__sid"], "left")
+            .select(F.col(id_col),
+                    F.when(F.col("__ints").isNull(), t)
+                    .otherwise(folded).alias("text_clean"),
+                    F.coalesce(F.col("__n_cut"), F.lit(0).cast("long"))
+                    .alias("n_cut")))

@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 
 def validation_report(df: DataFrame, rules: dict[str, Column],
                       unique_key: list[str] | None = None,
-                      uniqueness: str = "grouped") -> DataFrame:
+                      uniqueness: str = "grouped",
+                      sketch_rsd: float = 0.02,
+                      sketch_bound_rsds: float = 4.0) -> DataFrame:
     """Evaluate named pass-predicates over ``df`` in one aggregate.
 
     Returns a DataFrame of (rule string, n_violations long, n_rows
@@ -59,6 +61,22 @@ def validation_report(df: DataFrame, rules: dict[str, Column],
         the key columns only (the rule columns never reach it).
       - "inline": count(*) - countDistinct(struct(keys)) inside the
         one aggregate (the historical form, kept measurable).
+      - "sketch": the 100 TB form (DQ1b). No exact distinct ANYWHERE:
+        approx_count_distinct (HyperLogLog++, `sketch_rsd`) rides the
+        one row-rule aggregate, and the report row is a VERDICT, not a
+        count — rule ``<keys>_near_unique`` with n_violations 0 when
+        ``n_rows - est <= sketch_bound_rsds * sketch_rsd * est`` else
+        1, i.e. "duplicate mass is below the tolerance band" (default
+        4 * 2% = 8% of distinct keys). The band is a DATA claim both
+        engines can evaluate with their OWN sketches (DuckDB's HLL
+        differs bit-for-bit from Spark's, so no raw estimate can
+        hash-match, but both estimates carry ~rsd error and agree on
+        any dup mass far from the band edge). Contract: dup mass well
+        below (ingest healthy) or well above (replayed/doubled ingest
+        — the failure this check exists to catch) the band; data
+        sitting NEAR the 8% edge is out of contract (same class as
+        A8's regen note). The exact answer stays available as
+        uniqueness="grouped" (DQ1), the audit form.
 
     Round-7 note (SCALE.md "Round-7 perf closures"): an observe()-based
     fusion — rule metrics collected by CollectMetrics during the
@@ -72,7 +90,7 @@ def validation_report(df: DataFrame, rules: dict[str, Column],
     """
     if not rules:
         raise ValueError("validation_report needs at least one rule")
-    if uniqueness not in ("grouped", "inline"):
+    if uniqueness not in ("grouped", "inline", "sketch"):
         raise ValueError(f"unknown uniqueness strategy: {uniqueness!r}")
     # coalesce: SUM over zero rows is NULL, but an empty input must
     # report 0 violations per rule, not an un-gateable NULL
@@ -85,7 +103,8 @@ def validation_report(df: DataFrame, rules: dict[str, Column],
                          "total-count column")
     uniq_name = None
     if unique_key:
-        uniq_name = "_".join(unique_key) + "_unique"
+        suffix = "_near_unique" if uniqueness == "sketch" else "_unique"
+        uniq_name = "_".join(unique_key) + suffix
         if uniq_name in rules:
             raise ValueError(f"rule name {uniq_name!r} collides with the "
                              "derived uniqueness check")
@@ -94,8 +113,24 @@ def validation_report(df: DataFrame, rules: dict[str, Column],
             aggs.append((F.count(F.lit(1))
                          - F.countDistinct(F.struct(*unique_key)))
                         .cast("long").alias(uniq_name))
+        elif uniqueness == "sketch":
+            if "__est" in rules:
+                raise ValueError("rule name '__est' collides with the "
+                                 "internal sketch column")
+            key = (F.struct(*unique_key) if len(unique_key) > 1
+                   else F.col(unique_key[0]))
+            aggs.append(F.approx_count_distinct(key, rsd=sketch_rsd)
+                        .alias("__est"))
     aggs.append(F.count(F.lit(1)).cast("long").alias("__n"))
     wide = df.agg(*aggs)
+    if unique_key and uniqueness == "sketch":
+        wide = (wide.withColumn(
+                    uniq_name,
+                    F.when(F.col("__n") - F.col("__est")
+                           <= sketch_bound_rsds * sketch_rsd
+                           * F.col("__est"),
+                           F.lit(0)).otherwise(F.lit(1)).cast("long"))
+                .drop("__est"))
     if unique_key and uniqueness == "grouped":
         uniq = (df.groupBy(*unique_key)
                 .agg(F.count(F.lit(1)).alias("__c"))

@@ -647,6 +647,101 @@ def x16_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x16b_span_removal",
+    # Full replay of the x16 pipeline PLUS the removal step: per-doc
+    # interval union-merge (running-max gaps-and-islands) and segment
+    # splicing via LAG + string_agg — byte-for-byte the same cleaned
+    # text as the Spark F.aggregate fold.
+    oracle="""
+WITH hashed AS (
+    SELECT doc_id,
+           unnest(generate_series(1, length(text) - 39)) AS pos,
+           text
+    FROM documents WHERE length(text) >= 40
+), wins AS (
+    SELECT doc_id, pos,
+           ('0x' || substr(md5(substr(text, pos, 40)), 1, 15))::BIGINT AS h
+    FROM hashed
+), keep AS (
+    SELECT h FROM wins GROUP BY h HAVING COUNT(*) <= 64
+), hits AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, b.pos AS pos_b
+    FROM wins a
+    JOIN keep k ON a.h = k.h
+    JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
+), isl AS (
+    SELECT doc_a, doc_b, pos_b - pos_a AS diag, pos_a,
+           pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pos_b - pos_a
+               ORDER BY pos_a) AS grp
+    FROM hits
+), cuts AS (
+    SELECT DISTINCT doc_b AS doc_id,
+           CAST(MIN(pos_a) + diag AS INT) AS s,
+           CAST(MIN(pos_a) + diag + MAX(pos_a) - MIN(pos_a) + 40 AS INT) AS e
+    FROM isl GROUP BY doc_a, doc_b, diag, grp
+), marked AS (
+    SELECT doc_id, s, e,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_max
+    FROM cuts
+), grouped AS (
+    SELECT doc_id, s, e,
+           SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS isl2
+    FROM marked
+), merged AS (
+    SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+    FROM grouped GROUP BY doc_id, isl2
+), segs AS (
+    SELECT doc_id,
+           COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+               AS seg_start,
+           s AS seg_end
+    FROM merged
+    UNION ALL
+    SELECT doc_id, MAX(e) AS seg_start, NULL AS seg_end
+    FROM merged GROUP BY doc_id
+), cleaned AS (
+    SELECT s.doc_id,
+           string_agg(
+               CASE WHEN s.seg_end IS NULL
+                    THEN substr(d.text, s.seg_start)
+                    ELSE substr(d.text, s.seg_start,
+                                s.seg_end - s.seg_start) END,
+               '' ORDER BY s.seg_start) AS text_clean,
+           COUNT(*) - 1 AS n_cut
+    FROM segs s JOIN documents d USING (doc_id)
+    GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(c.text_clean, d.text) AS text_clean,
+       COALESCE(c.n_cut, 0) AS n_cut
+FROM documents d LEFT JOIN cleaned c USING (doc_id)
+""",
+    doc="X16b [ext]: repeated-span REMOVAL — the cleaned corpus a "
+        "training run consumes (operators/dedup.py:remove_shared_"
+        "spans). X16 reports the shared spans; this excises them under "
+        "the keep-first policy (cut from the pair's higher doc_id, one "
+        "copy survives): per-doc interval union-merge by running-max "
+        "gaps-and-islands, then a pure-column F.aggregate fold splices "
+        "the kept segments — no UDF anywhere. Scale: the span list, "
+        "not the corpus, is what shuffles; the corpus joins LEFT to "
+        "the (small) per-doc interval table and text moves through "
+        "exactly one map stage.",
+    tags=("ext", "dedup", "text"),
+)
+def x16b_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.dedup import remove_shared_spans
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_shared_spans(docs, "text", "doc_id", min_span=40,
+                               max_hash_df=64)
+
+
+@register(
     "x6_token_freq",
     oracle=f"""
 SELECT tok, COUNT(*) AS n

@@ -476,30 +476,109 @@ SELECT rule, n_violations, n_rows FROM (
 )
 def dq1_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_spark.operators.validation import validation_report
+    return validation_report(_dq_corrupted_log(spark, sf_dir),
+                             rules=_dq_rules(), unique_key=["event_id"])
+
+
+def _dq_corrupted_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ1/DQ1b shared fixture: the events log with deterministic
+    planted corruption (x11 pattern) — re-delivered PK dups (~0.2%),
+    null timestamps, out-of-domain types, negated amounts, emptied
+    JSON, all keyed on event_id primes so both engines replay it."""
     ev = load_table(spark, sf_dir, "events") \
         .select("event_id", "ts", "event_type", "value", "props")
     log = ev.unionByName(ev.filter(F.col("event_id") % 499 == 0))
     eid = F.col("event_id")
-    log = (log
-           .withColumn("ts", F.when(eid % 991 == 0, None).otherwise(F.col("ts")))
-           .withColumn("event_type", F.when(eid % 1009 == 0, "unknown")
-                       .otherwise(F.col("event_type")))
-           .withColumn("value", F.when(eid % 997 == 0, -F.col("value"))
-                       .otherwise(F.col("value")))
-           .withColumn("props", F.when(eid % 1013 == 0, "{}")
-                       .otherwise(F.col("props"))))
-    return validation_report(
-        log,
-        rules={
-            "ts_not_null": F.col("ts").isNotNull(),
-            "value_positive": F.col("value") > 0,
-            "event_type_in_domain": F.col("event_type").isin(
-                "click", "error", "purchase", "signup", "view"),
-            "purchase_props_have_k":
-                (F.col("event_type") != "purchase")
-                | F.get_json_object("props", "$.k").isNotNull(),
-        },
-        unique_key=["event_id"])
+    return (log
+            .withColumn("ts", F.when(eid % 991 == 0, None).otherwise(F.col("ts")))
+            .withColumn("event_type", F.when(eid % 1009 == 0, "unknown")
+                        .otherwise(F.col("event_type")))
+            .withColumn("value", F.when(eid % 997 == 0, -F.col("value"))
+                        .otherwise(F.col("value")))
+            .withColumn("props", F.when(eid % 1013 == 0, "{}")
+                        .otherwise(F.col("props"))))
+
+
+def _dq_rules() -> dict:
+    return {
+        "ts_not_null": F.col("ts").isNotNull(),
+        "value_positive": F.col("value") > 0,
+        "event_type_in_domain": F.col("event_type").isin(
+            "click", "error", "purchase", "signup", "view"),
+        "purchase_props_have_k":
+            (F.col("event_type") != "purchase")
+            | F.get_json_object("props", "$.k").isNotNull(),
+    }
+
+
+@register(
+    "dq1b_validation_sketch",
+    oracle="""
+WITH redelivered AS (
+    SELECT event_id, ts, event_type, value, props FROM events
+    UNION ALL
+    SELECT event_id, ts, event_type, value, props FROM events
+    WHERE event_id % 499 = 0
+), corrupted AS (
+    SELECT event_id,
+           CASE WHEN event_id % 991 = 0 THEN NULL ELSE ts END AS ts,
+           CASE WHEN event_id % 1009 = 0 THEN 'unknown'
+                ELSE event_type END AS event_type,
+           CASE WHEN event_id % 997 = 0 THEN -value ELSE value END AS value,
+           CASE WHEN event_id % 1013 = 0 THEN '{}' ELSE props END AS props
+    FROM redelivered
+)
+SELECT rule, n_violations, n_rows FROM (
+    SELECT 'ts_not_null' AS rule,
+           CAST(COUNT(*) FILTER (WHERE (ts IS NOT NULL) IS NOT TRUE) AS BIGINT) AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM corrupted
+    UNION ALL
+    SELECT 'value_positive',
+           CAST(COUNT(*) FILTER (WHERE (value > 0) IS NOT TRUE) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM corrupted
+    UNION ALL
+    SELECT 'event_type_in_domain',
+           CAST(COUNT(*) FILTER (WHERE (event_type IN
+               ('click','error','purchase','signup','view')) IS NOT TRUE) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM corrupted
+    UNION ALL
+    SELECT 'purchase_props_have_k',
+           CAST(COUNT(*) FILTER (WHERE (event_type <> 'purchase'
+               OR json_extract_string(props, '$.k') IS NOT NULL) IS NOT TRUE) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM corrupted
+    UNION ALL
+    SELECT 'event_id_near_unique',
+           CAST(CASE WHEN COUNT(*) - approx_count_distinct(event_id)
+                          <= 0.08 * approx_count_distinct(event_id)
+                THEN 0 ELSE 1 END AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM corrupted
+)
+""",
+    doc="DQ1b [ext]: the validation report the way the 100 TB daily "
+        "job runs it — same one-scan row rules as DQ1, but uniqueness "
+        "via approx_count_distinct riding the SAME aggregate "
+        "(operators/validation.py uniqueness='sketch'): NO exact "
+        "COUNT(DISTINCT) anywhere, which was DQ1's honest 4096x "
+        "negative (3.93, a4-class exact-distinct shuffle over 410M "
+        "ids; SCALE.md prescribed exactly this sketch). The uniqueness "
+        "row is a VERDICT — n_violations 0 iff duplicate mass <= "
+        "4 rsd * est (8% of distinct keys) — a data claim both engines "
+        "evaluate with their OWN HLL sketches (raw estimates differ "
+        "bit-for-bit; ~0.4% planted dup mass sits far inside the "
+        "band on both). Near-band data is out of contract (a8-class "
+        "note); DQ1 stays registered as the exact audit form.",
+    tags=("warehouse", "approx"),
+)
+def dq1b_validation_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.validation import validation_report
+    return validation_report(_dq_corrupted_log(spark, sf_dir),
+                             rules=_dq_rules(), unique_key=["event_id"],
+                             uniqueness="sketch")
 
 
 @register(

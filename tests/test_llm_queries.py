@@ -163,6 +163,64 @@ def test_validation_uniqueness_strategies_agree_incl_null_keys(spark):
     assert reports["grouped"]["k_unique"] == (2, 5)
 
 
+def test_validation_sketch_uniqueness_verdict(spark):
+    """DQ1b's strategy: uniqueness='sketch' emits a VERDICT row, no
+    exact distinct anywhere. Healthy data (unique keys) -> 0; a
+    doubled ingest (50% dup mass, the failure the check exists to
+    catch) -> 1. The 3-rsd-tight accuracy itself is a8's territory;
+    here only the far-from-band behavior is contracted."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.operators.validation import validation_report
+
+    healthy = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v"))
+    out = {r.rule: (r.n_violations, r.n_rows) for r in validation_report(
+        healthy, rules={"v_positive": F.col("v") > 0}, unique_key=["k"],
+        uniqueness="sketch").collect()}
+    assert out == {"v_positive": (0, 20_000), "k_near_unique": (0, 20_000)}
+
+    doubled = healthy.unionByName(healthy)
+    out2 = {r.rule: r.n_violations for r in validation_report(
+        doubled, rules={"v_positive": F.col("v") > 0}, unique_key=["k"],
+        uniqueness="sketch").collect()}
+    assert out2["k_near_unique"] == 1  # replayed ingest: verdict trips
+
+    # composite key takes the struct path
+    comp = spark.range(0, 5_000).select(
+        F.col("id").alias("a"), (F.col("id") % 7).alias("b"),
+        F.lit(2.0).alias("v"))
+    out3 = {r.rule: r.n_violations for r in validation_report(
+        comp, rules={"v_positive": F.col("v") > 0}, unique_key=["a", "b"],
+        uniqueness="sketch").collect()}
+    assert out3["a_b_near_unique"] == 0
+
+
+def test_dq1b_registry_verdict_and_plan(spark, sf_dir):
+    """The registry dq1b: row rules match dq1 exactly, the uniqueness
+    verdict row is 0 (planted dup mass ~0.4% << the 8% band), and the
+    PLAN carries no exact-distinct Expand and no second scan branch —
+    the sketch rides the one row-rule aggregate."""
+    got = {r.rule: (r.n_violations, r.n_rows) for r in
+           _q("dq1b_validation_sketch")(spark, sf_dir).collect()}
+    exact = {r.rule: (r.n_violations, r.n_rows) for r in
+             _q("dq1_validation_report")(spark, sf_dir).collect()}
+    for rule in ("ts_not_null", "value_positive", "event_type_in_domain",
+                 "purchase_props_have_k"):
+        assert got[rule] == exact[rule], rule
+    assert got["event_id_near_unique"][0] == 0
+    assert got["event_id_near_unique"][1] == exact["event_id_unique"][1]
+
+    plan = _q("dq1b_validation_sketch")(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # no exact-distinct anywhere (unpivot's own 1-row Expand is fine)
+    assert "count(distinct" not in plan.lower()
+    # the sketch rides the ONE row-rule aggregate: partial+final of a
+    # single logical aggregate, no second uniqueness branch (dq1's
+    # grouped strategy legitimately carries 4+ HashAggregate nodes)
+    assert plan.count("HashAggregate") <= 3, plan[:2000]
+
+
 def test_dq1_catches_exactly_the_planted_corruption(spark, sf_dir):
     got = {r.rule: r.n_violations for r in
            _q("dq1_validation_report")(spark, sf_dir).collect()}

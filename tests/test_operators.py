@@ -100,6 +100,45 @@ def test_x16_shared_spans_planted_exact_bounds(spark):
                         max_hash_df=1).count() == 0
 
 
+def test_x16b_span_removal_planted(spark):
+    """X16b (round-10): planted spans VANISH from the pair's higher
+    doc_id, the first copy and non-shared text are byte-identical,
+    overlapping + adjacent cuts merge to one excision, and a doc that
+    is pure duplicate text empties out."""
+    import hashlib
+
+    from data_warehouse_spark.operators.dedup import remove_shared_spans
+
+    shared = "".join(hashlib.md5(f"r{i}".encode()).hexdigest()[:4]
+                     for i in range(16))  # 64 aperiodic chars
+    shared2 = "".join(hashlib.md5(f"u{i}".encode()).hexdigest()[:4]
+                      for i in range(13))  # 52 chars, disjoint family
+    d0 = "c" * 45 + shared2 + "d" * 33         # first copy of shared2
+    d1 = "a" * 30 + shared + "q" * 25          # first copy of shared
+    d2 = "z" * 51 + shared + "m" * 20          # later copy: excised
+    d3 = "b" * 70                              # untouched
+    d4 = shared + shared2                      # LOWEST-id copy of
+    #     neither piece: two cuts, adjacent -> merged -> empties out
+    docs = {0: d0, 1: d1, 2: d2, 3: d3, 4: d4}
+    df = spark.createDataFrame(sorted(docs.items()),
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           remove_shared_spans(df, "text", "doc_id",
+                               min_span=40).collect()}
+    assert set(out) == set(docs)  # left join: every doc survives
+    # first copies and no-overlap docs byte-identical, n_cut 0
+    for kept in (0, 1, 3):
+        assert out[kept].text_clean == docs[kept]
+        assert out[kept].n_cut == 0
+    # the later copy loses exactly the span; flanks byte-identical
+    assert out[2].text_clean == "z" * 51 + "m" * 20
+    assert out[2].n_cut == 1
+    # doc 4 is nothing but other docs' text: adjacent cuts merge to
+    # ONE excision and the doc empties
+    assert out[4].text_clean == ""
+    assert out[4].n_cut == 1
+
+
 def test_x16_identical_docs_span_is_full_text(spark):
     """Two identical documents share one span covering the whole text."""
     from data_warehouse_spark.operators.dedup import shared_spans

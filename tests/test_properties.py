@@ -556,3 +556,83 @@ def test_rolling_fingerprint_matches_python_model(spark):
     got_xx = {r.i: r.fp for r in df.select(
         "i", rolling_fingerprint(F.col("t")).alias("fp")).collect()}
     assert got_xx == want_xx
+
+
+def test_colref_quoting_pathological_names(spark):
+    """functions/colref.py is load-bearing for every merge op (round-9
+    made all caller-name resolution go through qcol); pin it over
+    adversarial names — dots, backticks, spaces, unicode, SQL
+    metacharacters — through upsert, dedup_latest, and scd2_apply
+    (round-10 VERDICT ask #7). House style: seeded generation, one
+    Spark job per op."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from data_warehouse_spark.functions.colref import qcol, quote_ident
+    from data_warehouse_spark.operators.merge import (
+        dedup_latest, scd2_apply, upsert,
+    )
+
+    # the adversarial battery: every class the advice named, plus the
+    # SQL-injection-shaped ones a quoting bug would mangle
+    names = ["a.b", "k`tick", "has space", "naïve名前",
+             "semi;colon--x", "back\\slash", "`lead", "trail`",
+             "dot.and`tick", "select * from t"]
+
+    # quote_ident round-trip property (pure string level): wrapped in
+    # single backticks, embedded ones doubled
+    rng = random.Random(9)
+    fuzz = ["".join(rng.choice("ab`. 名-*;'\"\\") for _ in range(rng.randint(1, 12)))
+            for _ in range(200)]
+    for s in names + fuzz:
+        q = quote_ident(s)
+        assert q[0] == "`" and q[-1] == "`"
+        assert q[1:-1] == s.replace("`", "``")
+
+    # qcol resolution property: a one-row frame whose columns carry
+    # every adversarial name at once — each must resolve as a PLAIN
+    # column (never struct access / SQL parse), aliased or not
+    schema = StructType([StructField(n, LongType()) for n in names])
+    row = tuple(range(len(names)))
+    df = spark.createDataFrame([row], schema)
+    got = df.alias("fr").select(
+        *[qcol(n).alias(f"c{i}") for i, n in enumerate(names)],
+        *[qcol(n, "fr").alias(f"q{i}") for i, n in enumerate(names)],
+    ).collect()[0]
+    for i in range(len(names)):
+        assert got[f"c{i}"] == i and got[f"q{i}"] == i
+
+    # each merge op end-to-end, key AND order/attr/ts columns all
+    # pathological (>=3 pathological names per op)
+    for key in ("a.b", "k`tick", "has space"):
+        ord_col, attr = "or`der.x", "at tr.`y"
+        ms = StructType([StructField(key, LongType()),
+                         StructField(ord_col, LongType()),
+                         StructField(attr, StringType())])
+        old = spark.createDataFrame([(1, 10, "old"), (2, 10, "keep")], ms)
+        new = spark.createDataFrame([(1, 20, "new"), (1, 15, "stale")], ms)
+
+        up = {r[key]: r[attr] for r in
+              upsert(old, new, [key], order_col=ord_col).collect()}
+        assert up == {1: "new", 2: "keep"}, key
+
+        dl = {r[key]: r[ord_col] for r in
+              dedup_latest(new, [key], ord_col).collect()}
+        assert dl == {1: 20}, key
+
+        ds = StructType([StructField(key, LongType()),
+                         StructField(attr, StringType()),
+                         StructField("valid_from", LongType()),
+                         StructField("valid_to", LongType()),
+                         StructField("is_current", StringType())])
+        dim = spark.createDataFrame([(1, "v1", 0, None, "true")], ds) \
+            .withColumn("is_current", F.col("is_current") == "true")
+        us = StructType([StructField(key, LongType()),
+                         StructField(attr, StringType()),
+                         StructField("eff", LongType())])
+        ups = spark.createDataFrame([(1, "v2", 5), (3, "v9", 7)], us)
+        out = scd2_apply(dim, ups, [key], [attr], eff_ts_col="eff")
+        rows = {(r[key], r[attr], r["is_current"]) for r in out.collect()}
+        assert rows == {(1, "v1", False), (1, "v2", True),
+                        (3, "v9", True)}, key
