@@ -56,57 +56,54 @@ _QUERY_MODULES = [
 # This list IS the round's window, in order; load_all() puts these names
 # first and everything else after, in registration order.
 #
-# Round-9 rotation (VERDICT.md round-8 ask #1): finish the driver-
-# archive rotation — after this round no query's last driver row
-# predates r6's fixture regeneration by more than one round:
-#   (a) the r6 cohort — the 32 queries whose latest driver row is r6
-#       (re-verified green by the round-8 judge's full parity run, but
-#       their archive rows are now the stalest);
-#   (b) first-ever HASH rows for the former rows-only trio: a8/f7
-#       (only r4 no_oracle records) and a12 (r8 rows-only record) are
-#       contract-certified this round — deterministic verdict booleans
-#       + exact branches the DuckDB oracle replays;
-#   (c) every query whose CODE changed in round 9: x16 (new: repeated-
-#       span dedup), e2b (new: bucketed carbon rollup), e2 (rollup
-#       refactored through _carbon_rollup), u1/st7 (operators/merge.py
-#       upsert anti-join alias-qualified), u9/u9b (snapshot lock
-#       release identity-checked + EEXIST restore keeps claimed file),
-#       x5d (rolling_fingerprint md5 branch now routes through the
-#       extracted md5_60 helper);
-#   (d) backfill with the oldest remaining rows (r7 vintage, code
-#       unchanged or merge-file-adjacent): u2/u4 (same module as the
-#       merge change), the flagship chain w5/e1/e1b, dq1 (band watch),
-#       x2b (x5d's hash-family sibling).
-# Queries added or changed during round 9 displace (d) — never (a)-(c).
+# Round-10 rotation (VERDICT.md round-9 ask #1): COMPLETE the driver-
+# archive rotation program — after this round no query's last driver
+# row predates r8, and future windows only need to cover changed code
+# plus the oldest third:
+#   (a) the r7 cohort — the 35 queries whose latest driver row is r7
+#       (all green in the round-9 judge's full parity run; their
+#       archive rows are the last predating r8);
+#   (b) every query whose CODE changed in round 10: x16b (new:
+#       repeated-span REMOVAL), dq1b (new: sketch-uniqueness
+#       validation), dq1 (log/rules refactored into shared helpers),
+#       a8/a12 (certified HLL bound widened to 4 rsd; a12's
+#       certification join made null-safe), f7 (freeze-compare hi
+#       widened to 24 h), u9/u9b (snapshot lock body now carries a
+#       per-acquisition pid:nonce token);
+#   (c) backfill with the oldest remaining rows (r8 vintage): j9 (the
+#       heaviest r8 composite), the scalar block a13/f5/f6/f12/f13,
+#       udf2 (the Arrow-path representative).
+# Queries added or changed during round 10 displace (c) — never (a)-(b).
 DRIVER_WINDOW = [
-    # (a) r6 cohort
-    "a1_q1_pricing_summary", "a2_count_by_key", "a4_distinct",
-    "a5_rollup", "a6_stats", "a10_unpivot", "a11_cube",
-    "e1c_trips_localtime",
-    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
-    "j4_semi_join", "j4_anti_join", "j5_range_join", "j7_cross_join",
-    "j8_two_source_merge",
-    "p1_project", "p2_range_predicate", "p4_null_predicate", "p6_having",
-    "s1_scan_filter", "s7_scan_full", "s11_schema_evolution",
-    "u7_incremental_rollup", "u8_zorder_scan",
-    "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
-    "x11_pii_redaction", "x13_decontaminate", "x15_sequence_packing",
-    # (b) first hash rows for the contract-certified trio
-    "a8_approx_agg", "f7_current_timestamp", "a12_sketch_rollup",
-    # (c) round-9 code changes
-    "x16_span_dedup", "e2b_carbon_bucketed", "e2_carbon_savings",
-    "u1_upsert", "st7_foreach_upsert",
-    "u9_time_travel", "u9b_snapshot_diff", "x5d_fingerprint",
-    # (d) backfill: oldest remaining (r7) rows
-    "u2_dedup_latest", "u4_scd2_dimension",
-    "w5_sessionize", "e1_trips", "e1b_bucketed_trips",
-    "dq1_validation_report", "x2b_simhash",
+    # (a) r7 cohort
+    "s2_rest_json_source", "s3_parallel_fetch", "s4_csv_roundtrip",
+    "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
+    "s9_jsonl_roundtrip", "s10_orc_roundtrip",
+    "u5_delete_keys", "u6_compaction",
+    "j6_asof_join", "j11_fact_fact_join", "j12_bucketed_fact_join",
+    "e3_enriched_trips",
+    "p3_between_computed", "p5_or_inequality",
+    "a3_global_agg", "a9_pivot",
+    "o1_global_sort", "o2_topk", "o2_topk_per_group",
+    "set1_union_all", "set2_union_distinct", "set3_intersect",
+    "set4_except",
+    "w4_running_agg",
+    "f1_timezone", "f2_epoch_diff", "f3_haversine", "f8_strings",
+    "f9_json", "f10_null_handling", "f11_arrays",
+    "x14_token_budget_sample", "x14b_token_budget_scalable",
+    # (b) round-10 code changes
+    "x16b_span_removal", "dq1b_validation_sketch",
+    "dq1_validation_report",
+    "a8_approx_agg", "a12_sketch_rollup", "f7_current_timestamp",
+    "u9_time_travel", "u9b_snapshot_diff",
+    # (c) backfill: oldest remaining (r8) rows
+    "j9_spatial_join", "a13_histogram", "f5_cast", "f6_date_format",
+    "f12_case", "f13_url_parse", "udf2_pandas_scalar",
 ]
-# As of round 9 EVERY registry query carries a DuckDB value oracle
-# (the former rows-only trio f7/a8/a12 is contract-certified). Queries
-# added or code-changed DURING round 9 must displace backfill (d)
-# entries so the "every changed query is windowed" claim stays true
-# against the CORRECTNESS_r09 keys.
+# As of round 9 EVERY registry query carries a DuckDB value oracle.
+# Queries added or code-changed DURING round 10 must displace backfill
+# (c) entries so the "every changed query is windowed" claim stays
+# true against the CORRECTNESS_r10 keys.
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

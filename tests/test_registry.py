@@ -6,38 +6,39 @@ from __future__ import annotations
 
 from data_warehouse_spark.queries.registry import DRIVER_WINDOW, load_all
 
-# Round-9 window (VERDICT.md round-8 ask #1): finish the rotation —
-# the r6 cohort (now the stalest driver rows), first HASH rows for the
-# contract-certified trio, every round-9 code change, r7-vintage
-# backfill. Composition rationale lives next to DRIVER_WINDOW in
-# queries/registry.py.
+# Round-10 window (VERDICT.md round-9 ask #1): complete the rotation —
+# the r7 cohort (the last driver rows predating r8), every round-10
+# code change, r8-vintage backfill. Composition rationale lives next
+# to DRIVER_WINDOW in queries/registry.py.
 MUST_BE_WINDOWED = {
-    # (a) r6 cohort
-    "a1_q1_pricing_summary", "a2_count_by_key", "a4_distinct",
-    "a5_rollup", "a6_stats", "a10_unpivot", "a11_cube",
-    "e1c_trips_localtime",
-    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
-    "j4_semi_join", "j4_anti_join", "j5_range_join", "j7_cross_join",
-    "j8_two_source_merge",
-    "p1_project", "p2_range_predicate", "p4_null_predicate", "p6_having",
-    "s1_scan_filter", "s7_scan_full", "s11_schema_evolution",
-    "u7_incremental_rollup", "u8_zorder_scan",
-    "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
-    "x11_pii_redaction", "x13_decontaminate", "x15_sequence_packing",
-    # (b) first hash rows for the contract-certified trio
-    "a8_approx_agg", "f7_current_timestamp", "a12_sketch_rollup",
-    # (c) round-9 code changes
-    "x16_span_dedup", "e2b_carbon_bucketed", "e2_carbon_savings",
-    "u1_upsert", "st7_foreach_upsert",
-    "u9_time_travel", "u9b_snapshot_diff", "x5d_fingerprint",
-    # (d) backfill (r7 vintage)
-    "u2_dedup_latest", "u4_scd2_dimension",
-    "w5_sessionize", "e1_trips", "e1b_bucketed_trips",
-    "dq1_validation_report", "x2b_simhash",
+    # (a) r7 cohort
+    "s2_rest_json_source", "s3_parallel_fetch", "s4_csv_roundtrip",
+    "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
+    "s9_jsonl_roundtrip", "s10_orc_roundtrip",
+    "u5_delete_keys", "u6_compaction",
+    "j6_asof_join", "j11_fact_fact_join", "j12_bucketed_fact_join",
+    "e3_enriched_trips",
+    "p3_between_computed", "p5_or_inequality",
+    "a3_global_agg", "a9_pivot",
+    "o1_global_sort", "o2_topk", "o2_topk_per_group",
+    "set1_union_all", "set2_union_distinct", "set3_intersect",
+    "set4_except",
+    "w4_running_agg",
+    "f1_timezone", "f2_epoch_diff", "f3_haversine", "f8_strings",
+    "f9_json", "f10_null_handling", "f11_arrays",
+    "x14_token_budget_sample", "x14b_token_budget_scalable",
+    # (b) round-10 code changes
+    "x16b_span_removal", "dq1b_validation_sketch",
+    "dq1_validation_report",
+    "a8_approx_agg", "a12_sketch_rollup", "f7_current_timestamp",
+    "u9_time_travel", "u9b_snapshot_diff",
+    # (c) backfill (r8 vintage)
+    "j9_spatial_join", "a13_histogram", "f5_cast", "f6_date_format",
+    "f12_case", "f13_url_parse", "udf2_pandas_scalar",
 }
 
 
-def test_driver_window_is_exactly_the_round9_set():
+def test_driver_window_is_exactly_the_round10_set():
     # DRIVER_WINDOW is the explicit first-50 contract; it must hold
     # every query that needs (re-)verification this round and fit the
     # driver's 50-entry budget.
