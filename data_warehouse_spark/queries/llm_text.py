@@ -742,6 +742,101 @@ def x16b_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x16c_span_dedup_sparse",
+    # Construction + full x16 pipeline, replayed bit-for-bit: md5
+    # streams are engine-identical, so both the synthetic corpus and
+    # the span detection hash-match.
+    oracle="""
+WITH base AS (
+    SELECT doc_id,
+           array_to_string(list_transform(generate_series(1, 16),
+               j -> md5('b' || CAST(doc_id AS VARCHAR) || '-'
+                        || CAST(j AS VARCHAR))), '') AS body,
+           CAST(FLOOR(doc_id / 2) AS BIGINT) AS pair,
+           CAST(64 + 32 * (doc_id % 5) AS INT) AS head_len
+    FROM documents
+), corpus AS (
+    SELECT doc_id,
+           CASE WHEN pair % 3 = 0 THEN
+               substr(body, 1, head_len)
+               || array_to_string(list_transform(generate_series(1, 4),
+                      j -> md5('s' || CAST(pair AS VARCHAR) || '-'
+                               || CAST(j AS VARCHAR))), '')
+               || substr(body, head_len + 1)
+           ELSE body END AS text
+    FROM base
+), hashed AS (
+    SELECT doc_id,
+           unnest(generate_series(1, length(text) - 39)) AS pos,
+           text
+    FROM corpus WHERE length(text) >= 40
+), wins AS (
+    SELECT doc_id, pos,
+           ('0x' || substr(md5(substr(text, pos, 40)), 1, 15))::BIGINT AS h
+    FROM hashed
+), keep AS (
+    SELECT h FROM wins GROUP BY h HAVING COUNT(*) <= 64
+), hits AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, b.pos AS pos_b
+    FROM wins a
+    JOIN keep k ON a.h = k.h
+    JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
+), isl AS (
+    SELECT doc_a, doc_b, pos_b - pos_a AS diag, pos_a,
+           pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pos_b - pos_a
+               ORDER BY pos_a) AS grp
+    FROM hits
+)
+SELECT doc_a, doc_b,
+       MIN(pos_a) AS a_start,
+       MIN(pos_a) + diag AS b_start,
+       MAX(pos_a) - MIN(pos_a) + 40 AS span_len
+FROM isl GROUP BY doc_a, doc_b, diag, grp
+""",
+    doc="X16c [ext]: X16 over a SPARSE-SHARING synthetic corpus — the "
+        "real-corpus shape the amplified-fixture lane can't produce "
+        "(amplification turns every document body into a copy-clique, "
+        "capping x16's honest floor-free cells at 16x; SCALE.md r9). "
+        "The corpus derives deterministically from doc_id alone: each "
+        "doc is a unique 512-char md5 stream (no 40-char window "
+        "repeats anywhere), and every third id-pair (2p, 2p+1) shares "
+        "one planted 128-char span at pair-distinct offsets — so "
+        "match volume grows LINEARLY with the corpus and both engines "
+        "do identical work at any multiplier. Closed-form expectation "
+        "(one maximal span per planted pair on the planted diagonal, "
+        "containing the 128 planted chars; hex-coincidence edge "
+        "extension of k chars occurs at p=16^-k) is asserted in "
+        "pytest; md5-60 window collisions (~2^-60 per window pair) "
+        "would surface identically in both engines.",
+    tags=("ext", "dedup", "text"),
+)
+def x16c_span_dedup_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.dedup import shared_spans
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    body = F.concat_ws("", F.transform(
+        F.sequence(F.lit(1), F.lit(16)),
+        lambda j: F.md5(F.concat(F.lit("b"), did.cast("string"),
+                                 F.lit("-"), j.cast("string")))))
+    pair = F.floor(did / 2).cast("long")
+    span = F.concat_ws("", F.transform(
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda j: F.md5(F.concat(F.lit("s"), pair.cast("string"),
+                                 F.lit("-"), j.cast("string")))))
+    head_len = (F.lit(64) + 32 * (did % 5)).cast("int")
+    corpus = ids.select(
+        "doc_id",
+        F.when(pair % 3 == 0,
+               F.concat(F.substr(body, F.lit(1), head_len), span,
+                        F.substr(body, head_len + 1)))
+        .otherwise(body).alias("text"))
+    return shared_spans(corpus, "text", "doc_id", min_span=40,
+                        max_hash_df=64)
+
+
+@register(
     "x6_token_freq",
     oracle=f"""
 SELECT tok, COUNT(*) AS n

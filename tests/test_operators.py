@@ -139,6 +139,42 @@ def test_x16b_span_removal_planted(spark):
     assert out[4].n_cut == 1
 
 
+def test_x16c_sparse_corpus_matches_closed_form(spark, sf_dir):
+    """X16c (round-10): the sparse-sharing synthetic corpus has a
+    CLOSED-FORM answer — exactly one maximal 128-char span per planted
+    pair (2p, 2p+1) with pair % 3 == 0, at offsets 65 + 32*(doc_id%5)
+    — and the registry pipeline must reproduce it exactly. This pins
+    the generator (unique bodies, linear match volume: the property
+    that makes the scale lane honest) AND the detector at once."""
+    from data_warehouse_spark.io import load_table
+    from data_warehouse_spark.queries.llm_text import x16c_span_dedup_sparse
+
+    ids = sorted(r.doc_id for r in
+                 load_table(spark, sf_dir, "documents")
+                 .select("doc_id").collect())
+    present = set(ids)
+    want = {}
+    for p in range(0, (max(ids) // 2) + 1, 3):
+        a, b = 2 * p, 2 * p + 1
+        if a in present and b in present:
+            want[(a, b)] = (65 + 32 * (a % 5), 65 + 32 * (b % 5))
+    rows = x16c_span_dedup_sparse(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b): (r.a_start, r.b_start, r.span_len)
+           for r in rows}
+    assert len(rows) == len(got) == len(want)  # one maximal span/pair
+    for (a, b), (pa, pb) in want.items():
+        ra, rb, rl = got[(a, b)]
+        # the detected MAXIMAL span must contain the planted 128 chars
+        # on the planted diagonal; body chars are hex, so a genuine
+        # shared extension of k extra chars occurs at p = 16^-k per
+        # side — bound it at 12 (p ~ 2^-48 of a false failure)
+        left_ext = pa - ra
+        right_ext = rl - 128 - left_ext
+        assert rb - ra == pb - pa, (a, b)          # planted diagonal
+        assert 0 <= left_ext <= 12, (a, b, ra)     # contains, bounded
+        assert 0 <= right_ext <= 12, (a, b, rl)
+
+
 def test_x16_identical_docs_span_is_full_text(spark):
     """Two identical documents share one span covering the whole text."""
     from data_warehouse_spark.operators.dedup import shared_spans

@@ -123,6 +123,17 @@ DEFAULT_QUERIES = {
     # empty cell. Real corpora share spans sparsely; the clique cells
     # still compare join+islands throughput on identical volumes.
     "x16_span_dedup": (4, 16),
+    # round-10 (VERDICT r9 ask #3): the sparse-sharing scale lane the
+    # copy-clique amplifier can't poison — the corpus derives from
+    # doc_id alone (unique md5-stream bodies, one planted 128-char
+    # span per third id-pair), so amplification grows match volume
+    # LINEARLY and both engines do identical work at every multiplier
+    "x16c_span_dedup_sparse": (64, 256, 1024),
+    # round-10 (VERDICT r9 ask #4): the validation report without the
+    # exact-distinct cliff — sketch uniqueness rides the one row-rule
+    # aggregate on BOTH engines (DuckDB's approx_count_distinct in the
+    # oracle), so the cell measures scan+conditional-sum throughput
+    "dq1b_validation_sketch": (16, 64, 256, 1024),
     # round-9 widening: the two headline families still without
     # amplified cells where a cell is meaningful — exact sha2 dedup
     # (hash-groupBy over the full text payload) and top-k
