@@ -484,29 +484,65 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
             .select(F.col(id_col).alias("doc_id"),
                     F.explode(win_hash).alias("wh"))
             .select("doc_id", F.col("wh.pos").alias("pos"),
-                    F.col("wh.h").alias("h"))
-            # wins feeds three consumers (the hot-hash aggregate and
-            # both sides of the self-join); without pinning, Catalyst's
-            # self-join dedup re-aliases each branch and re-runs the
-            # explode + per-window md5 — the dominant per-row cost —
-            # up to 3x. Lazy localCheckpoint computes it once (the
-            # x7_tfidf pattern; on a cluster the same role is played by
-            # writing the fingerprint table, which x2e materializes).
-            .localCheckpoint(eager=False))
+                    F.col("wh.h").alias("h")))
     if max_hash_df is not None:
-        keep = (wins.groupBy("h")
-                .agg(F.count(F.lit(1)).alias("df_h"))
-                .filter(F.col("df_h") <= max_hash_df)
-                .select("h"))
-        wins = wins.join(keep, "h")
-    hits = (wins.alias("a")
-            .join(wins.alias("b"),
-                  (F.col("a.h") == F.col("b.h"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.col("a.pos").alias("pos_a"),
-                    F.col("b.pos").alias("pos_b")))
+        # Grouped-pairs plan (round 10): the df cap bounds every
+        # surviving hash group at <= max_hash_df entries, so the pair
+        # join collapses into ONE shuffle — groupBy(h).collect_list,
+        # drop over-cap groups (the Lee et al. boilerplate rule,
+        # applied at the same point as the old keep-join), then expand
+        # the <= C(cap, 2) cross-doc pairs per group with nested array
+        # transforms, map-only. vs the round-9 join plan this removes
+        # the localCheckpoint of the full fingerprint table (which
+        # spilled ~20 B/window to disk — the 256x scale ceiling), the
+        # keep-join, and the second self-join scan: the explode+md5 —
+        # the dominant per-row cost — runs exactly once and the
+        # window table crosses the wire exactly once. Task-memory
+        # bound: a group materializes df_h * ~20 B before the size
+        # filter drops it, so a pathological df~10M boilerplate hash
+        # costs a ~200 MB aggregation buffer; corpora hotter than
+        # that should pre-filter known boilerplate (or use the exact
+        # join path below, which never materializes a group).
+        entries = (wins.groupBy("h")
+                   .agg(F.collect_list(F.struct("doc_id", "pos"))
+                        .alias("es"))
+                   .filter((F.size("es") >= 2)
+                           & (F.size("es") <= max_hash_df))
+                   .select(F.array_sort("es").alias("es")))
+        arr = F.col("es")
+        pairs = F.flatten(F.transform(arr, lambda a, i:
+            F.transform(
+                # es is sorted by (doc_id, pos): entries after index i
+                # with a strictly larger doc_id give each cross-doc
+                # pair exactly once, oriented doc_a < doc_b — the same
+                # multiset the a.h = b.h AND a.doc_id < b.doc_id join
+                # produces
+                F.filter(F.slice(arr, i + F.lit(2), F.size(arr)),
+                         lambda b: a["doc_id"] < b["doc_id"]),
+                lambda b: F.struct(a["doc_id"].alias("doc_a"),
+                                   b["doc_id"].alias("doc_b"),
+                                   a["pos"].alias("pos_a"),
+                                   b["pos"].alias("pos_b")))))
+        hits = entries.select(F.explode(pairs).alias("p")).select("p.*")
+    else:
+        # Exact-everywhere path (no cap): group sizes are unbounded
+        # (two identical 1 GB documents = one giant group), so pairs
+        # must come from a streaming self-join, never a collected
+        # array. wins feeds both join sides; without pinning,
+        # Catalyst's self-join dedup re-aliases each branch and
+        # re-runs the explode + per-window md5 2x. Lazy
+        # localCheckpoint computes it once (the x7_tfidf pattern; on
+        # a cluster the same role is played by writing the
+        # fingerprint table, which x2e materializes).
+        wins = wins.localCheckpoint(eager=False)
+        hits = (wins.alias("a")
+                .join(wins.alias("b"),
+                      (F.col("a.h") == F.col("b.h"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"),
+                        F.col("a.pos").alias("pos_a"),
+                        F.col("b.pos").alias("pos_b")))
     diag = hits.withColumn("diag", F.col("pos_b") - F.col("pos_a"))
     w_run = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     islands = diag.withColumn(
