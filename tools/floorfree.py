@@ -128,7 +128,7 @@ DEFAULT_QUERIES = {
     # doc_id alone (unique md5-stream bodies, one planted 128-char
     # span per third id-pair), so amplification grows match volume
     # LINEARLY and both engines do identical work at every multiplier
-    "x16c_span_dedup_sparse": (64, 256, 1024),
+    "x16c_span_dedup_sparse": (64, 256),
     # round-10 (VERDICT r9 ask #4): the validation report without the
     # exact-distinct cliff — sketch uniqueness rides the one row-rule
     # aggregate on BOTH engines (DuckDB's approx_count_distinct in the
@@ -179,9 +179,16 @@ DIVERGENCE_CAPS = {"x2c_ngram_jaccard": 8,
                    "u1_upsert": 1024,
                    # x13's oracle at 4096x only completes STANDALONE
                    # (peak 111 GB RSS)
-                   "x13_decontaminate": 1024}
+                   "x13_decontaminate": 1024,
+                   # 1024x = 3.15B fingerprints: Spark's one shuffle
+                   # needs ~63 GB of spill vs 47 GB free (measured
+                   # ENOSPC r10); DuckDB's wins CTE is the same rows.
+                   # Recorded as a disk_refusal cell in FLOORFREE.json
+                   "x16c_span_dedup_sparse": 256}
 CAP_REASONS = {"u1_upsert": "DuckDB oracle OOMs the box",
-               "x13_decontaminate": "DuckDB oracle OOMs co-resident"}
+               "x13_decontaminate": "DuckDB oracle OOMs co-resident",
+               "x16c_span_dedup_sparse":
+                   "both engines exceed the box's free disk"}
 
 SALT_KEYS = {
     "lineitem": ["l_orderkey"],
