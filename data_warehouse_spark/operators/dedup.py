@@ -472,16 +472,19 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
     Lee et al. repeated-substring frequency cap); both the cap and its
     effect replay exactly in the SQL oracle. None = exact everywhere.
     """
+    from data_warehouse_spark.functions.colref import qcol
     from data_warehouse_spark.functions.text import md5_60
 
     w = min_span
+    # caller-supplied names resolve through qcol (functions/colref.py):
+    # bare F.col would parse a dotted name as struct access
     win_hash = F.transform(
-        F.sequence(F.lit(1), F.length(F.col(text_col)) - (w - 1)),
+        F.sequence(F.lit(1), F.length(qcol(text_col)) - (w - 1)),
         lambda i: F.struct(
             i.alias("pos"),
-            md5_60(F.substr(F.col(text_col), i, F.lit(w))).alias("h")))
-    wins = (spread_for_compute(df.filter(F.length(text_col) >= w))
-            .select(F.col(id_col).alias("doc_id"),
+            md5_60(F.substr(qcol(text_col), i, F.lit(w))).alias("h")))
+    wins = (spread_for_compute(df.filter(F.length(qcol(text_col)) >= w))
+            .select(qcol(id_col).alias("doc_id"),
                     F.explode(win_hash).alias("wh"))
             .select("doc_id", F.col("wh.pos").alias("pos"),
                     F.col("wh.h").alias("h")))
@@ -610,7 +613,8 @@ def remove_shared_spans(df: DataFrame, text_col: str, id_col: str,
     ints = merged.groupBy("__sid").agg(
         F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__ints"),
         F.count(F.lit(1)).cast("long").alias("__n_cut"))
-    t = F.col(text_col)
+    from data_warehouse_spark.functions.colref import qcol
+    t = qcol(text_col)  # caller name: dotted/backticked-safe
     init = F.struct(F.lit(1).cast("int").alias("p"),
                     F.lit("").alias("acc"))
     folded = F.aggregate(
@@ -620,8 +624,8 @@ def remove_shared_spans(df: DataFrame, text_col: str, id_col: str,
             F.concat(a["acc"],
                      F.substr(t, a["p"], iv["s"] - a["p"])).alias("acc")),
         lambda a: F.concat(a["acc"], F.substr(t, a["p"])))
-    return (df.join(ints, df[id_col] == ints["__sid"], "left")
-            .select(F.col(id_col),
+    return (df.join(ints, qcol(id_col) == ints["__sid"], "left")
+            .select(qcol(id_col),
                     F.when(F.col("__ints").isNull(), t)
                     .otherwise(folded).alias("text_clean"),
                     F.coalesce(F.col("__n_cut"), F.lit(0).cast("long"))

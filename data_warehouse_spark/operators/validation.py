@@ -117,9 +117,14 @@ def validation_report(df: DataFrame, rules: dict[str, Column],
             if "__est" in rules:
                 raise ValueError("rule name '__est' collides with the "
                                  "internal sketch column")
-            key = (F.struct(*unique_key) if len(unique_key) > 1
-                   else F.col(unique_key[0]))
-            aggs.append(F.approx_count_distinct(key, rsd=sketch_rsd)
+            # ALWAYS struct-wrapped, even for one key (r10 review
+            # finding): a bare column's approx_count_distinct IGNORES
+            # NULLs, so a NULL-keyed row would count as pure duplicate
+            # mass — diverging from the NULL-is-one-key-value contract
+            # the grouped/inline strategies honor (struct(<null>) is a
+            # non-null value the sketch counts).
+            aggs.append(F.approx_count_distinct(F.struct(*unique_key),
+                                                rsd=sketch_rsd)
                         .alias("__est"))
     aggs.append(F.count(F.lit(1)).cast("long").alias("__n"))
     wide = df.agg(*aggs)

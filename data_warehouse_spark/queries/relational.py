@@ -533,9 +533,12 @@ FROM events GROUP BY event_type
         "estimates can't hash-match across engines (DuckDB's HLL "
         "differs bit-for-bit), but the CONTRACT is deterministic and "
         "is what this query emits: the exact answers plus boolean "
-        "verdicts that the estimates land inside their published "
-        "bounds (|approx-exact| <= 3*rsd*exact for HLL; the approx "
-        "median inside a DISCRETE p45..p55 rank envelope). The "
+        "verdicts that the estimates land inside their certified "
+        "bounds (|approx-exact| <= 4*rsd*exact for HLL — 4 rsd so a "
+        "fixture REGENERATION can't fail the hash gate on a 3-4 rsd "
+        "draw with no code defect; the tighter 3 rsd check lives in "
+        "pytest — and the approx median inside a DISCRETE p45..p55 "
+        "rank envelope). The "
         "envelope percentiles are nearest-rank (percentile_approx at "
         "10x the median's accuracy), NOT interpolated: an interpolated "
         "p45/p55 can exclude every actual data value in a small group "

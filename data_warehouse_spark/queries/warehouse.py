@@ -595,7 +595,9 @@ FROM events GROUP BY event_type
     # The raw HLL estimate is sketch-library-specific and can't hash-
     # match DuckDB — but the CONTRACT can: the exact distinct count,
     # plus boolean verdicts that (a) the union-of-daily-sketches
-    # estimate lands within 3 sigma of exact (rsd = 1.04/sqrt(2^lgK))
+    # estimate lands within 4 sigma of exact (rsd = 1.04/sqrt(2^lgK);
+    # 4 rsd certified so a fixture regen can't fail the gate on a
+    # 3-4 rsd draw — the tighter 3 rsd check stays in pytest)
     # and (b) union-of-daily-sketches == one global sketch (register-
     # wise max is associative; equality also pytest-proven in
     # tests/test_llm_queries.py). The oracle replays the exact branch
@@ -626,10 +628,17 @@ def a12_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.hll_union_agg("sk", F.lit(False)))
                    .alias("est_distinct_users"),
                    F.sum("n_events").cast("long").alias("n_events"),
-                   F.count(F.lit(1)).alias("n_days")))
+                   # count("day"), not count(*): a NULL-ts row would
+                   # form a day=NULL group that COUNT(DISTINCT CAST(ts
+                   # AS DATE)) in the oracle skips — the same latent
+                   # NULL-fixture hash mismatch the eqNullSafe join
+                   # below closes (r10 review finding). Its users still
+                   # fold into the sketch union, matching the oracle's
+                   # unfiltered COUNT(DISTINCT user_id).
+                   F.count("day").alias("n_days")))
     # The certification branch: one global sketch (what the rollup must
     # equal) and the exact distinct count (what the estimate must be
-    # within 3 sigma of). 5 groups -> both joins broadcast; at 100 TB
+    # within 4 rsd of). 5 groups -> both joins broadcast; at 100 TB
     # this branch is the AUDIT query, run at onboarding, not daily.
     single = (ev.groupBy("event_type")
               .agg(F.hll_sketch_estimate(

