@@ -123,6 +123,11 @@ DEFAULT_QUERIES = {
     # empty cell. Real corpora share spans sparsely; the clique cells
     # still compare join+islands throughput on identical volumes.
     "x16_span_dedup": (4, 16),
+    # round-10: the removal step over the same clique corpus as x16
+    # (same divergence cap and for the same reason — the cut list IS
+    # x16's span report); measures interval-merge + splice on top of
+    # detection, both engines replaying identical work
+    "x16b_span_removal": (4, 16),
     # round-10 (VERDICT r9 ask #3): the sparse-sharing scale lane the
     # copy-clique amplifier can't poison — the corpus derives from
     # doc_id alone (unique md5-stream bodies, one planted 128-char
@@ -174,6 +179,7 @@ DIVERGENCE_CAPS = {"x2c_ngram_jaccard": 8,
                    # both engines (unmeasurable), >=128x trivially
                    # empty under the df<=64 cap — see DEFAULT_QUERIES
                    "x16_span_dedup": 16,
+                   "x16b_span_removal": 16,
                    # DuckDB's replay of the 614.4M-row result state at
                    # 4096x was OOM-killed at 130.6 GB even standalone
                    "u1_upsert": 1024,
@@ -383,8 +389,11 @@ def main() -> int:
     print("|---|---|---|---|---|---|---|")
     for q, row in results.items():
         for m, c in row.items():
+            # .get: refusal cells (duckdb_oom / disk_refusal) carry no
+            # floor percentage — render them without crashing the
+            # merge-and-write below
             print(f"| {q} | {m}x | {c['spark_s']} | {c['duckdb_s']} | "
-                  f"{c['ratio']} | {c['floor_pct_of_spark']}% | "
+                  f"{c['ratio']} | {c.get('floor_pct_of_spark', '-')}% | "
                   f"{c['spark_rows'] == c['duckdb_rows']} |")
     payload = {"floorfree": results, "src": args.src,
                "job_floor_s": floor_s, "runs": args.runs}
