@@ -615,10 +615,15 @@ def remove_shared_spans(df: DataFrame, text_col: str, id_col: str,
         F.count(F.lit(1)).cast("long").alias("__n_cut"))
     from data_warehouse_spark.functions.colref import qcol
     t = qcol(text_col)  # caller name: dotted/backticked-safe
+    # internals referenced THROUGH the ints frame, not F.col: a caller
+    # frame that legitimately carries a column named __ints/__n_cut
+    # would otherwise make the post-join reference ambiguous (second
+    # r10 review pass)
+    iarr, ncut = ints["__ints"], ints["__n_cut"]
     init = F.struct(F.lit(1).cast("int").alias("p"),
                     F.lit("").alias("acc"))
     folded = F.aggregate(
-        F.col("__ints"), init,
+        iarr, init,
         lambda a, iv: F.struct(
             iv["e"].alias("p"),
             F.concat(a["acc"],
@@ -626,7 +631,7 @@ def remove_shared_spans(df: DataFrame, text_col: str, id_col: str,
         lambda a: F.concat(a["acc"], F.substr(t, a["p"])))
     return (df.join(ints, qcol(id_col) == ints["__sid"], "left")
             .select(qcol(id_col),
-                    F.when(F.col("__ints").isNull(), t)
+                    F.when(iarr.isNull(), t)
                     .otherwise(folded).alias("text_clean"),
-                    F.coalesce(F.col("__n_cut"), F.lit(0).cast("long"))
+                    F.coalesce(ncut, F.lit(0).cast("long"))
                     .alias("n_cut")))

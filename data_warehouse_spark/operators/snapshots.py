@@ -66,8 +66,9 @@ def _lock_holder_alive(lock: str) -> bool | None:
     """Liveness of the pid recorded in a lock file: True/False when it
     can be determined (same host — the plain-filesystem snapshot store
     is single-host by construction), None when the file is unreadable
-    or carries no pid. The body is ``pid:nonce`` (plain ``pid`` from
-    pre-round-10 writers is still parsed)."""
+    or carries no pid. The body is a plain ``pid`` (kept so across the
+    round-10 token change for mixed-version readers); a ``pid:...``
+    prefix would still parse."""
     try:
         with open(lock) as fh:
             pid = int(fh.read().strip().split(":", 1)[0] or "0")
@@ -84,20 +85,26 @@ def _release_version_lock(lock: str, token: str | None = None) -> None:
     stealer may have renamed our lock away (pid-recycle adjudication)
     and a third writer's fresh lock may now sit at the path — a blind
     unlink would remove that LIVE lock and hand two writers the same
-    version. The lock body records the holder's per-acquisition token
-    (``pid:nonce``, round-10 advice fix), so identity is one read and
-    is distinct even between two writer THREADS in the same process —
-    pid-only comparison would let same-pid siblings unlink each other's
-    live lock. ``token=None`` (legacy callers/tests) falls back to the
-    pid-prefix compare. An unreadable/absent/foreign lock is left
-    alone."""
+    version. Identity is per-ACQUISITION (round-10 advice fix): the
+    token carries (pid, inode, mtime_ns) captured at lock creation, so
+    even two writer THREADS in the same process are distinct — a
+    pid-only compare would let same-pid siblings unlink each other's
+    live lock. The lock BODY stays a plain pid on purpose: a
+    pre-round-10 reader's ``int(body)`` must keep parsing it, or its
+    liveness check silently degrades to the 900 s mtime grace during a
+    mixed-version window and a live long-committing writer gets stolen
+    (the second r10 review pass). ``token=None`` (legacy callers/
+    tests) falls back to the pid compare. An unreadable/absent/foreign
+    lock is left alone."""
     try:
+        st = os.stat(lock)
         with open(lock) as fh:
             body = fh.read().strip()
     except OSError:
         return  # gone (stolen) or unreadable: not provably ours
     if token is not None:
-        if body != token:
+        now = f"{body}:{st.st_ino}:{st.st_mtime_ns}"
+        if now != token:
             return  # replaced — possibly a same-pid sibling thread's
     else:
         try:
@@ -140,17 +147,22 @@ def _acquire_version_lock(table_dir: str, v: int) -> tuple[str, str]:
 
     os.makedirs(_versions_dir(table_dir), exist_ok=True)
     lock = os.path.join(_versions_dir(table_dir), f".v{v:06d}.lock")
-    # Per-acquisition token (round-10 advice fix): pid alone cannot
-    # distinguish two writer THREADS in one process; the monotonic
-    # nonce makes each acquisition's body unique so release compares
-    # exact identity, not just process identity.
-    token = f"{os.getpid()}:{time.monotonic_ns()}"
     for _ in range(2):
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, token.encode())
+            # Per-acquisition token (round-10 advice fix): pid alone
+            # cannot distinguish two writer THREADS in one process.
+            # The nonce is the created file's (inode, mtime_ns) from
+            # fstat — NOT written into the body, which stays a plain
+            # pid so pre-round-10 readers' int(body) liveness check
+            # keeps working during a mixed-version window (second r10
+            # review pass). Release re-stats the path and compares
+            # the full triple.
+            pid = str(os.getpid())
+            os.write(fd, pid.encode())
+            st = os.fstat(fd)
             os.close(fd)
-            return lock, token
+            return lock, f"{pid}:{st.st_ino}:{st.st_mtime_ns}"
         except FileExistsError:
             try:
                 st = os.stat(lock)

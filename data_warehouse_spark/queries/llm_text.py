@@ -590,17 +590,18 @@ def x5d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fingerprint"))
 
 
-@register(
-    "x16_span_dedup",
-    # Same md5-60 window-hash family as x5d, so the ENTIRE pipeline —
-    # window explode, hot-hash cap, pair join, gaps-and-islands span
-    # merge — replays bit-for-bit in DuckDB SQL.
-    oracle="""
-WITH hashed AS (
+# The x16 detection pipeline as ONE SQL fragment shared by all three
+# family oracles (x16 / x16b / x16c — second r10 review pass: three
+# verbatim copies would let a contract change desync one silently).
+# Parameterized by the corpus CTE/table name; min_span=40 and the
+# df<=64 hot-hash cap are the family contract, mirrored in every
+# shared_spans call site.
+def _span_pipeline_sql(src: str) -> str:
+    return f"""hashed AS (
     SELECT doc_id,
            unnest(generate_series(1, length(text) - 39)) AS pos,
            text
-    FROM documents WHERE length(text) >= 40
+    FROM {src} WHERE length(text) >= 40
 ), wins AS (
     SELECT doc_id, pos,
            ('0x' || substr(md5(substr(text, pos, 40)), 1, 15))::BIGINT AS h
@@ -619,13 +620,24 @@ WITH hashed AS (
                PARTITION BY doc_a, doc_b, pos_b - pos_a
                ORDER BY pos_a) AS grp
     FROM hits
-)
+)"""
+
+
+_SPAN_REPORT_SQL = """
 SELECT doc_a, doc_b,
        MIN(pos_a) AS a_start,
        MIN(pos_a) + diag AS b_start,
        MAX(pos_a) - MIN(pos_a) + 40 AS span_len
 FROM isl GROUP BY doc_a, doc_b, diag, grp
-""",
+"""
+
+
+@register(
+    "x16_span_dedup",
+    # Same md5-60 window-hash family as x5d, so the ENTIRE pipeline —
+    # window explode, hot-hash cap, pair join, gaps-and-islands span
+    # merge — replays bit-for-bit in DuckDB SQL.
+    oracle="WITH " + _span_pipeline_sql("documents") + _SPAN_REPORT_SQL,
     doc="X16 [ext]: cross-document exact repeated-span dedup — the Lee "
         "et al. 2022 exact-substring family (operators/dedup.py:"
         "shared_spans): every MAXIMAL character span >= 40 chars shared "
@@ -648,35 +660,12 @@ def x16_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x16b_span_removal",
-    # Full replay of the x16 pipeline PLUS the removal step: per-doc
-    # interval union-merge (running-max gaps-and-islands) and segment
-    # splicing via LAG + string_agg — byte-for-byte the same cleaned
-    # text as the Spark F.aggregate fold.
-    oracle="""
-WITH hashed AS (
-    SELECT doc_id,
-           unnest(generate_series(1, length(text) - 39)) AS pos,
-           text
-    FROM documents WHERE length(text) >= 40
-), wins AS (
-    SELECT doc_id, pos,
-           ('0x' || substr(md5(substr(text, pos, 40)), 1, 15))::BIGINT AS h
-    FROM hashed
-), keep AS (
-    SELECT h FROM wins GROUP BY h HAVING COUNT(*) <= 64
-), hits AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           a.pos AS pos_a, b.pos AS pos_b
-    FROM wins a
-    JOIN keep k ON a.h = k.h
-    JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
-), isl AS (
-    SELECT doc_a, doc_b, pos_b - pos_a AS diag, pos_a,
-           pos_a - ROW_NUMBER() OVER (
-               PARTITION BY doc_a, doc_b, pos_b - pos_a
-               ORDER BY pos_a) AS grp
-    FROM hits
-), cuts AS (
+    # Full replay of the x16 pipeline (shared fragment) PLUS the
+    # removal step: per-doc interval union-merge (running-max
+    # gaps-and-islands) and segment splicing via LAG + string_agg —
+    # byte-for-byte the same cleaned text as the Spark F.aggregate
+    # fold.
+    oracle="WITH " + _span_pipeline_sql("documents") + """, cuts AS (
     SELECT DISTINCT doc_b AS doc_id,
            CAST(MIN(pos_a) + diag AS INT) AS s,
            CAST(MIN(pos_a) + diag + MAX(pos_a) - MIN(pos_a) + 40 AS INT) AS e
@@ -743,9 +732,9 @@ def x16b_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x16c_span_dedup_sparse",
-    # Construction + full x16 pipeline, replayed bit-for-bit: md5
-    # streams are engine-identical, so both the synthetic corpus and
-    # the span detection hash-match.
+    # Construction + full x16 pipeline (shared fragment), replayed
+    # bit-for-bit: md5 streams are engine-identical, so both the
+    # synthetic corpus and the span detection hash-match.
     oracle="""
 WITH base AS (
     SELECT doc_id,
@@ -765,36 +754,7 @@ WITH base AS (
                || substr(body, head_len + 1)
            ELSE body END AS text
     FROM base
-), hashed AS (
-    SELECT doc_id,
-           unnest(generate_series(1, length(text) - 39)) AS pos,
-           text
-    FROM corpus WHERE length(text) >= 40
-), wins AS (
-    SELECT doc_id, pos,
-           ('0x' || substr(md5(substr(text, pos, 40)), 1, 15))::BIGINT AS h
-    FROM hashed
-), keep AS (
-    SELECT h FROM wins GROUP BY h HAVING COUNT(*) <= 64
-), hits AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           a.pos AS pos_a, b.pos AS pos_b
-    FROM wins a
-    JOIN keep k ON a.h = k.h
-    JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
-), isl AS (
-    SELECT doc_a, doc_b, pos_b - pos_a AS diag, pos_a,
-           pos_a - ROW_NUMBER() OVER (
-               PARTITION BY doc_a, doc_b, pos_b - pos_a
-               ORDER BY pos_a) AS grp
-    FROM hits
-)
-SELECT doc_a, doc_b,
-       MIN(pos_a) AS a_start,
-       MIN(pos_a) + diag AS b_start,
-       MAX(pos_a) - MIN(pos_a) + 40 AS span_len
-FROM isl GROUP BY doc_a, doc_b, diag, grp
-""",
+), """ + _span_pipeline_sql("corpus") + _SPAN_REPORT_SQL,
     doc="X16c [ext]: X16 over a SPARSE-SHARING synthetic corpus — the "
         "real-corpus shape the amplified-fixture lane can't produce "
         "(amplification turns every document body into a copy-clique, "

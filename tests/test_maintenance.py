@@ -487,35 +487,41 @@ def test_snapshot_release_is_identity_checked(tmp_path):
 
 def test_snapshot_release_token_distinguishes_same_pid(tmp_path):
     """Round-10 advice fix: pid-only release identity lets two writer
-    THREADS in one process unlink each other's live lock. The lock
-    body now records a per-acquisition token (pid:nonce); release with
-    a token must leave a SAME-PID lock with a different nonce alone,
-    and the full acquire->release cycle must round-trip its own."""
+    THREADS in one process unlink each other's live lock. The token is
+    (pid, inode, mtime_ns) of the created lock — the BODY stays a
+    plain pid so a pre-round-10 reader's int(body) liveness check
+    keeps working in a mixed-version window. Release with a token must
+    leave a SAME-PID lock from a different acquisition alone, and the
+    full acquire->release cycle must round-trip its own."""
     import os
 
     from data_warehouse_spark.operators import snapshots as snap
 
     t = str(tmp_path / "snap")
 
-    # full cycle: acquire writes the token, release-with-token removes
+    # full cycle: body is a PLAIN pid (mixed-version contract), the
+    # token carries the acquisition identity; release-with-token works
     lock, token = snap._acquire_version_lock(t, 1)
     assert token.startswith(f"{os.getpid()}:")
+    st = os.stat(lock)
+    assert token == f"{os.getpid()}:{st.st_ino}:{st.st_mtime_ns}"
     with open(lock) as fh:
-        assert fh.read() == token
+        assert fh.read() == str(os.getpid())  # old readers still parse
     snap._release_version_lock(lock, token)
     assert not os.path.exists(lock)
 
-    # a sibling thread's lock: same pid, different nonce — release
-    # with OUR token must not unlink it (the old pid-compare would)
+    # a sibling thread's lock: same pid, different acquisition —
+    # release with a stale token must not unlink it (the old
+    # pid-compare would)
     sibling, sibling_token = snap._acquire_version_lock(t, 2)
-    stale_token = f"{os.getpid()}:0"
+    stale_token = f"{os.getpid()}:0:0"
     assert stale_token != sibling_token
     snap._release_version_lock(sibling, stale_token)
     assert os.path.exists(sibling)  # left alone
     snap._release_version_lock(sibling, sibling_token)
     assert not os.path.exists(sibling)
 
-    # liveness parsing still reads the pid prefix of pid:nonce bodies
+    # liveness parsing reads the plain-pid body
     relock, _tok = snap._acquire_version_lock(t, 3)
     assert snap._lock_holder_alive(relock) is True
     os.unlink(relock)

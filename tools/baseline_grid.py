@@ -100,7 +100,7 @@ def render(rows: dict[str, dict[str, float]], sf_dir: str) -> str:
 
     lines = [
         f"## Measured baseline (sf0.1, local[32], regenerated {stamp}, "
-        f"round {os.environ.get('SPARK_GRAFT_ROUND', '8')})",
+        f"round {os.environ.get('SPARK_GRAFT_ROUND', '10')})",
         "",
         "Full-registry regeneration on the current fixtures via "
         "`tools/baseline_grid.py` (the round-3 grid predated "
@@ -110,10 +110,17 @@ def render(rows: dict[str, dict[str, float]], sf_dir: str) -> str:
         "second run); Spark runs the registry query with a noop sink "
         "after a warm run, best-of-2, one shared local[32] session. "
         f"{len(batch)} batch queries below; the iterative and "
-        "real-streaming entries follow in their own tables.",
+        "real-streaming entries follow in their own tables. "
+        "Cross-round aggregates are a BAND, not a point: single-run "
+        "cell noise on this box is +-10-20%, and the registry's "
+        "composition moves between rounds (r8: 76.2/122.4 = 0.62x "
+        "over 119; a mid-r10 grid on the pre-fix tree read 91.1 s "
+        "Spark, 14.0 s of it a8_approx_agg's since-fixed "
+        "ObjectHashAggregate sort-fallback — countDistinct and "
+        "percentile sketches now aggregate in separate branches).",
         "",
         f"Totals: **Spark {tot_s:.1f} s vs DuckDB {tot_d:.1f} s "
-        f"({tot_s / tot_d:.1f}x)**; median Spark query {med_s:.2f} s.",
+        f"({tot_s / tot_d:.2f}x)**; median Spark query {med_s:.2f} s.",
         "",
         "Reading the ratios: at sf0.1 most Spark times are the "
         "local-mode **per-job floor** (~0.1-0.5 s of task scheduling, "

@@ -389,12 +389,16 @@ def main() -> int:
     print("|---|---|---|---|---|---|---|")
     for q, row in results.items():
         for m, c in row.items():
-            # .get: refusal cells (duckdb_oom / disk_refusal) carry no
-            # floor percentage — render them without crashing the
-            # merge-and-write below
+            # refusal cells (duckdb_oom / disk_refusal) carry no floor
+            # percentage and null rows — render '-' / 'refused', never
+            # crash the merge-and-write below and never let None ==
+            # None print as a rows-match True for a cell nobody ran
+            rows_ok = ("refused" if c["spark_rows"] is None
+                       or c["duckdb_rows"] is None
+                       else c["spark_rows"] == c["duckdb_rows"])
             print(f"| {q} | {m}x | {c['spark_s']} | {c['duckdb_s']} | "
                   f"{c['ratio']} | {c.get('floor_pct_of_spark', '-')}% | "
-                  f"{c['spark_rows'] == c['duckdb_rows']} |")
+                  f"{rows_ok} |")
     payload = {"floorfree": results, "src": args.src,
                "job_floor_s": floor_s, "runs": args.runs}
     print(json.dumps(payload))
