@@ -73,10 +73,18 @@ def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
-                       num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+                       num_hashes: int = 32, shingle_n: int = 3,
+                       hash_family: str = "xxhash64") -> DataFrame:
     """MinHash signature per document: h_i = min over shingles of
-    (a_i * xxhash64(shingle) + b_i) mod p. One row per doc with an
+    (a_i * hash(shingle) + b_i) mod p. One row per doc with an
     array<long> signature.
+
+    ``hash_family`` picks the per-shingle hash (the x5d/x2b
+    convention): "xxhash64" (default) is the fast JVM production
+    path; "md5" derives the 31-bit base hash from md5_60 — slower,
+    but bit-identical in DuckDB SQL, which lets an oracle replay the
+    ENTIRE signature+banding pipeline (x2f) instead of approximating
+    an LSH with a brute-force join.
 
     Plan shape: explode shingles, hash each shingle string ONCE, then
     derive the num_hashes functions as multiply-add-mod long
@@ -98,12 +106,20 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     rows and therefore no signature, matching the previous
     `size(shingles) > 0` filter.
     """
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    if hash_family == "md5":
+        from data_warehouse_spark.functions.text import md5_60
+
+        def base_hash(c):
+            return md5_60(c).bitwiseAND(F.lit(0x7FFFFFFF))
+    else:
+        def base_hash(c):
+            return F.xxhash64(c).bitwiseAND(F.lit(0x7FFFFFFF))
     df = spread_for_compute(df)
     sh = (df.select(F.col(id_col),
                     F.explode(shingles(text_col, shingle_n)).alias("__s"))
-          .select(F.col(id_col),
-                  F.xxhash64("__s").bitwiseAND(F.lit(0x7FFFFFFF))
-                  .alias("__h")))
+          .select(F.col(id_col), base_hash(F.col("__s")).alias("__h")))
     aggs = [F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME))
             .alias(f"__h{i}")
             for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))]
@@ -117,7 +133,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 32, bands: int = 8,
                       shingle_n: int = 3,
                       jaccard_threshold: float = 0.5,
-                      block_col: str | None = None) -> DataFrame:
+                      block_col: str | None = None,
+                      hash_family: str = "xxhash64") -> DataFrame:
     """X2: near-dup candidate pairs via LSH banding, verified by exact
     shingle Jaccard.
 
@@ -139,7 +156,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # duplicate compute pipelines across cores and measured FASTER at
     # sf0.1 than a materialize+re-read barrier (2.2 s vs 2.7 s warm) —
     # only the final candidate set (tiny) is worth checkpointing.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
+                              hash_family=hash_family)
     if block_col is not None:
         # 1-field struct, not the raw value: the banding self-join and
         # the verify joins key on "block" with plain (null-UNSAFE)

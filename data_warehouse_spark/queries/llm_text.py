@@ -796,6 +796,119 @@ def x16c_span_dedup_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
                         max_hash_df=64)
 
 
+def _x2f_oracle_sql() -> str:
+    """Full SQL replay of the MinHash+LSH pipeline on the sparse
+    synthetic corpus — signatures, banding, candidate join AND exact
+    verify, from the SAME seeded (a, b) coefficients the operator
+    uses. An LSH can only be hash-certified by replaying the banding
+    itself: a brute-force oracle diverges by exactly the banding's
+    miss probability, which at amplified pair counts guarantees
+    mismatches; replayed banding misses identically in both engines.
+    The band join keys on the RAW 4-signature tuple — Spark buckets by
+    xxhash64 of the same tuple, which is candidate-equivalent (equal
+    tuples hash equal; a 2^-64 bucket collision adds a candidate the
+    exact verify then scores, same as Spark)."""
+    from data_warehouse_spark.operators.dedup import _minhash_coeffs
+    coeffs = _minhash_coeffs(32)
+    sig_cols = ",\n           ".join(
+        f"MIN((h * {a} + {b}) % 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(coeffs))
+    banded = "\n    UNION ALL ".join(
+        f"SELECT id, {b} AS band, s{4*b} AS k1, s{4*b+1} AS k2, "
+        f"s{4*b+2} AS k3, s{4*b+3} AS k4 FROM sigs"
+        for b in range(8))
+    return f"""
+WITH base AS (
+    SELECT doc_id, CAST(FLOOR(doc_id / 2) AS BIGINT) AS pair
+    FROM documents
+), toks AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, 60), j ->
+               CASE WHEN pair % 3 = 0 AND j <= 58
+                    THEN md5('w' || CAST(pair AS VARCHAR) || '-'
+                             || CAST(j AS VARCHAR))
+                    ELSE md5('u' || CAST(doc_id AS VARCHAR) || '-'
+                             || CAST(j AS VARCHAR)) END) AS l
+    FROM base
+), grams AS (
+    SELECT doc_id AS id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(l) - 2, 0) + 1),
+        i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS g
+    FROM toks
+), ghash AS (
+    SELECT id,
+           ('0x' || substr(md5(g), 1, 15))::BIGINT & 2147483647 AS h,
+           g
+    FROM grams
+), sigs AS (
+    SELECT id,
+           {sig_cols}
+    FROM ghash GROUP BY id
+), banded AS (
+    {banded}
+), cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+                 AND a.k3 = b.k3 AND a.k4 = b.k4 AND a.id < b.id
+), sizes AS (
+    SELECT id, COUNT(*) AS n_g FROM grams GROUP BY id
+), inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN grams ga ON ga.id = c.id_a
+    JOIN grams gb ON gb.id = c.id_b AND gb.g = ga.g
+    GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       ROUND(n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.id
+JOIN sizes sb ON i.id_b = sb.id
+WHERE n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter) >= 0.5
+"""
+
+
+@register(
+    "x2f_minhash_sparse",
+    oracle=_x2f_oracle_sql(),
+    doc="X2f [ext]: MinHash+LSH near-dup over a SPARSE-SHARING "
+        "synthetic corpus, with the banding itself replayed in the "
+        "oracle — the scale lane x2 cannot have (x2's brute-force "
+        "oracle goes quadratic under amplification because every "
+        "copy's shingles collide, and an exact oracle diverges from "
+        "an LSH by its miss probability once pair counts amplify). "
+        "Corpus derives from doc_id alone (x16c's recipe, token "
+        "granularity): 60 unique md5 tokens per doc; every third "
+        "id-pair (2p, 2p+1) shares tokens 1-58 — planted 3-gram "
+        "Jaccard 56/60 = 0.9333, all other cross-doc gram overlap "
+        "ZERO, so candidate volume grows LINEARLY. The operator runs "
+        "with hash_family='md5' (x5d convention): base hash, the "
+        "seeded (a*h+b) mod p family, 8x4 banding, candidate join, "
+        "and exact verify all replay bit-for-bit in DuckDB; a banding "
+        "miss (p ~ 1e-5 per planted pair) misses IDENTICALLY on both "
+        "engines, so the hash gate holds at any corpus size.",
+    tags=("ext", "dedup", "text"),
+)
+def x2f_minhash_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.dedup import minhash_lsh_pairs
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    pair = F.floor(did / 2).cast("long")
+    shared = pair % 3 == 0
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(60)),
+        lambda j: F.when(shared & (j <= 58),
+                         F.md5(F.concat(F.lit("w"), pair.cast("string"),
+                                        F.lit("-"), j.cast("string"))))
+        .otherwise(F.md5(F.concat(F.lit("u"), did.cast("string"),
+                                  F.lit("-"), j.cast("string")))))
+    corpus = ids.select("doc_id",
+                        F.concat_ws(" ", toks).alias("text"))
+    return minhash_lsh_pairs(corpus, "text", "doc_id",
+                             jaccard_threshold=0.5, hash_family="md5")
+
+
 @register(
     "x6_token_freq",
     oracle=f"""

@@ -66,13 +66,18 @@ _QUERY_MODULES = [
 #   (b) every query whose CODE changed in round 10: x16b (new:
 #       repeated-span REMOVAL), dq1b (new: sketch-uniqueness
 #       validation), x16c (new: x16 over the sparse-sharing synthetic
-#       corpus — the honest scale lane), dq1 (log/rules refactored
-#       into shared helpers), a8/a12 (certified HLL bound widened to
-#       4 rsd; a12's certification join made null-safe), f7
-#       (freeze-compare hi widened to 24 h), u9/u9b (snapshot lock
-#       body now carries a per-acquisition pid:nonce token);
+#       corpus — the honest scale lane), x2f (new: MinHash over the
+#       sparse corpus with the banding itself replayed in the
+#       oracle), x2 (minhash operators gained the hash_family
+#       parameter), dq1 (log/rules refactored into shared helpers),
+#       a8 (certified bound 4 rsd + the exact-distinct branch split
+#       out of the sketch aggregate — the 14 s ObjectHashAggregate
+#       sort-fallback fix), a12 (4 rsd; null-safe certification join;
+#       n_days skips NULL days), f7 (freeze-compare hi widened to
+#       24 h), u9/u9b (snapshot lock release compares a per-
+#       acquisition (pid, inode, mtime_ns) token);
 #   (c) backfill with the oldest remaining rows (r8 vintage): j9 (the
-#       heaviest r8 composite), the scalar block a13/f5/f6/f12/f13.
+#       heaviest r8 composite), a13/f5/f13 scalars.
 # Queries added or changed during round 10 displace (c) — never (a)-(b).
 DRIVER_WINDOW = [
     # (a) r7 cohort
@@ -93,14 +98,15 @@ DRIVER_WINDOW = [
     "x14_token_budget_sample", "x14b_token_budget_scalable",
     # (b) round-10 code changes
     "x16b_span_removal", "dq1b_validation_sketch",
-    "x16c_span_dedup_sparse",
+    "x16c_span_dedup_sparse", "x2f_minhash_sparse",
+    "x2_minhash_lsh",
     "dq1_validation_report",
     "a8_approx_agg", "a12_sketch_rollup", "f7_current_timestamp",
     "u9_time_travel", "u9b_snapshot_diff",
-    # (c) backfill: oldest remaining (r8) rows (udf2 displaced by the
-    # x16c addition, per the displace-(c)-never-(a)/(b) rule)
-    "j9_spatial_join", "a13_histogram", "f5_cast", "f6_date_format",
-    "f12_case", "f13_url_parse",
+    # (c) backfill: oldest remaining (r8) rows (udf2/f6/f12 displaced
+    # by the x16c/x2f/x2 additions, per the displace-(c)-never-(a)/(b)
+    # rule)
+    "j9_spatial_join", "a13_histogram", "f5_cast", "f13_url_parse",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
 # Queries added or code-changed DURING round 10 must displace backfill

@@ -175,7 +175,28 @@ def test_x16c_sparse_corpus_matches_closed_form(spark, sf_dir):
         assert 0 <= right_ext <= 12, (a, b, rl)
 
 
-def test_x16_identical_docs_span_is_full_text(spark):
+def test_x2f_sparse_minhash_matches_closed_form(spark, sf_dir):
+    """X2f (round-10): the sparse corpus has a closed-form answer —
+    every planted pair (2p, 2p+1), pair % 3 == 0, shares exactly 56 of
+    its 58 distinct 3-gram shingles (Jaccard 56/60 = 0.933333), and NO
+    other cross-doc pair shares any gram. The md5-family banding is
+    deterministic given the ids, and on the fixture id range it
+    detects every planted pair (per-pair miss p ~ 1e-5; a miss would
+    be engine-identical and caught here loudly). No false pairs."""
+    from data_warehouse_spark.io import load_table
+    from data_warehouse_spark.queries.llm_text import x2f_minhash_sparse
+
+    ids = sorted(r.doc_id for r in
+                 load_table(spark, sf_dir, "documents")
+                 .select("doc_id").collect())
+    present = set(ids)
+    want = {(2 * p, 2 * p + 1)
+            for p in range(0, (max(ids) // 2) + 1, 3)
+            if 2 * p in present and 2 * p + 1 in present}
+    rows = x2f_minhash_sparse(spark, sf_dir).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    assert set(got) == want
+    assert all(j == 0.933333 for j in got.values()), got
     """Two identical documents share one span covering the whole text."""
     from data_warehouse_spark.operators.dedup import shared_spans
 

@@ -29,13 +29,13 @@ MUST_BE_WINDOWED = {
     "x14_token_budget_sample", "x14b_token_budget_scalable",
     # (b) round-10 code changes
     "x16b_span_removal", "dq1b_validation_sketch",
-    "x16c_span_dedup_sparse",
+    "x16c_span_dedup_sparse", "x2f_minhash_sparse",
+    "x2_minhash_lsh",
     "dq1_validation_report",
     "a8_approx_agg", "a12_sketch_rollup", "f7_current_timestamp",
     "u9_time_travel", "u9b_snapshot_diff",
-    # (c) backfill (r8 vintage; udf2 displaced by x16c)
-    "j9_spatial_join", "a13_histogram", "f5_cast", "f6_date_format",
-    "f12_case", "f13_url_parse",
+    # (c) backfill (r8 vintage; udf2/f6/f12 displaced by x16c/x2f/x2)
+    "j9_spatial_join", "a13_histogram", "f5_cast", "f13_url_parse",
 }
 
 

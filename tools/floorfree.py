@@ -134,6 +134,12 @@ DEFAULT_QUERIES = {
     # span per third id-pair), so amplification grows match volume
     # LINEARLY and both engines do identical work at every multiplier
     "x16c_span_dedup_sparse": (64, 256),
+    # round-10: the MinHash family's first honest scale lane — x2's
+    # oracle-side quadratic blowup is documented above; x2f's sparse
+    # corpus keeps gram overlap linear AND its oracle replays the
+    # banding itself (an LSH miss is engine-identical, so the cells
+    # stay same-work at any pair count)
+    "x2f_minhash_sparse": (64, 256, 1024),
     # round-10 (VERDICT r9 ask #4): the validation report without the
     # exact-distinct cliff — sketch uniqueness rides the one row-rule
     # aggregate on BOTH engines (DuckDB's approx_count_distinct in the
