@@ -16,6 +16,9 @@ driver-side similarity matrices.
 
 from __future__ import annotations
 
+import itertools
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -27,6 +30,9 @@ from data_warehouse_spark.io import spread_for_compute
 # which enforces the same over-cap drop without materializing a group
 # (r11 advice fix: the task-memory bound is enforced, not documented).
 GROUPED_PAIRS_CAP_MAX = 4096
+
+# per-call sequence for shared_spans' multi-pass scratch subdirs
+_PASS_SEQ = itertools.count()
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -464,7 +470,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def shared_spans(df: DataFrame, text_col: str, id_col: str,
                  min_span: int = 40,
-                 max_hash_df: int | None = None) -> DataFrame:
+                 max_hash_df: int | None = None,
+                 n_passes: int = 1) -> DataFrame:
     """X16: cross-document exact repeated-span (substring) dedup — the
     Lee et al. 2022 "Deduplicating Training Data Makes Language Models
     Better" exact-substring family: find every MAXIMAL character span
@@ -496,6 +503,26 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
     hashes seen more than that many times BEFORE the pair join (the
     Lee et al. repeated-substring frequency cap); both the cap and its
     effect replay exactly in the SQL oracle. None = exact everywhere.
+
+    `n_passes` (r11, VERDICT r10 ask #1) bounds the SINGLE-NODE DISK
+    footprint of the fingerprint shuffle: pass k re-runs the map-only
+    explode and keeps only windows with ``pmod(h, n_passes) = k``, so
+    each pass's shuffle spill is ~1/K of the single-pass volume; the
+    per-pass pair reports are materialized (tiny: match volume) and
+    unioned before the islands merge. EXACT by hash-range
+    disjointness: the per-pass groupBy(h) sees every entry of each of
+    its hashes (the filter is a function of h alone), so group
+    contents, the df-cap decision, and the emitted pair multiset are
+    identical to single-pass; the islands merge runs ONCE over the
+    union, so maximal spans never fragment at pass boundaries. Cost:
+    K x explode CPU (~15% of wall at 256x) for a K x smaller spill —
+    the lever that turned x16c@1024x from a measured ENOSPC (63 GB
+    spill vs 47 GB free, SCALE.md round-10) into a measured cell.
+    Requires the grouped-pairs cap (<= GROUPED_PAIRS_CAP_MAX): the
+    uncapped path's localCheckpoint holds the FULL fingerprint table
+    on disk, which defeats the decomposition. On a real cluster the
+    same role is played by executor-local disks; K passes are the
+    single-box stand-in.
     """
     from data_warehouse_spark.functions.colref import qcol
     from data_warehouse_spark.functions.text import md5_60
@@ -513,7 +540,7 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
                     F.explode(win_hash).alias("wh"))
             .select("doc_id", F.col("wh.pos").alias("pos"),
                     F.col("wh.h").alias("h")))
-    if max_hash_df is not None and max_hash_df <= GROUPED_PAIRS_CAP_MAX:
+    def _grouped_pairs(wsub: DataFrame) -> DataFrame:
         # Grouped-pairs plan (round 10): the df cap bounds every
         # surviving hash group at <= max_hash_df entries, so the pair
         # join collapses into ONE shuffle — groupBy(h).collect_list,
@@ -533,7 +560,7 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
         # keep-join + streaming self-join branch below, which honors
         # the same drop-over-cap semantics without ever collecting a
         # group into an array.
-        entries = (wins.groupBy("h")
+        entries = (wsub.groupBy("h")
                    .agg(F.collect_list(F.struct("doc_id", "pos"))
                         .alias("es"))
                    .filter((F.size("es") >= 2)
@@ -553,7 +580,43 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
                                    b["doc_id"].alias("doc_b"),
                                    a["pos"].alias("pos_a"),
                                    b["pos"].alias("pos_b")))))
-        hits = entries.select(F.explode(pairs).alias("p")).select("p.*")
+        return entries.select(F.explode(pairs).alias("p")).select("p.*")
+
+    grouped = (max_hash_df is not None
+               and max_hash_df <= GROUPED_PAIRS_CAP_MAX)
+    if n_passes > 1:
+        if not grouped:
+            raise ValueError(
+                "n_passes > 1 requires a grouped-pairs df cap "
+                f"(max_hash_df <= {GROUPED_PAIRS_CAP_MAX}): the "
+                "uncapped path checkpoints the full fingerprint "
+                "table, defeating the per-pass disk bound")
+        from data_warehouse_spark.scratch import process_dir
+        spark = df.sparkSession
+        # unique dir per call (a shared wiped-per-call tag would break
+        # a previously returned DataFrame that still reads its pass
+        # files); bounded: pair reports are match-volume-sized and the
+        # parent process_dir is reaped atexit + on orphan sweep
+        base = os.path.join(process_dir("dws_scratch"),
+                            f"span_passes_{next(_PASS_SEQ)}")
+        paths = []
+        for k in range(n_passes):
+            hk = _grouped_pairs(
+                wins.filter(F.pmod(F.col("h"), F.lit(n_passes)) == k))
+            p = os.path.join(base, f"pass{k}")
+            hk.write.mode("overwrite").parquet(p)
+            paths.append(p)
+            # Drop the pass's plan and prompt the JVM ContextCleaner
+            # to delete its shuffle files BEFORE the next pass spills:
+            # without this, all K passes' shuffle files coexist and
+            # the decomposition saves nothing. Cleanup is async, so
+            # the budget below still assumes two passes may briefly
+            # coexist (2 x spill/K must fit free disk).
+            del hk
+            spark._jvm.System.gc()
+        hits = spark.read.parquet(*paths)
+    elif grouped:
+        hits = _grouped_pairs(wins)
     else:
         # Exact-everywhere path (no cap), and the routing target for
         # caps ABOVE GROUPED_PAIRS_CAP_MAX: group sizes are unbounded
@@ -600,7 +663,8 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
 
 def remove_shared_spans(df: DataFrame, text_col: str, id_col: str,
                         min_span: int = 40,
-                        max_hash_df: int | None = None) -> DataFrame:
+                        max_hash_df: int | None = None,
+                        n_passes: int = 1) -> DataFrame:
     """X16b: excise the spans shared_spans detects — the cleaned corpus
     a training run actually consumes (Lee et al. 2022 clip the shared
     substrings out; X16 alone only reports them).
@@ -610,6 +674,16 @@ def remove_shared_spans(df: DataFrame, text_col: str, id_col: str,
     of the text survives in the lowest-id document that carries it.
     (Lee et al.'s strictest variant drops every occurrence; that is
     the same pipeline with the doc_a side unioned into the cut list.)
+
+    FIXED POINT (r11, property-tested in tests/test_properties.py):
+    one pass is idempotent when no shared span nests inside another —
+    excision then returns the victim to text whose adjacencies all
+    pre-existed. It is NOT idempotent in general: a splice junction
+    can CREATE a >=min_span match (cut S out of u+S+v and u+v becomes
+    adjacent; if u+v matches another doc — e.g. a span planted inside
+    another span — pass 2 finds it). Pipelines needing a guaranteed
+    clean corpus iterate until sum(n_cut) = 0; convergence is fast
+    because every pass strictly shrinks total corpus length.
 
     Shape, all pure column expressions (no UDF):
       1. cut list: (doc_id=doc_b, [b_start, b_start+span_len)) from
@@ -633,8 +707,8 @@ def remove_shared_spans(df: DataFrame, text_col: str, id_col: str,
     case: most of a deduped corpus has no 40-char verbatim overlap).
     Text moves through exactly one map stage; it is never shuffled.
     """
-    spans = shared_spans(df, text_col, id_col,
-                         min_span=min_span, max_hash_df=max_hash_df)
+    spans = shared_spans(df, text_col, id_col, min_span=min_span,
+                         max_hash_df=max_hash_df, n_passes=n_passes)
     cuts = (spans.select(
                 F.col("doc_b").alias("__sid"),
                 F.col("b_start").cast("int").alias("s"),

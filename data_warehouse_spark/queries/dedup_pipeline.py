@@ -132,3 +132,113 @@ def x12_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("id").alias("doc_id"))
     return docs.join(F.broadcast(drop), on="doc_id", how="left_anti") \
                .select("doc_id", "lang", "n_chars")
+
+
+# Planted-diameter chain construction shared by x8b/x12b (r11, VERDICT
+# r10 ask #3): consecutive doc_ids form chains of length
+# L = max(2, ceil(log2(n_docs))), so amplifying the corpus grows the
+# component DIAMETER — and with it the propagation ROUND COUNT, the
+# one scale dimension x8/x12's clique-like sf0.1 graphs (diameter 2-4
+# at every multiplier) never probe. doc_ids are dense 0..n-1 in the
+# fixtures AND stay dense under the floorfree salt (id*n + copy is a
+# bijection onto 0..n*mult-1), so chain membership floor(id / L) is
+# well-defined at every multiplier; both engines derive L from their
+# own COUNT(*), and ceil(log2(.)) is float-safe across engines because
+# the only inputs where 1-ulp error could flip the ceiling are exact
+# powers of two, where log2 is exact (fixture counts 500*m / 5000*m
+# carry a factor 5^3+ and are never powers of two anyway).
+_CHAIN_EDGES_SQL = """
+    SELECT a.doc_id AS a, b.doc_id AS b
+    FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id + 1
+    CROSS JOIN chains
+    WHERE a.doc_id // L = b.doc_id // L
+"""
+
+_CHAIN_REACH_SQL = """
+chains AS (
+    SELECT GREATEST(2, CAST(CEIL(LOG2(COUNT(*))) AS BIGINT)) AS L
+    FROM documents
+), edges0 AS (
+""" + _CHAIN_EDGES_SQL + """
+), edges AS (
+    SELECT a, b FROM edges0 UNION ALL SELECT b, a FROM edges0
+), reach (id, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+)"""
+
+
+def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # parquet-metadata count, no scan
+    chain_len = max(2, math.ceil(math.log2(n)))
+    a, b = docs.alias("a"), docs.alias("b")
+    return (a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            .filter(F.floor(F.col("a.doc_id") / chain_len)
+                    == F.floor(F.col("b.doc_id") / chain_len))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b")))
+
+
+@register(
+    "x8b_components_sparse",
+    oracle="WITH RECURSIVE " + _CHAIN_REACH_SQL + """
+SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
+""",
+    doc="X8b [ext]: connected components on the PLANTED-DIAMETER "
+        "sparse lane — the scale evidence x8's 0.12x sf0.1 reading "
+        "can't supply (its near-dup graphs are clique-like, so "
+        "min-label propagation converges in 2-4 rounds at EVERY "
+        "multiplier; this lane's chain length ceil(log2(n)) makes "
+        "round count itself grow with amplification: 9 rounds at "
+        "sf0.01, 13 at sf0.1, 23 at 1024x). Spark runs the identical "
+        "operators/graph.py loop the production x8 uses — one "
+        "shuffle join + groupBy per round, label table checkpointed, "
+        "driver traffic one scalar per round; the DuckDB oracle runs "
+        "its native iterative mechanism (recursive CTE) over the "
+        "same edges, making the cell an iterative-engine vs "
+        "iterative-engine comparison at matched O(n * diameter) work. "
+        "Total label volume stays n * rounds, so the lane is "
+        "disk-honest at every multiplier.",
+    tags=("ext", "dedup", "graph"),
+)
+def x8b_components_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _chain_edges(spark, sf_dir)
+    comp = connected_components(edges, "id_a", "id_b", max_iters=64)
+    return comp.select(F.col("id").alias("doc_id"), "component_id")
+
+
+@register(
+    "x12b_dedup_corpus_sparse",
+    oracle="WITH RECURSIVE " + _CHAIN_REACH_SQL + """
+, dupes AS (
+    SELECT id FROM (SELECT id, MIN(r) AS cid FROM reach GROUP BY id)
+    WHERE id <> cid
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d LEFT JOIN dupes ON d.doc_id = dupes.id
+WHERE dupes.id IS NULL
+""",
+    doc="X12b [ext]: the end-to-end dedup deliverable on the planted-"
+        "diameter lane — x8b's components feed the keep-min-id policy "
+        "and the drop-list anti-joins back against the corpus. The "
+        "drop-list here is (L-1)/L of the corpus (every chain keeps "
+        "one doc), deliberately NOT broadcast-small like x12's "
+        "duplicate tail: the anti join must hold up when dedup "
+        "removes most of the corpus, the worst case a crawl-heavy "
+        "training pipeline actually hits. AQE picks the join "
+        "strategy from the runtime drop-list size instead of the "
+        "broadcast hint x12 hard-codes.",
+    tags=("ext", "dedup", "graph"),
+)
+def x12b_dedup_corpus_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(_chain_edges(spark, sf_dir),
+                                "id_a", "id_b", max_iters=64)
+    drop = comp.filter(F.col("id") != F.col("component_id")) \
+               .select(F.col("id").alias("doc_id"))
+    return docs.join(drop, on="doc_id", how="left_anti") \
+               .select("doc_id", "lang", "n_chars")

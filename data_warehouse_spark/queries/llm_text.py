@@ -792,8 +792,18 @@ def x16c_span_dedup_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.concat(F.substr(body, F.lit(1), head_len), span,
                         F.substr(body, head_len + 1)))
         .otherwise(body).alias("text"))
+    # K-pass disk bound (r11, VERDICT r10 ask #1): the corpus is 512-
+    # 640 chars/doc (~550 windows/doc after the min_span-1 haircut),
+    # ~20 B/window in the fingerprint shuffle. One pass per 8e8
+    # windows caps per-pass spill at ~16 GB — at 1024x (5.12M docs,
+    # ~2.9B windows) that is 4 passes vs the single-pass 63 GB ENOSPC
+    # measured in round 10; at <=256x this evaluates to 1 pass, so the
+    # recorded 64x/256x cells and the sf0.01 parity plan are
+    # unchanged. ids.count() is a parquet-metadata count (no scan).
+    n_docs = ids.count()
+    n_passes = max(1, -(-n_docs * 550 // 800_000_000))
     return shared_spans(corpus, "text", "doc_id", min_span=40,
-                        max_hash_df=64)
+                        max_hash_df=64, n_passes=n_passes)
 
 
 def _x2f_oracle_sql() -> str:

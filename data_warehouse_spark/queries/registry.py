@@ -56,62 +56,58 @@ _QUERY_MODULES = [
 # This list IS the round's window, in order; load_all() puts these names
 # first and everything else after, in registration order.
 #
-# Round-10 rotation (VERDICT.md round-9 ask #1): COMPLETE the driver-
-# archive rotation program — after this round no query's last driver
-# row predates r8, and future windows only need to cover changed code
-# plus the oldest third:
-#   (a) the r7 cohort — the 35 queries whose latest driver row is r7
-#       (all green in the round-9 judge's full parity run; their
-#       archive rows are the last predating r8);
-#   (b) every query whose CODE changed in round 10: x16b (new:
-#       repeated-span REMOVAL), dq1b (new: sketch-uniqueness
-#       validation), x16c (new: x16 over the sparse-sharing synthetic
-#       corpus — the honest scale lane), x2f (new: MinHash over the
-#       sparse corpus with the banding itself replayed in the
-#       oracle), x2 (minhash operators gained the hash_family
-#       parameter), dq1 (log/rules refactored into shared helpers),
-#       a8 (certified bound 4 rsd + the exact-distinct branch split
-#       out of the sketch aggregate — the 14 s ObjectHashAggregate
-#       sort-fallback fix), a12 (4 rsd; null-safe certification join;
-#       n_days skips NULL days), f7 (freeze-compare hi widened to
-#       24 h), u9/u9b (snapshot lock release compares a per-
-#       acquisition (pid, inode, mtime_ns) token);
-#   (c) backfill with the oldest remaining rows (r8 vintage): j9 (the
-#       heaviest r8 composite), a13/f5/f13 scalars.
-# Queries added or changed during round 10 displace (c) — never (a)-(b).
+# Round-11 rotation (VERDICT.md round-10 ask #2): window = every query
+# whose CODE changed in round 11 + the r8 cohort, the oldest third of
+# the archive (40 queries whose latest driver row is CORRECTNESS_r08 —
+# computed from the archive files, matching the verdict's enumeration).
+# After this round no query's driver row predates r9.
+#   (a) the r8 cohort: streaming block st1-st11 (+u3, its foreachBatch
+#       sibling), udf1-4, mm1-mm4, x1/x2c/x2d/x2e/x3/x3b/x3c/x4/
+#       x5/x5b/x5c/x6/x7/x8/x9/x10/x12, a7, j10, f6, f12 — all green
+#       in the r10 judge's full parity re-run; hygiene, not risk;
+#   (b) round-11 code changes: x16/x16b/x16c (shared_spans grew the
+#       large-cap keep-join routing — the grouped-pairs task-memory
+#       bound is now enforced, not documented), dq1b (oracle mirrors
+#       the NULL-is-one-key struct wrap via ROW(event_id)), f7 (the
+#       envelope is read at EXECUTION by a 1-row mapInPandas stamp —
+#       tight again without failing cached plans), u9/u9b (lock
+#       release takes identity + body off one fd via fstat), x8b/x12b
+#       (new: connected components / end-to-end dedup on the planted-
+#       diameter sparse lane — amplification grows propagation ROUND
+#       COUNT, the scale dimension x8/x12's sf0.1 readings don't
+#       probe). mm3/mm4 gained floor-free cells without code changes,
+#       so they ride their r11 window slots in the (a) cohort.
+# Changed queries displace r8-cohort backfill only if the count
+# exceeds 50 — it does not this round (40 + 10 = 50).
 DRIVER_WINDOW = [
-    # (a) r7 cohort
-    "s2_rest_json_source", "s3_parallel_fetch", "s4_csv_roundtrip",
-    "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
-    "s9_jsonl_roundtrip", "s10_orc_roundtrip",
-    "u5_delete_keys", "u6_compaction",
-    "j6_asof_join", "j11_fact_fact_join", "j12_bucketed_fact_join",
-    "e3_enriched_trips",
-    "p3_between_computed", "p5_or_inequality",
-    "a3_global_agg", "a9_pivot",
-    "o1_global_sort", "o2_topk", "o2_topk_per_group",
-    "set1_union_all", "set2_union_distinct", "set3_intersect",
-    "set4_except",
-    "w4_running_agg",
-    "f1_timezone", "f2_epoch_diff", "f3_haversine", "f8_strings",
-    "f9_json", "f10_null_handling", "f11_arrays",
-    "x14_token_budget_sample", "x14b_token_budget_scalable",
-    # (b) round-10 code changes
-    "x16b_span_removal", "dq1b_validation_sketch",
-    "x16c_span_dedup_sparse", "x2f_minhash_sparse",
-    "x2_minhash_lsh",
-    "dq1_validation_report",
-    "a8_approx_agg", "a12_sketch_rollup", "f7_current_timestamp",
+    # (a) r8 cohort
+    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
+    "st4_session_window", "st5_watermark_late_drop", "st6_stream_dedup",
+    "st8_custom_stateful", "st9_stream_stream_join",
+    "st10_stream_static_join", "st11_dedup_retries",
+    "u3_microbatch_write",
+    "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
+    "udf4_udtf_words",
+    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
+    "mm4_feature_ann",
+    "x1_exact_dedup", "x2c_ngram_jaccard", "x2d_cosine_lsh",
+    "x2e_incremental_dedup",
+    "x3_cosine_topk", "x3b_ivf_topk", "x3c_multi_topk",
+    "x4_pairwise_sim",
+    "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
+    "x6_token_freq", "x7_tfidf", "x8_dup_components",
+    "x9_stratified_split", "x10_repetition_filter", "x12_dedup_corpus",
+    "a7_salted_agg", "j10_star_join", "f6_date_format", "f12_case",
+    # (b) round-11 code changes
+    "x16_span_dedup", "x16b_span_removal", "x16c_span_dedup_sparse",
+    "dq1b_validation_sketch", "f7_current_timestamp",
     "u9_time_travel", "u9b_snapshot_diff",
-    # (c) backfill: oldest remaining (r8) rows (udf2/f6/f12 displaced
-    # by the x16c/x2f/x2 additions, per the displace-(c)-never-(a)/(b)
-    # rule)
-    "j9_spatial_join", "a13_histogram", "f5_cast", "f13_url_parse",
+    "x8b_components_sparse", "x12b_dedup_corpus_sparse",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
-# Queries added or code-changed DURING round 10 must displace backfill
-# (c) entries so the "every changed query is windowed" claim stays
-# true against the CORRECTNESS_r10 keys.
+# Queries added or code-changed DURING round 11 must be appended to
+# (b) — displacing (a) backfill only past 50 — so the "every changed
+# query is windowed" claim stays true against the CORRECTNESS_r11 keys.
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

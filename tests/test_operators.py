@@ -124,6 +124,25 @@ def test_x16_shared_spans_planted_exact_bounds(spark):
     assert shared_spans(df3, "text", "doc_id", min_span=40,
                         max_hash_df=big).count() == 3  # (1,2)(1,3)(2,3)
 
+    # K-pass hash-range decomposition (r11): identical span report —
+    # per-pass groupBy(h) sees every entry of its hashes, the union of
+    # pass pair-reports is the single-pass multiset, and the islands
+    # merge runs once so maximal spans never fragment across passes.
+    # n_passes=3 doesn't divide the hash space evenly and 7 exceeds
+    # the distinct-window count of some docs — both must still agree.
+    for np_ in (3, 7):
+        multi = sorted(map(tuple, shared_spans(
+            df3, "text", "doc_id", min_span=40,
+            max_hash_df=64, n_passes=np_).collect()))
+        single = sorted(map(tuple, shared_spans(
+            df3, "text", "doc_id", min_span=40,
+            max_hash_df=64).collect()))
+        assert multi == single and len(single) == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        shared_spans(df3, "text", "doc_id", min_span=40,
+                     max_hash_df=None, n_passes=2)
+
 
 def test_x16b_span_removal_planted(spark):
     """X16b (round-10): planted spans VANISH from the pair's higher

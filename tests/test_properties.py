@@ -656,3 +656,126 @@ def test_colref_quoting_pathological_names(spark):
                                        min_span=40).collect()}
         assert cleaned[1] == "x" * 30 + shared   # first copy kept
         assert cleaned[2] == "z" * 41, (tcol, icol)
+
+
+def test_span_removal_idempotent_on_planted_and_junction_exception(spark):
+    """X16b fixed-point property (r11, VERDICT r10 ask #5): running
+    remove_shared_spans on its own output produces zero cuts for
+    planted corpora — keep-first excision leaves at most one copy of
+    every >=min_span shared span, so a second pass finds nothing.
+
+    The one class where idempotence genuinely FAILS (documented, not
+    papered over): a splice junction can CREATE a new >=min_span
+    match — cutting S out of u+S+v makes u+v adjacent, and if u+v
+    happens to equal a window of another doc, pass 2 finds it. One
+    natural instance: a shared span planted INSIDE another shared
+    span (u+v = the outer span, S = the inner) — cutting the inner
+    splices the outer back together; an early version of this test's
+    random planting did exactly that by inserting into the already-
+    planted body. The counterexample below constructs the class
+    directly and asserts pass 2 cuts ONCE then pass 3 is clean;
+    pipelines needing a guaranteed fixed point iterate until
+    sum(n_cut) = 0 (Lee et al. 2022 run exact-substring dedup to
+    convergence for the same reason). The random trials therefore
+    plant at distinct ORIGINAL-body offsets, right-to-left, so spans
+    may touch but never nest — the regime where idempotence is the
+    theorem: excision returns the victim to its unique original
+    body, restoring only adjacencies that already existed."""
+    import hashlib
+    import random
+
+    from data_warehouse_spark.operators.dedup import remove_shared_spans
+
+    def md5_stream(tag: str, n_hex: int) -> str:
+        out = []
+        i = 0
+        while sum(len(s) for s in out) < n_hex:
+            out.append(hashlib.md5(f"{tag}-{i}".encode()).hexdigest())
+            i += 1
+        return "".join(out)[:n_hex]
+
+    def rerun(df):
+        out = remove_shared_spans(df, "text", "doc_id", min_span=40)
+        again = out.selectExpr("doc_id", "text_clean AS text")
+        n2 = remove_shared_spans(again, "text", "doc_id", min_span=40)
+        return out, n2
+
+    # randomized planted corpora: unique md5-stream bodies, shared
+    # spans planted across random pairs/triples at random offsets,
+    # some overlapping within one victim doc
+    rng = random.Random(1106)
+    for trial in range(3):
+        spans = [md5_stream(f"sp{trial}-{k}", rng.randrange(48, 160))
+                 for k in range(6)]
+        rows = []
+        for d in range(24):
+            body = md5_stream(f"doc{trial}-{d}", rng.randrange(200, 500))
+            # plant 0-3 shared spans at distinct ORIGINAL-body offsets,
+            # inserted right-to-left: spans may touch, never nest (a
+            # nested plant is the documented junction class below)
+            chosen = rng.sample(spans, rng.randrange(0, 4))
+            ats = sorted((rng.randrange(0, len(body) + 1)
+                          for _ in chosen), reverse=True)
+            for s, at in zip(chosen, ats):
+                body = body[:at] + s + body[at:]
+            rows.append((d, body))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        _, second = rerun(df)
+        leftover = second.agg(F.sum("n_cut")).collect()[0][0]
+        assert leftover == 0, f"trial {trial}: second pass cut {leftover}"
+
+    # the junction counterexample: W = u+v lives in doc 1; doc 2 is
+    # u + S + v with S shared with doc 1 -> pass 1 cuts S from doc 2,
+    # splicing u+v = W into existence; pass 2 cuts W; pass 3 clean
+    S = md5_stream("junction-S", 64)
+    W = md5_stream("junction-W", 40)
+    u, v = W[:20], W[20:]
+    filler = "q" * 60
+    d1 = S + filler + W
+    d2 = u + S + v
+    df = spark.createDataFrame([(1, d1), (2, d2)],
+                               "doc_id long, text string")
+    first, second = rerun(df)
+    assert {r.doc_id: r.n_cut for r in first.collect()} == {1: 0, 2: 1}
+    spliced = dict((r.doc_id, r.text_clean) for r in first.collect())
+    assert spliced[2] == W  # the junction recreated W verbatim
+    assert second.agg(F.sum("n_cut")).collect()[0][0] == 1  # NOT idempotent
+    third_in = second.selectExpr("doc_id", "text_clean AS text")
+    third = remove_shared_spans(third_in, "text", "doc_id", min_span=40)
+    assert third.agg(F.sum("n_cut")).collect()[0][0] == 0  # converged
+
+
+def test_chain_lane_components_closed_form(spark):
+    """X8b lane construction (r11): on dense ids 0..n-1 with chain
+    length L = max(2, ceil(log2(n))), the component of id is
+    floor(id/L)*L — asserted against the actual min-label propagation
+    output, plus the lane's two scale claims: singleton tail chains
+    drop out (no edges), and L grows with n (the planted-diameter
+    dimension)."""
+    import math
+
+    from data_warehouse_spark.operators.graph import connected_components
+
+    for n in (23, 64, 300):
+        L = max(2, math.ceil(math.log2(n)))
+        docs = spark.range(n).selectExpr("id AS doc_id")
+        a, b = docs.alias("a"), docs.alias("b")
+        edges = (a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+                 .filter(F.floor(F.col("a.doc_id") / L)
+                         == F.floor(F.col("b.doc_id") / L))
+                 .select(F.col("a.doc_id").alias("id_a"),
+                         F.col("b.doc_id").alias("id_b")))
+        comp = {r.id: r.component_id
+                for r in connected_components(edges, "id_a", "id_b",
+                                              max_iters=64).collect()}
+        expect = {i: (i // L) * L for i in range(n)
+                  if n - (i // L) * L >= 2 or (i // L) * L + L <= n}
+        # drop singleton tail chain (a chain with exactly 1 node has
+        # no edges and never enters the component table)
+        expect = {i: c for i, c in expect.items()
+                  if min(L, n - c) >= 2}
+        assert comp == expect, n
+    # diameter dimension: L strictly grows across the floorfree lane
+    mults = [5000, 5000 * 64, 5000 * 256, 5000 * 1024]
+    Ls = [max(2, math.ceil(math.log2(m))) for m in mults]
+    assert Ls == sorted(set(Ls)) and Ls[-1] == 23
