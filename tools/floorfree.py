@@ -164,6 +164,20 @@ DEFAULT_QUERIES = {
     # multimodal: real PNG encode->decode->resize plan over the blob
     # Arrow tier; DuckDB replays the deterministic dims arithmetic
     "mm2_image_resize": (16, 64, 256, 1024),
+    # round-11 (VERDICT r10 ask #4): the two remaining multimodal
+    # queries — mm3 frame-index explode and mm4 decode->feature->top-k
+    # — both map-only over the blob tier, oracles replay the
+    # deterministic arithmetic, so amplified cells are same-work
+    "mm3_frame_sample": (16, 64, 256, 1024),
+    "mm4_feature_ann": (16, 64, 256, 1024),
+    # round-11 (VERDICT r10 ask #3): iterative connected components on
+    # the PLANTED-DIAMETER chain lane — chain length ceil(log2(n))
+    # grows the propagation round count with amplification (13 rounds
+    # at 1x -> 23 at 1024x), the dimension x8/x12's clique-like sf0.1
+    # graphs never probe; the DuckDB oracle iterates its recursive CTE
+    # over the same edges (same O(n * diameter) label volume)
+    "x8b_components_sparse": (16, 64, 256),
+    "x12b_dedup_corpus_sparse": (16, 64, 256),
     "j6_asof_join": (16, 64, 256, 1024),
     "u1_upsert": (16, 64, 256, 1024),
     "x7_tfidf": (16, 64, 256, 1024),
@@ -192,15 +206,22 @@ DIVERGENCE_CAPS = {"x2c_ngram_jaccard": 8,
                    # x13's oracle at 4096x only completes STANDALONE
                    # (peak 111 GB RSS)
                    "x13_decontaminate": 1024,
-                   # 1024x = 3.15B fingerprints: Spark's one shuffle
-                   # needs ~63 GB of spill vs 47 GB free (measured
-                   # ENOSPC r10); DuckDB's wins CTE is the same rows.
-                   # Recorded as a disk_refusal cell in FLOORFREE.json
-                   "x16c_span_dedup_sparse": 256}
+                   # r11: the K-pass hash-range decomposition (x16c
+                   # picks ceil(windows/8e8) passes; operators/
+                   # dedup.py shared_spans n_passes) bounds Spark's
+                   # per-pass spill to ~16 GB, so 1024x (3.15B
+                   # fingerprints, the r10 single-pass ENOSPC) now
+                   # completes; the cap moves to 1024 because 4096x
+                   # (12.6B windows) would need ~16 passes of explode
+                   # CPU on Spark AND DuckDB's monolithic wins CTE
+                   # (~300 GB) has no equivalent lever — the oracle
+                   # side is the wall, as at 1024x
+                   "x16c_span_dedup_sparse": 1024}
 CAP_REASONS = {"u1_upsert": "DuckDB oracle OOMs the box",
                "x13_decontaminate": "DuckDB oracle OOMs co-resident",
                "x16c_span_dedup_sparse":
-                   "both engines exceed the box's free disk"}
+                   "DuckDB wins CTE exceeds the box's disk; Spark-"
+                   "side K-pass measured through 1024x"}
 
 SALT_KEYS = {
     "lineitem": ["l_orderkey"],
@@ -360,19 +381,33 @@ def main() -> int:
                 dt = time.time() - t0
                 cell["spark_s"] = min(cell["spark_s"] or dt, dt)
             cell["spark_rows"] = spec.fn(spark, amp_dirs[m]).count()
-            for _ in range(args.runs):
-                t0 = time.time()
-                rows = cons[m].execute(spec.oracle).fetchall()
-                dt = time.time() - t0
-                cell["duckdb_s"] = min(cell["duckdb_s"] or dt, dt)
-            cell["duckdb_rows"] = len(rows)
+            try:
+                for _ in range(args.runs):
+                    t0 = time.time()
+                    rows = cons[m].execute(spec.oracle).fetchall()
+                    dt = time.time() - t0
+                    cell["duckdb_s"] = min(cell["duckdb_s"] or dt, dt)
+                cell["duckdb_rows"] = len(rows)
+            except (duckdb.Error, OSError, MemoryError) as e:
+                # an oracle refusal (ENOSPC spill, OOM) is a RESULT,
+                # not a harness crash: record the u1-style asymmetric
+                # cell — Spark's wall stands, DuckDB's refusal message
+                # and time-to-refusal are the evidence (r11; keeps a
+                # 20-min Spark measurement from dying with the oracle)
+                cell["duckdb_s"] = None
+                cell["duckdb_rows"] = None
+                cell["duckdb_refusal"] = (
+                    f"{type(e).__name__} after {time.time() - t0:.0f}s: "
+                    + " ".join(str(e).split())[:500])
             # ratio from RAW values: rounding duckdb_s first can make
             # it 0.000 for a sub-ms oracle run and divide by zero
-            cell["ratio"] = round(cell["spark_s"] / cell["duckdb_s"], 2)
+            cell["ratio"] = (round(cell["spark_s"] / cell["duckdb_s"], 2)
+                             if cell["duckdb_s"] else None)
             cell["floor_pct_of_spark"] = round(
                 100 * floor_s / cell["spark_s"], 1)
             cell["spark_s"] = round(cell["spark_s"], 3)
-            cell["duckdb_s"] = round(cell["duckdb_s"], 3)
+            if cell["duckdb_s"] is not None:
+                cell["duckdb_s"] = round(cell["duckdb_s"], 3)
             # per-cell provenance: merged files can carry cells from
             # different runs/sources, so the top-level src/runs only
             # describe the LATEST run
