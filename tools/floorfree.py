@@ -176,8 +176,8 @@ DEFAULT_QUERIES = {
     # at 1x -> 23 at 1024x), the dimension x8/x12's clique-like sf0.1
     # graphs never probe; the DuckDB oracle iterates its recursive CTE
     # over the same edges (same O(n * diameter) label volume)
-    "x8b_components_sparse": (16, 64, 256),
-    "x12b_dedup_corpus_sparse": (16, 64, 256),
+    "x8b_components_sparse": (16, 64, 256, 1024),
+    "x12b_dedup_corpus_sparse": (16, 64, 256, 1024),
     "j6_asof_join": (16, 64, 256, 1024),
     "u1_upsert": (16, 64, 256, 1024),
     "x7_tfidf": (16, 64, 256, 1024),
