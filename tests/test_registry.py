@@ -6,40 +6,38 @@ from __future__ import annotations
 
 from data_warehouse_spark.queries.registry import DRIVER_WINDOW, load_all
 
-# Round-10 window (VERDICT.md round-9 ask #1): complete the rotation —
-# the r7 cohort (the last driver rows predating r8), every round-10
-# code change, r8-vintage backfill. Composition rationale lives next
-# to DRIVER_WINDOW in queries/registry.py.
+# Round-11 window (VERDICT.md round-10 ask #2): the r8 cohort — the
+# oldest third of the archive, 40 queries whose latest driver row is
+# CORRECTNESS_r08 — plus every round-11 code change. Composition
+# rationale lives next to DRIVER_WINDOW in queries/registry.py.
 MUST_BE_WINDOWED = {
-    # (a) r7 cohort
-    "s2_rest_json_source", "s3_parallel_fetch", "s4_csv_roundtrip",
-    "s5_append_sink", "s6_ddl_table", "s8_partition_pruned_scan",
-    "s9_jsonl_roundtrip", "s10_orc_roundtrip",
-    "u5_delete_keys", "u6_compaction",
-    "j6_asof_join", "j11_fact_fact_join", "j12_bucketed_fact_join",
-    "e3_enriched_trips",
-    "p3_between_computed", "p5_or_inequality",
-    "a3_global_agg", "a9_pivot",
-    "o1_global_sort", "o2_topk", "o2_topk_per_group",
-    "set1_union_all", "set2_union_distinct", "set3_intersect",
-    "set4_except",
-    "w4_running_agg",
-    "f1_timezone", "f2_epoch_diff", "f3_haversine", "f8_strings",
-    "f9_json", "f10_null_handling", "f11_arrays",
-    "x14_token_budget_sample", "x14b_token_budget_scalable",
-    # (b) round-10 code changes
-    "x16b_span_removal", "dq1b_validation_sketch",
-    "x16c_span_dedup_sparse", "x2f_minhash_sparse",
-    "x2_minhash_lsh",
-    "dq1_validation_report",
-    "a8_approx_agg", "a12_sketch_rollup", "f7_current_timestamp",
+    # (a) r8 cohort
+    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
+    "st4_session_window", "st5_watermark_late_drop", "st6_stream_dedup",
+    "st8_custom_stateful", "st9_stream_stream_join",
+    "st10_stream_static_join", "st11_dedup_retries",
+    "u3_microbatch_write",
+    "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
+    "udf4_udtf_words",
+    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
+    "mm4_feature_ann",
+    "x1_exact_dedup", "x2c_ngram_jaccard", "x2d_cosine_lsh",
+    "x2e_incremental_dedup",
+    "x3_cosine_topk", "x3b_ivf_topk", "x3c_multi_topk",
+    "x4_pairwise_sim",
+    "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
+    "x6_token_freq", "x7_tfidf", "x8_dup_components",
+    "x9_stratified_split", "x10_repetition_filter", "x12_dedup_corpus",
+    "a7_salted_agg", "j10_star_join", "f6_date_format", "f12_case",
+    # (b) round-11 code changes
+    "x16_span_dedup", "x16b_span_removal", "x16c_span_dedup_sparse",
+    "dq1b_validation_sketch", "f7_current_timestamp",
     "u9_time_travel", "u9b_snapshot_diff",
-    # (c) backfill (r8 vintage; udf2/f6/f12 displaced by x16c/x2f/x2)
-    "j9_spatial_join", "a13_histogram", "f5_cast", "f13_url_parse",
+    "x8b_components_sparse", "x12b_dedup_corpus_sparse",
 }
 
 
-def test_driver_window_is_exactly_the_round10_set():
+def test_driver_window_is_exactly_the_round11_set():
     # DRIVER_WINDOW is the explicit first-50 contract; it must hold
     # every query that needs (re-)verification this round and fit the
     # driver's 50-entry budget.
