@@ -71,3 +71,87 @@ def connected_components(edges: DataFrame, src: str, dst: str,
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds")
+
+
+def connected_components_stars(edges: DataFrame, src: str, dst: str,
+                               max_iters: int = 50) -> DataFrame:
+    """(id, component_id) via the ALTERNATING large-star/small-star
+    algorithm (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond" — the public two-phase algorithm): round count is
+    O(log^2 n) REGARDLESS of graph diameter, vs min-label
+    propagation's rounds = diameter. Same output contract as
+    connected_components (component_id = min reachable id; isolated
+    nodes absent).
+
+    When to use which: near-dup clusters are clique-like (diameter
+    2-4), where min-label's 2-4 cheap rounds beat stars' 3-shuffle
+    iterations; chains/web-graph shapes (diameter >> log n) invert
+    that completely — at diameter D, min-label runs D rounds while
+    stars runs ~log D alternations (x8c's lane measures the
+    crossover: D=256 means 257 min-label rounds vs 7 alternations).
+
+    Each alternation is three bounded shuffles (two groupBy-min +
+    distinct), all on the CURRENT edge set, which only shrinks
+    (toward the star forest whose centers are the component minima):
+
+      large-star: for every node u with neighborhood N(u), connect
+        each v in N(u) with v > u to m = min(N(u) + {u}) — strictly
+        larger nodes re-hang under the local minimum;
+      small-star: orient every edge to (hi, lo); for hi's
+        lo-neighborhood N, connect each v in N + {hi} except the
+        minimum to that minimum.
+
+    Both phases preserve connectivity and never raise any node's
+    reachable minimum; termination = the edge set reaches the star
+    fixpoint (large-star then changes nothing). Convergence check is
+    an exact exceptAll probe per alternation (one scalar to the
+    driver, same discipline as connected_components' changed-count).
+    Lineage is truncated per alternation with eager localCheckpoint
+    for the same reason as min-label's loop.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .select(F.greatest("u", "v").alias("u"),
+                 F.least("u", "v").alias("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.union(ed.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+        m = (sym.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        return (sym.join(m, on="u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct())
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        ori = ed.select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"))
+        m = ori.groupBy("u").agg(F.min("v").alias("m"))
+        hang = (ori.join(m, on="u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(m.select(F.col("u"), F.col("m").alias("v"))))
+        return (hang.filter(F.col("u") != F.col("v"))
+                .select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"))
+                .distinct())
+
+    for _ in range(max_iters):
+        stepped = small_star(large_star(e)).localCheckpoint(eager=True)
+        changed = (stepped.exceptAll(e).limit(1).count()
+                   or e.exceptAll(stepped).limit(1).count())
+        e = stepped
+        if changed == 0:
+            # star fixpoint: e holds (member, center) with center =
+            # component min; centers label themselves
+            members = e.select(F.col("u").alias("id"),
+                               F.col("v").alias("component_id"))
+            centers = e.select(F.col("v").alias("id")).distinct() \
+                .withColumn("component_id", F.col("id"))
+            return members.union(centers)
+    raise RuntimeError(
+        f"connected_components_stars did not converge in {max_iters} "
+        "alternations")

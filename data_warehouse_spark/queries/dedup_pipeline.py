@@ -242,3 +242,57 @@ def x12b_dedup_corpus_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("id").alias("doc_id"))
     return docs.join(drop, on="doc_id", how="left_anti") \
                .select("doc_id", "lang", "n_chars")
+
+
+_HD_CHAIN = 256  # fixed diameter, independent of corpus size
+
+
+_HD_REACH_SQL = f"""
+edges0 AS (
+    SELECT a.doc_id AS a, b.doc_id AS b
+    FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id // {_HD_CHAIN} = b.doc_id // {_HD_CHAIN}
+), edges AS (
+    SELECT a, b FROM edges0 UNION ALL SELECT b, a FROM edges0
+), reach (id, r) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
+)"""
+
+
+@register(
+    "x8c_components_highdiam",
+    oracle="WITH RECURSIVE " + _HD_REACH_SQL + """
+SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
+""",
+    doc="X8c [ext, r11]: connected components where min-label "
+        "propagation is the WRONG algorithm — chains of FIXED length "
+        "256, so the diameter stays 256 at every corpus size and "
+        "label propagation needs 257 rounds regardless of cluster "
+        "size (the web-graph / long-thread shape, vs x8's clique-like "
+        "near-dup graphs where 2-4 rounds win). Spark runs the "
+        "ALTERNATING large-star/small-star algorithm (Kiveris et al. "
+        "2014; operators/graph.py connected_components_stars): "
+        "O(log^2 n) alternations independent of diameter — 7 "
+        "alternations here vs min-label's 257 rounds, measured in "
+        "SCALE.md. The DuckDB oracle iterates its recursive CTE to "
+        "the same fixpoint (256 iterations — diameter is every "
+        "iterative engine's round count unless the algorithm "
+        "shortcuts it, which is the point).",
+    tags=("ext", "dedup", "graph"),
+)
+def x8c_components_highdiam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.graph import (
+        connected_components_stars,
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a, b = docs.alias("a"), docs.alias("b")
+    edges = (a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+             .filter(F.floor(F.col("a.doc_id") / _HD_CHAIN)
+                     == F.floor(F.col("b.doc_id") / _HD_CHAIN))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")))
+    comp = connected_components_stars(edges, "id_a", "id_b")
+    return comp.select(F.col("id").alias("doc_id"), "component_id")

@@ -75,8 +75,11 @@ _QUERY_MODULES = [
 #       (new: connected components / end-to-end dedup on the planted-
 #       diameter sparse lane — amplification grows propagation ROUND
 #       COUNT, the scale dimension x8/x12's sf0.1 readings don't
-#       probe). mm3/mm4 gained floor-free cells without code changes,
-#       so they ride their r11 window slots in the (a) cohort.
+#       probe), x8c (new: FIXED diameter 256 via the alternating
+#       large/small-star algorithm — Kiveris et al. 2014 — where
+#       min-label's rounds = diameter makes it the wrong tool).
+#       mm3/mm4 gained floor-free cells without code changes, so
+#       they ride their r11 window slots in the (a) cohort.
 # Changed queries displace r8-cohort backfill only if the count
 # exceeds 50 — it does not this round (40 + 10 = 50).
 DRIVER_WINDOW = [
@@ -103,6 +106,7 @@ DRIVER_WINDOW = [
     "dq1b_validation_sketch", "f7_current_timestamp",
     "u9_time_travel", "u9b_snapshot_diff",
     "x8b_components_sparse", "x12b_dedup_corpus_sparse",
+    "x8c_components_highdiam",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
 # Queries added or code-changed DURING round 11 must be appended to

@@ -779,3 +779,31 @@ def test_chain_lane_components_closed_form(spark):
     mults = [5000, 5000 * 64, 5000 * 256, 5000 * 1024]
     Ls = [max(2, math.ceil(math.log2(m))) for m in mults]
     assert Ls == sorted(set(Ls)) and Ls[-1] == 23
+
+
+def test_stars_cc_matches_minlabel_on_random_and_chain_graphs(spark):
+    """connected_components_stars (alternating large/small-star) must
+    produce exactly min-label propagation's output on random sparse
+    graphs, cliques, and — its reason to exist — long chains, where
+    min-label needs diameter rounds and stars needs ~log."""
+    from data_warehouse_spark.operators.graph import (
+        connected_components, connected_components_stars,
+    )
+
+    rng = random.Random(2718)
+    cases = []
+    for _ in range(3):
+        edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+        cases.append([(a, b) for a, b in edges if a != b])
+    cases.append([(i, i + 1) for i in range(100, 180)])      # 81-chain
+    cases.append([(i, j) for i in range(8) for j in range(i)])  # clique
+
+    for k, edges in enumerate(cases):
+        df = spark.createDataFrame(edges, "a long, b long")
+        stars = {r.id: r.component_id for r in
+                 connected_components_stars(df, "a", "b").collect()}
+        # min-label on the 81-chain needs 81 rounds — raise its cap
+        label = {r.id: r.component_id for r in
+                 connected_components(df, "a", "b",
+                                      max_iters=120).collect()}
+        assert stars == label, f"case {k}"

@@ -34,6 +34,7 @@ MUST_BE_WINDOWED = {
     "dq1b_validation_sketch", "f7_current_timestamp",
     "u9_time_travel", "u9b_snapshot_diff",
     "x8b_components_sparse", "x12b_dedup_corpus_sparse",
+    "x8c_components_highdiam",
 }
 
 

@@ -178,6 +178,12 @@ DEFAULT_QUERIES = {
     # over the same edges (same O(n * diameter) label volume)
     "x8b_components_sparse": (16, 64, 256, 1024),
     "x12b_dedup_corpus_sparse": (16, 64, 256, 1024),
+    # round-11: FIXED diameter 256 at every multiplier — Spark runs
+    # alternating large/small-star (rounds ~log, diameter-independent)
+    # while the DuckDB recursion must take all 256 iterations; capped
+    # at 64x because the oracle's reach table is n*diameter rows
+    # (41M at 64x, 164M/657M above — the recursion IS the wall)
+    "x8c_components_highdiam": (16, 64),
     "j6_asof_join": (16, 64, 256, 1024),
     "u1_upsert": (16, 64, 256, 1024),
     "x7_tfidf": (16, 64, 256, 1024),
