@@ -640,7 +640,13 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
                     .filter((F.col("__df") >= 2)
                             & (F.col("__df") <= max_hash_df))
                     .select("h"))
-            wins = wins.join(keep, on="h", how="left_semi")
+            # pin the FILTERED table too: the self-join below would
+            # otherwise evaluate the keep aggregate + semi join once
+            # per side unless Catalyst's exchange reuse happens to
+            # dedupe them (r11 review — same rationale as the explode
+            # pin above)
+            wins = (wins.join(keep, on="h", how="left_semi")
+                    .localCheckpoint(eager=False))
         hits = (wins.alias("a")
                 .join(wins.alias("b"),
                       (F.col("a.h") == F.col("b.h"))

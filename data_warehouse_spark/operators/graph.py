@@ -145,7 +145,31 @@ def connected_components_stars(edges: DataFrame, src: str, dst: str,
                    or e.exceptAll(stepped).limit(1).count())
         e = stepped
         if changed == 0:
-            # star fixpoint: e holds (member, center) with center =
+            # The fixpoint of the COMPOSED step implies a star forest
+            # by the paper's potential argument — but rather than
+            # lean on theory for correctness, CHECK the structure
+            # (one cheap aggregate, convergence-time only): a star
+            # forest means no node sits on both sides (a center is
+            # never someone's member) and each member hangs under
+            # exactly one center. If either fails, keep alternating.
+            bad = (e.select(F.col("u").alias("id"))
+                   .join(e.select(F.col("v").alias("id")).distinct(),
+                         on="id", how="left_semi")
+                   .union(e.groupBy("u").agg(F.count(F.lit(1))
+                                             .alias("c"))
+                          .filter(F.col("c") > 1)
+                          .select(F.col("u").alias("id")))
+                   .limit(1).count())
+            if bad:
+                # changed == 0 means the composed step is already a
+                # fixpoint, so re-iterating would recompute the same
+                # state forever — fail loudly with the REAL condition
+                raise RuntimeError(
+                    "connected_components_stars reached a composed-"
+                    "step fixpoint that is not a star forest — "
+                    "violates the Kiveris et al. convergence "
+                    "invariant; please report the input graph")
+            # star forest: e holds (member, center) with center =
             # component min; centers label themselves
             members = e.select(F.col("u").alias("id"),
                                F.col("v").alias("component_id"))

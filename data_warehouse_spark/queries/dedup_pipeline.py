@@ -147,20 +147,20 @@ def x12_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the only inputs where 1-ulp error could flip the ceiling are exact
 # powers of two, where log2 is exact (fixture counts 500*m / 5000*m
 # carry a factor 5^3+ and are never powers of two anyway).
-_CHAIN_EDGES_SQL = """
+def _reach_sql(chains_select: str) -> str:
+    """One template for both lanes' oracle recursion (r11 review: a
+    fix to the edge construction or the reach recursion must apply to
+    x8b/x12b AND x8c by construction). `chains_select` is the 1-row
+    SELECT producing the chain length L."""
+    return f"""
+chains AS (
+    {chains_select}
+), edges0 AS (
     SELECT a.doc_id AS a, b.doc_id AS b
     FROM documents a
     JOIN documents b ON b.doc_id = a.doc_id + 1
     CROSS JOIN chains
     WHERE a.doc_id // L = b.doc_id // L
-"""
-
-_CHAIN_REACH_SQL = """
-chains AS (
-    SELECT GREATEST(2, CAST(CEIL(LOG2(COUNT(*))) AS BIGINT)) AS L
-    FROM documents
-), edges0 AS (
-""" + _CHAIN_EDGES_SQL + """
 ), edges AS (
     SELECT a, b FROM edges0 UNION ALL SELECT b, a FROM edges0
 ), reach (id, r) AS (
@@ -170,11 +170,20 @@ chains AS (
 )"""
 
 
-def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+_CHAIN_REACH_SQL = _reach_sql(
+    "SELECT GREATEST(2, CAST(CEIL(LOG2(COUNT(*))) AS BIGINT)) AS L\n"
+    "    FROM documents")
+
+
+def _chain_edges(spark: SparkSession, sf_dir: str,
+                 chain_len: int | None = None) -> DataFrame:
+    """Consecutive-id chain edges over documents.doc_id; chain_len
+    None = the planted-diameter rule max(2, ceil(log2(n)))."""
     import math
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()  # parquet-metadata count, no scan
-    chain_len = max(2, math.ceil(math.log2(n)))
+    if chain_len is None:
+        n = docs.count()  # parquet-metadata count, no scan
+        chain_len = max(2, math.ceil(math.log2(n)))
     a, b = docs.alias("a"), docs.alias("b")
     return (a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
             .filter(F.floor(F.col("a.doc_id") / chain_len)
@@ -246,20 +255,7 @@ def x12b_dedup_corpus_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HD_CHAIN = 256  # fixed diameter, independent of corpus size
 
-
-_HD_REACH_SQL = f"""
-edges0 AS (
-    SELECT a.doc_id AS a, b.doc_id AS b
-    FROM documents a
-    JOIN documents b ON b.doc_id = a.doc_id + 1
-    WHERE a.doc_id // {_HD_CHAIN} = b.doc_id // {_HD_CHAIN}
-), edges AS (
-    SELECT a, b FROM edges0 UNION ALL SELECT b, a FROM edges0
-), reach (id, r) AS (
-    SELECT a, a FROM edges
-    UNION
-    SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id
-)"""
+_HD_REACH_SQL = _reach_sql(f"SELECT CAST({_HD_CHAIN} AS BIGINT) AS L")
 
 
 @register(
@@ -287,12 +283,6 @@ def x8c_components_highdiam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_spark.operators.graph import (
         connected_components_stars,
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    a, b = docs.alias("a"), docs.alias("b")
-    edges = (a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
-             .filter(F.floor(F.col("a.doc_id") / _HD_CHAIN)
-                     == F.floor(F.col("b.doc_id") / _HD_CHAIN))
-             .select(F.col("a.doc_id").alias("id_a"),
-                     F.col("b.doc_id").alias("id_b")))
+    edges = _chain_edges(spark, sf_dir, chain_len=_HD_CHAIN)
     comp = connected_components_stars(edges, "id_a", "id_b")
     return comp.select(F.col("id").alias("doc_id"), "component_id")

@@ -797,6 +797,13 @@ def test_stars_cc_matches_minlabel_on_random_and_chain_graphs(spark):
         cases.append([(a, b) for a, b in edges if a != b])
     cases.append([(i, i + 1) for i in range(100, 180)])      # 81-chain
     cases.append([(i, j) for i in range(8) for j in range(i)])  # clique
+    # lollipop: clique 0-5 with a 30-node tail off node 5
+    cases.append([(i, j) for i in range(6) for j in range(i)]
+                 + [(i, i + 1) for i in range(5, 35)])
+    # two chains bridged mid-to-mid (min label enters from the side)
+    cases.append([(i, i + 1) for i in range(200, 230)]
+                 + [(i, i + 1) for i in range(300, 330)]
+                 + [(215, 315)])
 
     for k, edges in enumerate(cases):
         df = spark.createDataFrame(edges, "a long, b long")

@@ -394,12 +394,16 @@ def main() -> int:
                     dt = time.time() - t0
                     cell["duckdb_s"] = min(cell["duckdb_s"] or dt, dt)
                 cell["duckdb_rows"] = len(rows)
-            except (duckdb.Error, OSError, MemoryError) as e:
+            except (duckdb.OutOfMemoryException, duckdb.IOException,
+                    OSError, MemoryError) as e:
                 # an oracle refusal (ENOSPC spill, OOM) is a RESULT,
                 # not a harness crash: record the u1-style asymmetric
                 # cell — Spark's wall stands, DuckDB's refusal message
                 # and time-to-refusal are the evidence (r11; keeps a
-                # 20-min Spark measurement from dying with the oracle)
+                # 20-min Spark measurement from dying with the oracle).
+                # RESOURCE classes only — a parser/binder error in an
+                # oracle must fail the run loudly, never be recorded
+                # as benchmark evidence of a refusal (r11 review)
                 cell["duckdb_s"] = None
                 cell["duckdb_rows"] = None
                 cell["duckdb_refusal"] = (
