@@ -755,3 +755,54 @@ def remove_shared_spans(df: DataFrame, text_col: str, id_col: str,
                     .otherwise(folded).alias("text_clean"),
                     F.coalesce(ncut, F.lit(0).cast("long"))
                     .alias("n_cut")))
+
+
+def remove_shared_spans_to_fixpoint(df: DataFrame, text_col: str,
+                                    id_col: str, min_span: int = 40,
+                                    max_hash_df: int | None = None,
+                                    n_passes: int = 1,
+                                    max_rounds: int = 8) -> DataFrame:
+    """X16b to CONVERGENCE: re-run remove_shared_spans until a round
+    cuts nothing — the guaranteed-clean corpus for pipelines exposed
+    to the splice-junction class (one removal pass is idempotent only
+    when no shared span nests inside another; see remove_shared_spans
+    FIXED POINT note and tests/test_properties.py). Convergence is
+    finite because every non-trivial round strictly shrinks total
+    corpus length; real corpora converge in 1-2 rounds (the junction
+    counterexample takes 3). Returns (id_col, text_clean, n_cut_total,
+    n_rounds) with n_cut_total summed across rounds. Each round
+    materializes the cleaned text with an eager localCheckpoint:
+    round k+1's detection must not re-execute rounds 1..k's excision
+    fold (the x8 lineage-truncation rationale; on a cluster, a real
+    checkpoint dir or an intermediate table plays this role)."""
+    from data_warehouse_spark.functions.colref import qcol
+
+    cur = df.select(qcol(id_col), qcol(text_col).alias("__text"))
+    total = None
+    for rnd in range(1, max_rounds + 1):
+        out = remove_shared_spans(cur, "__text", id_col,
+                                  min_span=min_span,
+                                  max_hash_df=max_hash_df,
+                                  n_passes=n_passes)
+        out = out.localCheckpoint(eager=True)
+        cut = out.agg(F.sum("n_cut")).collect()[0][0] or 0
+        per_round = out.select(qcol(id_col),
+                               F.col("text_clean").alias("__text"),
+                               F.col("n_cut"))
+        total = (per_round.select(qcol(id_col), "__text",
+                                  F.col("n_cut").alias("__total"))
+                 if total is None else
+                 total.drop("__text")
+                 .join(per_round, on=[id_col])
+                 .select(qcol(id_col), "__text",
+                         (F.col("__total") + F.col("n_cut"))
+                         .alias("__total")))
+        cur = total.select(qcol(id_col), "__text")
+        if cut == 0:
+            return total.select(qcol(id_col),
+                                F.col("__text").alias("text_clean"),
+                                F.col("__total").alias("n_cut_total"),
+                                F.lit(rnd).cast("int").alias("n_rounds"))
+    raise RuntimeError(
+        f"span removal did not reach a fixpoint in {max_rounds} "
+        "rounds — adversarially nested corpus; raise max_rounds")

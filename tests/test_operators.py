@@ -1080,3 +1080,42 @@ def test_a8_median_envelope_holds_for_tiny_groups(spark, tmp_path):
     assert out["scroll"].users_within_4rsd is True
     assert out["click"].users_within_4rsd is True
     assert out["click"].exact_users == 2 and out["click"].n == 2
+
+
+def test_span_removal_fixpoint_on_junction_corpus(spark):
+    """remove_shared_spans_to_fixpoint converges on the documented
+    splice-junction corpus (3 rounds: cut S, cut the recreated W,
+    verify clean) and is a no-op pass-through on a clean corpus."""
+    import hashlib
+
+    from data_warehouse_spark.operators.dedup import (
+        remove_shared_spans_to_fixpoint,
+    )
+
+    def stream(tag, n):
+        out = ""
+        i = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{tag}-{i}".encode()).hexdigest()
+            i += 1
+        return out[:n]
+
+    S, W = stream("fxS", 64), stream("fxW", 40)
+    u, v = W[:20], W[20:]
+    df = spark.createDataFrame(
+        [(1, S + "q" * 60 + W), (2, u + S + v)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in remove_shared_spans_to_fixpoint(
+        df, "text", "doc_id", min_span=40).collect()}
+    assert rows[1].text_clean == S + "q" * 60 + W   # first copies kept
+    assert rows[2].text_clean == ""                 # S then W excised
+    assert rows[2].n_cut_total == 2 and rows[1].n_cut_total == 0
+    assert rows[1].n_rounds == 3                    # cut, cut, clean
+
+    clean = spark.createDataFrame(
+        [(1, stream("fa", 120)), (2, stream("fb", 120))],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_shared_spans_to_fixpoint(
+        clean, "text", "doc_id", min_span=40).collect()}
+    assert out[1].n_rounds == 1 and out[1].n_cut_total == 0
+    assert out[1].text_clean == stream("fa", 120)
