@@ -180,10 +180,12 @@ DEFAULT_QUERIES = {
     "x12b_dedup_corpus_sparse": (16, 64, 256, 1024),
     # round-11: FIXED diameter 256 at every multiplier — Spark runs
     # alternating large/small-star (rounds ~log, diameter-independent)
-    # while the DuckDB recursion must take all 256 iterations; capped
-    # at 64x because the oracle's reach table is n*diameter rows
-    # (41M at 64x, 164M/657M above — the recursion IS the wall)
-    "x8c_components_highdiam": (16, 64),
+    # while the DuckDB recursion must take all 256 iterations over a
+    # reach table of n*diameter rows (the recursion IS the wall:
+    # 300.6 s at 256x's 164M rows vs Spark's 20.6 s); 1024x (657M
+    # reach rows, extrapolated ~20+ min oracle) left unmeasured —
+    # the 0.44/0.16/0.07 slope already pins the story
+    "x8c_components_highdiam": (16, 64, 256),
     "j6_asof_join": (16, 64, 256, 1024),
     "u1_upsert": (16, 64, 256, 1024),
     "x7_tfidf": (16, 64, 256, 1024),
