@@ -20,6 +20,85 @@ from data_warehouse_spark.queries.util import money_sum_sql
 
 GAP_SECONDS = 14400  # 4 h; events fixture has ~7.5 h median inter-event gap
 
+# --- Planted valid-trip cohort (round-12, VERDICT r11 ask #1) ---------
+#
+# The driver's correctness gate runs at sf0.01, where the events
+# fixture's inter-event gaps (~7.5 h median) leave ZERO segments inside
+# the reference's 60-3600 s gap window (trips_lambda.py:128) — so every
+# e-family gate row hash-compared two EMPTY results: green, but unable
+# to catch a value regression in the flagship ETL. The fixture dir is
+# read-only, so the fix plants a deterministic cohort ENGINE-SIDE,
+# identically on both sides of the parity check: the Spark chain unions
+# these literal rows onto the events scan, and the oracle SQL unions
+# the same literals via VALUES generated from THIS list (one source of
+# truth — the two sides cannot drift).
+#
+# Design constraints, all load-bearing:
+#   - user_ids are NEGATIVE: no fixture or amplified lane emits one, so
+#     a planted row can never land in a real bike's lag window;
+#   - constant size (3 bikes x 4 pings) at EVERY scale factor: sf0.1
+#     and floor-free lanes shift by exactly +3 trips, a documented
+#     constant, not a scale-dependent perturbation;
+#   - each bike passes every validity gate (trips_lambda.py:128,
+#     160-162): pings 300 s apart (inside 60-3600), moving each step
+#     (value strictly increases => lat changes), 3 segments, 15 min
+#     total duration (inside 1-60), distance > 0;
+#   - values stay < 90 so lat = value % 90 = value bit-exactly in both
+#     engines (no fmod edge); event_ids are chosen so e3's start
+#     longitudes land one bike outside every region band (NULL
+#     enrichment path) and two bikes inside bands 1 and 4 (join path);
+#   - timestamps sit mid-2024, away from any Europe/Zurich DST
+#     transition, so e1c's naive-local-time durations equal e1's.
+_PLANTED_COLS = ("user_id", "event_type", "ts", "value", "event_id")
+_PLANTED_EVENTS: list[tuple[int, str, str, float, int]] = [
+    # bike -1: 'click'; start lon 170.00 -> outside every e3 band
+    (-1, "click", "2024-06-15 10:00:00", 5.05, 900035000),
+    (-1, "click", "2024-06-15 10:05:00", 6.06, 900035010),
+    (-1, "click", "2024-06-15 10:10:00", 7.07, 900035020),
+    (-1, "click", "2024-06-15 10:15:00", 8.08, 900035030),
+    # bike -2: 'error'; start (lat 10.11, lon -150.00) -> e3 band 1
+    (-2, "error", "2024-06-16 08:30:00", 10.11, 900003000),
+    (-2, "error", "2024-06-16 08:35:00", 20.22, 900003010),
+    (-2, "error", "2024-06-16 08:40:00", 30.33, 900003020),
+    (-2, "error", "2024-06-16 08:45:00", 40.44, 900003030),
+    # bike -3: 'purchase'; start (lat 50.55, lon -80.00) -> e3 band 4
+    (-3, "purchase", "2024-07-01 22:10:00", 50.55, 900010000),
+    (-3, "purchase", "2024-07-01 22:15:00", 51.55, 900010012),
+    (-3, "purchase", "2024-07-01 22:20:00", 52.55, 900010024),
+    (-3, "purchase", "2024-07-01 22:25:00", 53.55, 900010036),
+]
+
+
+def _planted_events_df(spark: SparkSession) -> DataFrame:
+    import datetime as dt
+
+    rows = [(u, et, dt.datetime.fromisoformat(ts), v, eid)
+            for u, et, ts, v, eid in _PLANTED_EVENTS]
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, "
+              "value double, event_id long")
+
+
+def events_with_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events scan narrowed to the trip columns + the planted
+    cohort — the input every e-family query derives its fact from."""
+    ev = load_table(spark, sf_dir, "events").select(*_PLANTED_COLS)
+    return ev.unionByName(_planted_events_df(spark))
+
+
+def _planted_events_sql() -> str:
+    """DuckDB twin of events_with_cohort: a derived table the oracle
+    CTE heads read instead of bare `events`."""
+    vals = ",\n      ".join(
+        f"(CAST({u} AS BIGINT), '{et}', TIMESTAMP '{ts}', "
+        f"CAST({v} AS DOUBLE), CAST({eid} AS BIGINT))"
+        for u, et, ts, v, eid in _PLANTED_EVENTS)
+    return (
+        "(SELECT user_id, event_type, ts, value, event_id FROM events\n"
+        "    UNION ALL\n"
+        "    SELECT * FROM (VALUES\n      " + vals + "\n"
+        "    ) AS planted(user_id, event_type, ts, value, event_id))")
+
 
 @register(
     "w5_sessionize",
@@ -106,7 +185,7 @@ WITH trip_data AS (
            lag(ts)  OVER w AS prev_time,
            lag({_E1_LAT}) OVER w AS prev_lat,
            lag({_E1_LON}) OVER w AS prev_lon
-    FROM events
+    FROM {_planted_events_sql()} AS events_planted
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 """ + _E1_SEGMENTS_SQL
@@ -122,7 +201,7 @@ WITH src AS (
     SELECT user_id, event_type, event_id, value, ts AS utc_ts,
            CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Zurich'
                 AS TIMESTAMP) AS ts
-    FROM events
+    FROM {_planted_events_sql()} AS events_planted
 ),
 trip_data AS (
     SELECT user_id AS bike_id, event_type, ts,
@@ -182,7 +261,7 @@ ORDER BY trip_start
     tags=("flagship", "etl"),
 )
 def e1c_trips_localtime(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = (load_table(spark, sf_dir, "events")
+    events = (events_with_cohort(spark, sf_dir)
               .withColumn("__utc_ts", F.col("ts"))
               .withColumn("ts", F.from_utc_timestamp("ts", "Europe/Zurich")))
     return _present_sorted(trips_fact_from(events, order_col="__utc_ts"))
@@ -223,8 +302,9 @@ def _present_sorted(fact: DataFrame) -> DataFrame:
 
 def trips_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The validated trips fact table (reference all_trips,
-    trips_lambda.py:52-84) as a DataFrame chain over the events log."""
-    return trips_fact_from(load_table(spark, sf_dir, "events"))
+    trips_lambda.py:52-84) as a DataFrame chain over the events log
+    (+ the planted cohort — see _PLANTED_EVENTS)."""
+    return trips_fact_from(events_with_cohort(spark, sf_dir))
 
 
 def trips_fact_from(events: DataFrame, order_col: str = "ts") -> DataFrame:
@@ -314,12 +394,22 @@ ORDER BY trip_start
     tags=("flagship", "etl", "bucketed"),
 )
 def e1b_bucketed_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _present_sorted(trips_fact_from(_bucketed_planted_events(spark, sf_dir)))
+
+
+def _bucketed_planted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed events layout WITH the planted cohort folded in at
+    write time (not unioned at read time — a read-time union would put
+    an operator between the bucketed scan and the window, forfeiting
+    the exchange-free/sort-free plan that is e1b/e2b's entire point).
+    The src_table name keys the session cache separately from any
+    unplanted bucketed events layout."""
     from data_warehouse_spark.operators.bucketing import bucketed_view
 
-    events = bucketed_view(spark, sf_dir, "events", load_table,
-                           ["user_id"], 32,
-                           sort_keys=["user_id", "ts", "event_id"])
-    return _present_sorted(trips_fact_from(events))
+    return bucketed_view(
+        spark, sf_dir, "events_planted",
+        lambda s, d, _t: events_with_cohort(s, d),
+        ["user_id"], 32, sort_keys=["user_id", "ts", "event_id"])
 
 
 # --- E3: the fully-enriched fact table -------------------------------
@@ -581,9 +671,4 @@ ORDER BY provider_id
     tags=("etl", "carbon", "bucketed"),
 )
 def e2b_carbon_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_warehouse_spark.operators.bucketing import bucketed_view
-
-    events = bucketed_view(spark, sf_dir, "events", load_table,
-                           ["user_id"], 32,
-                           sort_keys=["user_id", "ts", "event_id"])
-    return _carbon_rollup(trips_fact_from(events))
+    return _carbon_rollup(trips_fact_from(_bucketed_planted_events(spark, sf_dir)))
