@@ -120,14 +120,24 @@ WHERE dupes.id IS NULL
         "broadcasts it: removing duplicates from 100 TB costs one "
         "corpus scan beyond the pair generation itself. Docs that "
         "appear in no near-dup pair never enter the component join at "
-        "all — they stream straight through the anti join.",
+        "all — they stream straight through the anti join. r12: the "
+        "clustering step is connected_components_AUTO — the end-to-end "
+        "form is what a pipeline author calls without knowing their "
+        "pair graph's diameter, so it must self-route (clique-like "
+        "near-dup graphs converge inside the min-label probe and pay "
+        "nothing; a high-diameter graph would contract and hand off "
+        "to alternating-stars instead of silently running "
+        "diameter-many rounds).",
     tags=("ext", "dedup", "graph"),
 )
 def x12_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.graph import (
+        connected_components_auto,
+    )
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id",
                                 block_col="lang", n=2, threshold=0.1)
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components_auto(pairs, "id_a", "id_b")
     drop = comp.filter(F.col("id") != F.col("component_id")) \
                .select(F.col("id").alias("doc_id"))
     return docs.join(F.broadcast(drop), on="doc_id", how="left_anti") \
@@ -285,4 +295,37 @@ def x8c_components_highdiam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = _chain_edges(spark, sf_dir, chain_len=_HD_CHAIN)
     comp = connected_components_stars(edges, "id_a", "id_b")
+    return comp.select(F.col("id").alias("doc_id"), "component_id")
+
+
+@register(
+    "x8d_components_auto",
+    oracle="WITH RECURSIVE " + _HD_REACH_SQL + """
+SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id
+""",
+    doc="X8d [ext, r12]: connected components via AUTOMATIC algorithm "
+        "routing (operators/graph.py connected_components_auto — "
+        "VERDICT r11 ask #4) on the worst case for a wrong choice: "
+        "x8c's fixed diameter-256 chains, where min-label propagation "
+        "needs 257 rounds and alternating-stars needs ~7. The router "
+        "probes with min-label for 8 rounds, detects non-convergence, "
+        "CONTRACTS the graph by the partial labels (each label "
+        "already covers up to 8 chain hops, so the quotient graph is "
+        "~8x smaller than what a stars restart would process), and "
+        "hands the quotient to the stars loop; the final join maps "
+        "every node through its partial label to the component "
+        "minimum. Identical oracle to x8c — the router must produce "
+        "bit-identical components to the explicitly-chosen algorithm. "
+        "On clique-like graphs (x8/x12's regime) the probe converges "
+        "in 2-4 rounds and the stars machinery never runs, so the "
+        "auto form is safe to call as a default at either extreme "
+        "(measured both regimes in SCALE.md round-12).",
+    tags=("ext", "dedup", "graph"),
+)
+def x8d_components_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.graph import (
+        connected_components_auto,
+    )
+    edges = _chain_edges(spark, sf_dir, chain_len=_HD_CHAIN)
+    comp = connected_components_auto(edges, "id_a", "id_b")
     return comp.select(F.col("id").alias("doc_id"), "component_id")

@@ -814,3 +814,42 @@ def test_stars_cc_matches_minlabel_on_random_and_chain_graphs(spark):
                  connected_components(df, "a", "b",
                                       max_iters=120).collect()}
         assert stars == label, f"case {k}"
+
+
+def test_auto_cc_matches_minlabel_on_all_regimes(spark):
+    """connected_components_auto must equal min-label's output on every
+    graph shape, whichever path it takes internally: cliques converge
+    inside the probe budget (pure min-label path), chains exhaust it
+    and route through label-contraction + stars, and the mixed
+    lollipop exercises the contraction with a partially-collapsed
+    clique head. probe_rounds=4 forces the fallback on every
+    diameter>4 case; probe_rounds high enough to converge must also
+    agree (both-paths-same-answer)."""
+    import random
+
+    from data_warehouse_spark.operators.graph import (
+        connected_components, connected_components_auto,
+    )
+
+    rng = random.Random(1414)
+    cases = []
+    for _ in range(2):
+        edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+        cases.append([(a, b) for a, b in edges if a != b])
+    cases.append([(i, i + 1) for i in range(100, 160)])      # 61-chain
+    cases.append([(i, j) for i in range(8) for j in range(i)])  # clique
+    cases.append([(i, j) for i in range(6) for j in range(i)]   # lollipop
+                 + [(i, i + 1) for i in range(5, 30)])
+    cases.append([(i, i + 1) for i in range(200, 220)]       # bridged chains
+                 + [(i, i + 1) for i in range(300, 320)]
+                 + [(210, 310)])
+
+    for k, edges in enumerate(cases):
+        df = spark.createDataFrame(edges, "a long, b long")
+        want = {r.id: r.component_id for r in
+                connected_components(df, "a", "b", max_iters=120).collect()}
+        for probe in (4, 128):
+            got = {r.id: r.component_id for r in
+                   connected_components_auto(df, "a", "b",
+                                             probe_rounds=probe).collect()}
+            assert got == want, f"case {k} probe {probe}"
