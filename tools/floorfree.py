@@ -182,10 +182,10 @@ DEFAULT_QUERIES = {
     # alternating large/small-star (rounds ~log, diameter-independent)
     # while the DuckDB recursion must take all 256 iterations over a
     # reach table of n*diameter rows (the recursion IS the wall:
-    # 300.6 s at 256x's 164M rows vs Spark's 20.6 s); 1024x (657M
-    # reach rows, extrapolated ~20+ min oracle) left unmeasured —
-    # the 0.44/0.16/0.07 slope already pins the story
-    "x8c_components_highdiam": (16, 64, 256),
+    # 300.6 s at 256x's 164M rows vs Spark's 20.6 s). 1024x added in
+    # r12 (VERDICT r11 ask #5): both sides MEASURED, or Spark's wall +
+    # a captured refusal — no more extrapolated oracle estimate
+    "x8c_components_highdiam": (16, 64, 256, 1024),
     "j6_asof_join": (16, 64, 256, 1024),
     "u1_upsert": (16, 64, 256, 1024),
     "x7_tfidf": (16, 64, 256, 1024),
@@ -237,6 +237,31 @@ SALT_KEYS = {
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+}
+
+# Value verification (round-12, VERDICT r11 ask #2): when the oracle
+# completes, both result sets are pulled and compared with the parity
+# harness's order-insensitive column-name-sorted discipline, so a value
+# drift on the amplified lanes — exactly where K-pass routing, AQE
+# strategy flips, and spill paths activate — fails the cell instead of
+# hiding behind a row-count match. Above the cap the pull itself would
+# dominate the measurement host's memory (u1@1024x materializes a
+# 153.6M-row result state), so the cell records an explicit skip note
+# (row count still compared) rather than silently not checking.
+VALUES_ROW_CAP = 6_000_000
+
+# Approx-class exemptions: queries whose outputs are engine-specific
+# sketch ESTIMATES at amplified cardinalities. dq1b's uniqueness column
+# is HLL-family on both sides (Spark approx_count_distinct vs DuckDB
+# approx_count_distinct(ROW(...))): the estimates agree at the sf0.01
+# gate's cardinality (hash-verified there) but legitimately drift apart
+# as amplification grows the true distinct count; the cell records the
+# exemption string instead of a vacuous true/false.
+VALUES_EXEMPT = {
+    "dq1b_validation_sketch":
+        "HLL sketch estimates are engine-specific at amplified "
+        "cardinalities; exact-value parity is enforced at the sf0.01 "
+        "gate (CORRECTNESS hash_match)",
 }
 
 
@@ -317,6 +342,14 @@ def main() -> int:
                     help="comma list: amplify only these tables (disk "
                          "lever for very large mults; queries touching "
                          "unbuilt tables fail loudly)")
+    ap.add_argument("--values-only", action="store_true",
+                    help="verify values for EXISTING cells without "
+                         "re-timing them: one untimed execution per "
+                         "side, merge values_match/values_note into "
+                         "the recorded cell, keep its timings. Safe "
+                         "to run under CPU contention (nothing is "
+                         "measured); refusal cells are skipped (no "
+                         "oracle result exists to compare).")
     args = ap.parse_args()
 
     specs = load_all()
@@ -354,13 +387,103 @@ def main() -> int:
     spark.range(1).write.format("noop").mode("overwrite").save()
     floor_s = round(time.time() - t0, 3)
 
-    mult_set = sorted({m for ms in plan.values() for m in ms})
-    only_tables = ([t for t in args.tables.split(",") if t]
-                   if args.tables else None)
-    amp_dirs = {m: build_amplified(spark, args.src, args.out, m,
-                                   tables=only_tables)
-                for m in mult_set}
-    cons = {m: duck_con(d) for m, d in amp_dirs.items()}
+    if args.values_only:
+        # plan = every RECORDED cell of the requested queries (still
+        # divergence-capped), and never build fixtures: completing a
+        # partial --tables amp dir into a full build here could blow
+        # the disk; a cell whose amp dir is gone is skipped loudly.
+        import hashlib
+        src_tag = hashlib.md5(args.src.encode()).hexdigest()[:8]
+        plan = {}
+        for q in args.queries.split(","):
+            cap = DIVERGENCE_CAPS.get(q)
+            ms = tuple(sorted(
+                int(m) for m in results.get(q, {})
+                if cap is None or int(m) <= cap))
+            if ms:
+                plan[q] = ms
+        mult_set = sorted({m for ms in plan.values() for m in ms})
+        amp_dirs, cons = {}, {}
+        for m in mult_set:
+            d = f"{args.out}/{src_tag}_amp{m}"
+            if not Path(d).exists():
+                print(f"amp dir missing, cells at {m}x skipped: {d}",
+                      file=sys.stderr)
+                plan = {q: tuple(x for x in ms if x != m)
+                        for q, ms in plan.items()}
+                continue
+            amp_dirs[m] = d
+            cons[m] = duck_con(d)
+    else:
+        mult_set = sorted({m for ms in plan.values() for m in ms})
+        only_tables = ([t for t in args.tables.split(",") if t]
+                       if args.tables else None)
+        amp_dirs = {m: build_amplified(spark, args.src, args.out, m,
+                                       tables=only_tables)
+                    for m in mult_set}
+        cons = {m: duck_con(d) for m, d in amp_dirs.items()}
+
+    if args.values_only:
+        # Verify values for already-recorded cells WITHOUT re-timing:
+        # re-measuring under dev-loop CPU contention would overwrite
+        # clean timings with noisy ones, and the value check needs no
+        # clock — one untimed execution per side, merge the verdict
+        # (and the current row counts) into the recorded cell.
+        from tools.parity import compare
+        for q, mults in plan.items():
+            spec = specs[q]
+            if spec.oracle is None:
+                continue
+            for m in mults:
+                cell = results.get(q, {}).get(str(m))
+                if cell is None:
+                    print(f"  {q}@{m}x: no recorded cell — run a "
+                          "timed pass first", file=sys.stderr)
+                    continue
+                if any(k in cell for k in
+                       ("duckdb_refusal", "duckdb_oom", "disk_refusal")):
+                    print(f"  {q}@{m}x: refusal cell, skipped",
+                          file=sys.stderr)
+                    continue
+                if q in VALUES_EXEMPT:
+                    cell["values_match"] = "exempt"
+                    cell["values_note"] = VALUES_EXEMPT[q]
+                    print(f"  {q}@{m}x: exempt", file=sys.stderr,
+                          flush=True)
+                else:
+                    set_arrow_batch(spark, ARROW_BATCH_DEFAULT)
+                    duck_pd = cons[m].execute(spec.oracle).df()
+                    cell["duckdb_rows"] = len(duck_pd)
+                    if len(duck_pd) > VALUES_ROW_CAP:
+                        cell["spark_rows"] = spec.fn(
+                            spark, amp_dirs[m]).count()
+                        cell["values_match"] = "skipped"
+                        cell["values_note"] = (
+                            f"oracle rows {len(duck_pd)} > cap "
+                            f"{VALUES_ROW_CAP}: result pull would "
+                            "dominate host memory; row counts compared")
+                        if cell["spark_rows"] != cell["duckdb_rows"]:
+                            cell["values_match"] = False
+                            cell["values_note"] = "row counts differ"
+                    else:
+                        spark_pd = spec.fn(spark, amp_dirs[m]).toPandas()
+                        cell["spark_rows"] = len(spark_pd)
+                        ok, msg = compare(spark_pd, duck_pd)
+                        cell["values_match"] = bool(ok)
+                        if ok:
+                            cell.pop("values_note", None)
+                        else:
+                            cell["values_note"] = msg
+                        del spark_pd
+                    del duck_pd
+                    print(f"  {q}@{m}x: values_match="
+                          f"{cell['values_match']}", file=sys.stderr,
+                          flush=True)
+                (REPO / "FLOORFREE.json").write_text(json.dumps(
+                    {"floorfree": results, "src": args.src,
+                     "job_floor_s": floor_s, "runs": args.runs,
+                     "partial": True}, indent=2) + "\n")
+        plan = {}
 
     for q, mults in plan.items():
         spec = specs[q]
@@ -388,14 +511,18 @@ def main() -> int:
                     .mode("overwrite").save()
                 dt = time.time() - t0
                 cell["spark_s"] = min(cell["spark_s"] or dt, dt)
-            cell["spark_rows"] = spec.fn(spark, amp_dirs[m]).count()
+            duck_pd = None
             try:
                 for _ in range(args.runs):
                     t0 = time.time()
-                    rows = cons[m].execute(spec.oracle).fetchall()
+                    # .df() is DuckDB's native columnar materialization
+                    # (comparable cost to fetchall, and it IS the form
+                    # the value check needs — no untimed re-execution
+                    # of a 5-minute oracle just to verify values)
+                    duck_pd = cons[m].execute(spec.oracle).df()
                     dt = time.time() - t0
                     cell["duckdb_s"] = min(cell["duckdb_s"] or dt, dt)
-                cell["duckdb_rows"] = len(rows)
+                cell["duckdb_rows"] = len(duck_pd)
             except (duckdb.OutOfMemoryException, duckdb.IOException,
                     OSError, MemoryError) as e:
                 # an oracle refusal (ENOSPC spill, OOM) is a RESULT,
@@ -403,14 +530,53 @@ def main() -> int:
                 # cell — Spark's wall stands, DuckDB's refusal message
                 # and time-to-refusal are the evidence (r11; keeps a
                 # 20-min Spark measurement from dying with the oracle).
-                # RESOURCE classes only — a parser/binder error in an
-                # oracle must fail the run loudly, never be recorded
-                # as benchmark evidence of a refusal (r11 review)
+                # RESOURCE classes only — IOException/OSError also
+                # cover non-resource I/O faults (missing amplified
+                # parquet, bad scratch path), so the MESSAGE must carry
+                # a resource marker or the fault re-raises loudly
+                # instead of masquerading as a measured refusal
+                # (r12, ADVICE r11 item #1). OutOfMemoryException /
+                # MemoryError are resource classes by type.
+                if isinstance(e, (duckdb.IOException, OSError)) and \
+                        not isinstance(e, (duckdb.OutOfMemoryException,
+                                           MemoryError)):
+                    msg = str(e).lower()
+                    markers = ("no space", "enospc", "disk full",
+                               "out of memory", "could not allocate",
+                               "cannot allocate", "failed to allocate")
+                    if not any(t in msg for t in markers):
+                        raise
                 cell["duckdb_s"] = None
                 cell["duckdb_rows"] = None
                 cell["duckdb_refusal"] = (
                     f"{type(e).__name__} after {time.time() - t0:.0f}s: "
                     + " ".join(str(e).split())[:500])
+            # value verification (VERDICT r11 ask #2) — see VALUES_*.
+            # The oracle result's size gates the check BEFORE any extra
+            # Spark execution, and under the cap the Spark pull doubles
+            # as the row count (one extra execution total, not two).
+            if duck_pd is not None and q in VALUES_EXEMPT:
+                cell["spark_rows"] = spec.fn(spark, amp_dirs[m]).count()
+                cell["values_match"] = "exempt"
+                cell["values_note"] = VALUES_EXEMPT[q]
+            elif duck_pd is not None and len(duck_pd) <= VALUES_ROW_CAP:
+                from tools.parity import compare
+                spark_pd = spec.fn(spark, amp_dirs[m]).toPandas()
+                cell["spark_rows"] = len(spark_pd)
+                ok, msg = compare(spark_pd, duck_pd)
+                cell["values_match"] = bool(ok)
+                if not ok:
+                    cell["values_note"] = msg
+                del spark_pd
+            else:
+                cell["spark_rows"] = spec.fn(spark, amp_dirs[m]).count()
+                if duck_pd is not None:
+                    cell["values_match"] = "skipped"
+                    cell["values_note"] = (
+                        f"oracle rows {len(duck_pd)} > cap "
+                        f"{VALUES_ROW_CAP}: result pull would dominate "
+                        "host memory; row counts compared")
+            duck_pd = None  # release before the next cell materializes
             # ratio from RAW values: rounding duckdb_s first can make
             # it 0.000 for a sub-ms oracle run and divide by zero
             cell["ratio"] = (round(cell["spark_s"] / cell["duckdb_s"], 2)
@@ -438,8 +604,9 @@ def main() -> int:
                  "partial": True}, indent=2) + "\n")
 
     print("| query | mult | spark s | duckdb s | spark/duckdb | "
-          "floor % of spark | rows match |")
-    print("|---|---|---|---|---|---|---|")
+          "floor % of spark | rows match | values |")
+    print("|---|---|---|---|---|---|---|---|")
+    any_value_fail = False
     for q, row in results.items():
         for m, c in row.items():
             # refusal cells (duckdb_oom / disk_refusal) carry no floor
@@ -449,14 +616,19 @@ def main() -> int:
             rows_ok = ("refused" if c["spark_rows"] is None
                        or c["duckdb_rows"] is None
                        else c["spark_rows"] == c["duckdb_rows"])
+            vals = c.get("values_match", "-")
+            if vals is False:
+                any_value_fail = True
             print(f"| {q} | {m}x | {c['spark_s']} | {c['duckdb_s']} | "
                   f"{c['ratio']} | {c.get('floor_pct_of_spark', '-')}% | "
-                  f"{rows_ok} |")
+                  f"{rows_ok} | {vals} |")
     payload = {"floorfree": results, "src": args.src,
                "job_floor_s": floor_s, "runs": args.runs}
     print(json.dumps(payload))
     (REPO / "FLOORFREE.json").write_text(json.dumps(payload, indent=2) + "\n")
-    return 0
+    # a value mismatch on an amplified lane is a correctness failure
+    # the sf0.01 gate structurally couldn't see — fail the run
+    return 1 if any_value_fail else 0
 
 
 if __name__ == "__main__":
