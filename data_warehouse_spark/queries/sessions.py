@@ -69,30 +69,35 @@ _PLANTED_EVENTS: list[tuple[int, str, str, float, int]] = [
 ]
 
 
-def _planted_events_df(spark: SparkSession) -> DataFrame:
+def _planted_events_df(spark: SparkSession,
+                       extra: tuple = ()) -> DataFrame:
     import datetime as dt
 
     rows = [(u, et, dt.datetime.fromisoformat(ts), v, eid)
-            for u, et, ts, v, eid in _PLANTED_EVENTS]
+            for u, et, ts, v, eid in (*_PLANTED_EVENTS, *extra)]
     return spark.createDataFrame(
         rows, "user_id long, event_type string, ts timestamp, "
               "value double, event_id long")
 
 
-def events_with_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_with_cohort(spark: SparkSession, sf_dir: str,
+                       extra: tuple = ()) -> DataFrame:
     """The events scan narrowed to the trip columns + the planted
-    cohort — the input every e-family query derives its fact from."""
+    cohort — the input every e-family query derives its fact from.
+    `extra` appends query-family-specific planted rows (e4's January
+    cohort) without disturbing the shared cohort every other e-query
+    sees."""
     ev = load_table(spark, sf_dir, "events").select(*_PLANTED_COLS)
-    return ev.unionByName(_planted_events_df(spark))
+    return ev.unionByName(_planted_events_df(spark, extra))
 
 
-def _planted_events_sql() -> str:
+def _planted_events_sql(extra: tuple = ()) -> str:
     """DuckDB twin of events_with_cohort: a derived table the oracle
     CTE heads read instead of bare `events`."""
     vals = ",\n      ".join(
         f"(CAST({u} AS BIGINT), '{et}', TIMESTAMP '{ts}', "
         f"CAST({v} AS DOUBLE), CAST({eid} AS BIGINT))"
-        for u, et, ts, v, eid in _PLANTED_EVENTS)
+        for u, et, ts, v, eid in (*_PLANTED_EVENTS, *extra))
     return (
         "(SELECT user_id, event_type, ts, value, event_id FROM events\n"
         "    UNION ALL\n"
@@ -672,3 +677,255 @@ ORDER BY provider_id
 )
 def e2b_carbon_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _carbon_rollup(trips_fact_from(_bucketed_planted_events(spark, sf_dir)))
+
+
+# --- E4: the composed daily run (round-12, VERDICT r11 ask #6) --------
+#
+# The registry proves each operator alone; the reference's actual daily
+# cadence COMPOSES them (trips_lambda.py lambda_handler:218-246: window
+# calc -> extract -> sessionize -> upsert; README.md:70). e4 registers
+# that composition as one oracle-checked query: two consecutive daily
+# runs, each = S8 partition-pruned day-window scan -> U2 redelivery
+# dedup -> the e1 trip chain -> J6 as-of weather enrichment -> U1
+# upsert into the U9 versioned store; the returned DataFrame is the
+# committed day-2 state read back through the snapshot manifest.
+#
+# The fixture events span 2024-01-01..01-30, but their inter-event gaps
+# leave the two chosen day windows without natural valid trips at the
+# small gate scales, so e4 plants its own three-bike January extension
+# on top of the shared cohort — one bike per upsert class:
+#   bike -4 rides only day-1's window  -> carried forward untouched;
+#   bike -5 rides the overlap day      -> day-2's version WINS the
+#     upsert (the reference's re-scanned-24h ON CONFLICT DO UPDATE);
+#   bike -6 rides only day-2's window  -> pure insert.
+# Planted event_ids are ODD so the U2 redelivery injection (every even
+# event_id re-arrives with a corrected value; latest wins) exercises
+# dedup on natural rows without perturbing the planted geometry.
+_E4_PLANTED: tuple[tuple[int, str, str, float, int], ...] = (
+    (-4, "signup", "2024-01-15 10:00:00", 12.34, 900020001),
+    (-4, "signup", "2024-01-15 10:05:00", 13.45, 900020011),
+    (-4, "signup", "2024-01-15 10:10:00", 14.56, 900020021),
+    (-4, "signup", "2024-01-15 10:15:00", 15.67, 900020031),
+    (-5, "click", "2024-01-16 09:00:00", 21.11, 900021001),
+    (-5, "click", "2024-01-16 09:05:00", 22.22, 900021011),
+    (-5, "click", "2024-01-16 09:10:00", 23.33, 900021021),
+    (-5, "click", "2024-01-16 09:15:00", 24.44, 900021031),
+    (-6, "error", "2024-01-17 20:00:00", 31.01, 900022001),
+    (-6, "error", "2024-01-17 20:05:00", 32.02, 900022011),
+    (-6, "error", "2024-01-17 20:10:00", 33.03, 900022021),
+    (-6, "error", "2024-01-17 20:15:00", 34.04, 900022031),
+)
+
+# Day-aligned sliding windows, overlapping on 2024-01-16 exactly like
+# the reference's re-scanned 24h window overlaps yesterday's load.
+_E4_W1 = ("2024-01-15", "2024-01-17")
+_E4_W2 = ("2024-01-16", "2024-01-18")
+
+_E4_PART_CACHE: dict[tuple, str] = {}
+
+
+def _e4_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events (+ shared and e4 cohorts) written dt-partitioned once per
+    (sf_dir, fixture mtime) per session — the warehouse ingest layout
+    whose partition pruning makes the daily re-scan O(1 day) at any
+    total size (s8's discipline, including the mtime cache key that
+    survives in-place fixture regeneration)."""
+    import os
+    import tempfile
+
+    from data_warehouse_spark.io import write_partitioned
+
+    key = (sf_dir, os.path.getmtime(f"{sf_dir}/events.parquet"))
+    path = _E4_PART_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="dws_e4_") + "/events_dt"
+        write_partitioned(
+            events_with_cohort(spark, sf_dir, extra=_E4_PLANTED),
+            path, ts_col="ts")
+        _E4_PART_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
+def _e4_days(window: tuple[str, str]) -> list[str]:
+    import datetime as dt
+    d0 = dt.date.fromisoformat(window[0])
+    d1 = dt.date.fromisoformat(window[1])
+    return [(d0 + dt.timedelta(days=i)).isoformat()
+            for i in range((d1 - d0).days)]
+
+
+def e4_daily_batch(spark: SparkSession, sf_dir: str,
+                   window: tuple[str, str],
+                   materialize: bool = True) -> DataFrame:
+    """One day-run's cleaned batch: partition-pruned window scan + U2
+    redelivery dedup, materialized ONCE (lazy localCheckpoint) because
+    both the trip chain and the weather branch read it — e3's
+    execute-the-chain-once discipline (test_plans.py).
+    `materialize=False` returns the raw chain so plan tests can assert
+    the scan shape the checkpoint would otherwise hide."""
+    from data_warehouse_spark.operators.merge import dedup_latest
+
+    ev = _e4_partitioned_events(spark, sf_dir)
+    win = (ev.filter(F.col("dt").isin(_e4_days(window)))
+           .select(*_PLANTED_COLS))
+    # at-least-once redelivery: every even event_id arrives again with
+    # a corrected value; dedup_latest keeps the latest (max) version
+    # per observation id — U2's operator under deterministic keys.
+    # The duplicate copies are exploded out of the ONE window scan (a
+    # union of two filtered scans would read the day partition twice —
+    # Catalyst shares no common subtree across union branches).
+    batch = (win.withColumn("__copy", F.explode(
+                F.when(F.col("event_id") % 2 == 0,
+                       F.array(F.lit(0), F.lit(1)))
+                .otherwise(F.array(F.lit(0)))))
+             .withColumn("value",
+                         F.when(F.col("__copy") == 1,
+                                F.col("value") + 1000000)
+                         .otherwise(F.col("value")))
+             .drop("__copy"))
+    deduped = dedup_latest(batch, keys=["user_id", "ts", "event_id"],
+                           order_col="value")
+    return deduped.localCheckpoint(eager=False) if materialize else deduped
+
+
+def _e4_daily_run(spark: SparkSession, sf_dir: str,
+                  window: tuple[str, str], tag: str) -> DataFrame:
+    """One reference daily run over `window`: cleaned batch -> e1 trip
+    chain -> as-of weather enrichment, tagged with the run id."""
+    from data_warehouse_spark.operators.joins import asof_join
+
+    batch = e4_daily_batch(spark, sf_dir, window)
+    trips = trips_fact_from(batch) \
+        .withColumn("region_id", F.col("bike_id") % 5)
+    weather = (batch.filter(F.col("event_type") == "view")
+               .groupBy((F.col("event_id") % 5).alias("region_id"),
+                        F.col("ts").alias("w_ts"))
+               .agg(F.round(F.max(F.col("value") % 40), 6)
+                    .alias("temperature"),
+                    F.max(F.col("event_id") % 300).alias("aqi")))
+    out = asof_join(trips, weather, on="region_id",
+                    left_ts="trip_start", right_ts="w_ts",
+                    value_cols=["temperature", "aqi"])
+    return out.select(
+        "bike_id", "provider_id", "trip_start", "trip_end",
+        "total_duration", "total_distance", "segment_count",
+        "temperature", "aqi", F.lit(tag).alias("run"))
+
+
+def _e4_day_sql(p: str, window: tuple[str, str], tag: str) -> str:
+    """DuckDB replay of one daily run, CTE names prefixed `{p}_` so two
+    runs compose in one WITH chain. Mirrors _E1_SEGMENTS_SQL's chain
+    over the windowed+deduped batch, then the weather ASOF."""
+    return f"""
+{p}_win AS (
+    SELECT user_id, event_type, ts, value, event_id
+    FROM {_planted_events_sql(_E4_PLANTED)} AS ev
+    WHERE ts >= TIMESTAMP '{window[0]} 00:00:00'
+      AND ts <  TIMESTAMP '{window[1]} 00:00:00'
+),
+{p}_dedup AS (
+    SELECT user_id, event_type, ts, MAX(value) AS value, event_id
+    FROM (
+        SELECT * FROM {p}_win
+        UNION ALL
+        SELECT user_id, event_type, ts, value + 1000000, event_id
+        FROM {p}_win WHERE event_id % 2 = 0
+    )
+    GROUP BY user_id, event_type, ts, event_id
+),
+{p}_td AS (
+    SELECT user_id AS bike_id, event_type, ts,
+           {_E1_LAT} AS lat, {_E1_LON} AS lon,
+           lag(ts)  OVER w AS prev_time,
+           lag({_E1_LAT}) OVER w AS prev_lat,
+           lag({_E1_LON}) OVER w AS prev_lon
+    FROM {p}_dedup
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+{p}_seg AS (
+    SELECT bike_id, event_type,
+           ts AS end_time, prev_time AS start_time,
+           (epoch_us(ts) - epoch_us(prev_time)) AS seg_us,
+           {haversine_km_sql('prev_lat', 'prev_lon', 'lat', 'lon')} AS distance_km
+    FROM {p}_td
+    WHERE prev_time IS NOT NULL
+      AND (epoch_us(ts) - epoch_us(prev_time)) / 1000000.0 BETWEEN 60 AND 3600
+      AND (prev_lat != lat OR prev_lon != lon)
+),
+{p}_agg AS (
+    SELECT bike_id,
+           MIN(event_type) AS provider_id,
+           MIN(start_time) AS trip_start, MAX(end_time) AS trip_end,
+           CAST(SUM(seg_us) AS BIGINT) / 60000000.0 AS total_duration,
+           ROUND(SUM(distance_km), 6) AS total_distance,
+           COUNT(*) AS segment_count
+    FROM {p}_seg
+    GROUP BY bike_id
+),
+{p}_fact AS (
+    SELECT *, bike_id % 5 AS region_id FROM {p}_agg
+    WHERE total_duration >= 1 AND total_duration <= 60
+      AND total_distance > 0 AND segment_count >= 2
+),
+{p}_weather AS (
+    SELECT event_id % 5 AS region_id, ts AS w_ts,
+           ROUND(MAX(value % 40), 6) AS temperature,
+           CAST(MAX(event_id % 300) AS BIGINT) AS aqi
+    FROM {p}_dedup WHERE event_type = 'view'
+    GROUP BY 1, 2
+),
+{p}_out AS (
+    SELECT f.bike_id, f.provider_id, f.trip_start, f.trip_end,
+           f.total_duration, f.total_distance, f.segment_count,
+           w.temperature, w.aqi, '{tag}' AS run
+    FROM {p}_fact f
+    ASOF LEFT JOIN {p}_weather w
+      ON f.region_id = w.region_id AND f.trip_start >= w.w_ts
+)"""
+
+
+@register(
+    "e4_daily_run",
+    oracle="WITH " + _e4_day_sql("d1", _E4_W1, "d1") + ","
+           + _e4_day_sql("d2", _E4_W2, "d2") + """
+SELECT * FROM (
+    SELECT * FROM d1_out o
+    WHERE NOT EXISTS (SELECT 1 FROM d2_out n
+                      WHERE n.bike_id = o.bike_id
+                        AND n.trip_start = o.trip_start)
+    UNION ALL
+    SELECT * FROM d2_out
+)
+""",
+    doc="E4 [r12]: the composed ETL DAY — the reference's actual "
+        "recurring job (trips_lambda.py:218-246) under one registry "
+        "entry, not operator-by-operator: day-window partition-pruned "
+        "scan (S8) -> at-least-once redelivery dedup (U2) -> the e1 "
+        "trip-reconstruction chain (W5/E1) -> as-of weather enrichment "
+        "(J6) -> upsert into the snapshot-versioned trips store "
+        "(U1 + U9, PK (bike_id, trip_start) exactly the reference's ON "
+        "CONFLICT key), run for two consecutive overlapping windows; "
+        "the result is the committed day-2 state read back through the "
+        "manifest. The planted January cohort puts one bike in each "
+        "upsert class (carry-forward / overlap-update / insert). "
+        "Per-day plan discipline: the cleaned batch is checkpointed "
+        "once and feeds BOTH the trip chain and the weather branch, so "
+        "each day costs exactly one (pruned) scan — asserted in "
+        "tests/test_plans.py.",
+    tags=("flagship", "etl", "upsert"),
+)
+def e4_daily_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.merge import upsert
+    from data_warehouse_spark.operators.snapshots import (
+        read_snapshot, write_snapshot,
+    )
+    from data_warehouse_spark.queries.util import scratch_dir
+
+    table_dir = scratch_dir("e4_state")
+    d1 = _e4_daily_run(spark, sf_dir, _E4_W1, "d1")
+    write_snapshot(d1, table_dir)
+    v1 = read_snapshot(spark, table_dir, 1)
+    d2 = _e4_daily_run(spark, sf_dir, _E4_W2, "d2")
+    v2 = upsert(v1, d2, keys=["bike_id", "trip_start"])
+    write_snapshot(v2, table_dir)
+    return read_snapshot(spark, table_dir, 2)

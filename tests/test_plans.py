@@ -327,3 +327,30 @@ def test_e3_executes_the_trips_chain_once(spark):
     assert len(events_scans) == 1, (
         f"expected exactly the weather branch's events scan, got "
         f"{len(events_scans)} — the trips chain is re-deriving inline")
+
+
+def test_e4_day_batch_is_one_pruned_scan_and_state_reads_checkpoints(spark):
+    """E4's per-day discipline (r12, VERDICT r11 ask #6): the cleaned
+    batch is exactly ONE scan of the dt-partitioned events copy with
+    the day window pushed into PartitionFilters (the reference's 24h
+    re-scan costs O(1 day) at any table size), and the composed final
+    state reads only checkpoints + snapshot parquet — no events scan
+    may reappear in the end-to-end plan (each day's batch feeds both
+    the trip chain and the weather branch through its checkpoint)."""
+    from data_warehouse_spark.queries.sessions import _E4_W1, e4_daily_batch
+
+    raw = e4_daily_batch(spark, SF, _E4_W1, materialize=False)
+    plan = executed_plan(raw)
+    scans = [ln for ln in plan.splitlines()
+             if "Scan parquet" in ln and "events" in ln]
+    assert len(scans) == 1, f"expected 1 events_dt scan, got {len(scans)}"
+    assert "PartitionFilters: [dt" in scans[0], (
+        "day window not pushed to partition pruning")
+
+    e4 = load_all()["e4_daily_run"].fn(spark, SF)
+    final = executed_plan(e4)
+    ev_scans = [ln for ln in final.splitlines()
+                if "Scan parquet" in ln and "events" in ln]
+    assert not ev_scans, (
+        "composed e4 plan re-derives the events chain inline instead "
+        "of reading the committed snapshot")
