@@ -801,9 +801,20 @@ def x16c_span_dedup_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recorded 64x/256x cells and the sf0.01 parity plan are
     # unchanged. ids.count() is a parquet-metadata count (no scan).
     n_docs = ids.count()
-    n_passes = max(1, -(-n_docs * 550 // 800_000_000))
     return shared_spans(corpus, "text", "doc_id", min_span=40,
-                        max_hash_df=64, n_passes=n_passes)
+                        max_hash_df=64, n_passes=x16c_n_passes(n_docs))
+
+
+def x16c_n_passes(n_docs: int) -> int:
+    """K-pass routing threshold as a named, testable rule (r12, VERDICT
+    r11 ask #8 — SCALE.md's bounded-spill claim is machine-checked in
+    tests/test_operators.py, not just documented): one explode pass per
+    8e8 fingerprint windows (~550/doc on the x16c corpus, ~20 B/window
+    in the shuffle) caps per-pass spill at ~16 GB. <=256x amplification
+    evaluates to 1 pass (single-pass plan unchanged); 1024x (5.12M
+    docs, ~2.9B windows) routes to 4 passes — the single-pass form
+    ENOSPC'd at 63 GB in round 10."""
+    return max(1, -(-n_docs * 550 // 800_000_000))
 
 
 def _x2f_oracle_sql() -> str:

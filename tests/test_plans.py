@@ -354,3 +354,38 @@ def test_e4_day_batch_is_one_pruned_scan_and_state_reads_checkpoints(spark):
     assert not ev_scans, (
         "composed e4 plan re-derives the events chain inline instead "
         "of reading the committed snapshot")
+
+
+def test_x14b_window_is_chunked_not_single_reducer(spark):
+    """SCALE.md's x14b claim, machine-checked (r12, VERDICT r11 ask
+    #8): the per-ROW running-sum window must be partitioned by
+    (stratum, chunk) — parallelism strata x chunks — never by the
+    stratum alone, which would serialize each stratum's full data on
+    one reducer. The only stratum-alone window allowed is the offsets
+    pass over the chunk-count-sized subtotal table, which then reaches
+    the data through a broadcast join."""
+    df = q(spark, "x14b_token_budget_scalable")
+    plan = executed_plan(df)
+    row_windows = [ln for ln in plan.splitlines()
+                   if "windowspecdefinition(" in ln and " k#" in ln]
+    assert row_windows, "per-row window (ordered by key k) not found"
+    for ln in row_windows:
+        assert "__chunk" in ln, (
+            "per-row window lost its chunk partition — single reducer "
+            f"per stratum is back: {ln.strip()[:200]}")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan and "broadcast" in plan.lower(), (
+        "chunk offsets no longer broadcast back to the data")
+
+
+def test_x16c_kpass_routing_thresholds():
+    """The K-pass bounded-spill routing rule (SCALE.md): 1 pass
+    through 256x amplification (recorded single-pass cells stay
+    valid), first threshold at ~1.45M docs, 4 passes at the 1024x
+    corpus that ENOSPC'd single-pass in round 10."""
+    from data_warehouse_spark.queries.llm_text import x16c_n_passes
+
+    assert x16c_n_passes(5_000) == 1            # sf0.1
+    assert x16c_n_passes(1_280_000) == 1        # 256x: 7.04e8 windows
+    assert x16c_n_passes(1_454_545) == 1        # last single-pass size
+    assert x16c_n_passes(1_454_546) == 2        # first 2-pass size
+    assert x16c_n_passes(5_120_000) == 4        # 1024x: ~2.9e9 windows
