@@ -471,7 +471,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 def shared_spans(df: DataFrame, text_col: str, id_col: str,
                  min_span: int = 40,
                  max_hash_df: int | None = None,
-                 n_passes: int = 1) -> DataFrame:
+                 n_passes: int = 1,
+                 pass_dir: str | None = None) -> DataFrame:
     """X16: cross-document exact repeated-span (substring) dedup — the
     Lee et al. 2022 "Deduplicating Training Data Makes Language Models
     Better" exact-substring family: find every MAXIMAL character span
@@ -523,6 +524,24 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
     on disk, which defeats the decomposition. On a real cluster the
     same role is played by executor-local disks; K passes are the
     single-box stand-in.
+
+    Execution-model caveats of n_passes > 1 (r12, ADVICE r11):
+      - the call is EAGER, unlike every other branch: the K pair-
+        report write jobs run at call time, and the returned DataFrame
+        READS those parquet files rather than recomputing;
+      - by default the files live under the process-scoped scratch
+        dir, which is reaped at process exit (and by the orphan
+        sweep) — a returned DataFrame consumed after the owning
+        process exits, or a plan persisted for later, fails with
+        missing files. Pass `pass_dir` (an empty/nonexistent
+        directory; the caller owns its lifecycle) when the result
+        must outlive the process;
+      - the per-pass disk bound relies on a best-effort JVM gc hint
+        to the ContextCleaner between passes. The GUARANTEED bound is
+        2 x spill/K (two passes may briefly coexist); when the hint
+        is unavailable (Spark Connect has no py4j gateway) or the
+        cleaner lags, coexistence can degrade toward all-passes —
+        size K against that worst case if disk is tight.
     """
     from data_warehouse_spark.functions.colref import qcol
     from data_warehouse_spark.functions.text import md5_60
@@ -591,14 +610,19 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
                 f"(max_hash_df <= {GROUPED_PAIRS_CAP_MAX}): the "
                 "uncapped path checkpoints the full fingerprint "
                 "table, defeating the per-pass disk bound")
-        from data_warehouse_spark.scratch import process_dir
         spark = df.sparkSession
-        # unique dir per call (a shared wiped-per-call tag would break
-        # a previously returned DataFrame that still reads its pass
-        # files); bounded: pair reports are match-volume-sized and the
-        # parent process_dir is reaped atexit + on orphan sweep
-        base = os.path.join(process_dir("dws_scratch"),
-                            f"span_passes_{next(_PASS_SEQ)}")
+        if pass_dir is None:
+            from data_warehouse_spark.scratch import process_dir
+            # unique dir per call (a shared wiped-per-call tag would
+            # break a previously returned DataFrame that still reads
+            # its pass files); bounded: pair reports are match-volume-
+            # sized and the parent process_dir is reaped atexit + on
+            # orphan sweep. Callers needing the result to OUTLIVE the
+            # process pass their own pass_dir (docstring caveats).
+            base = os.path.join(process_dir("dws_scratch"),
+                                f"span_passes_{next(_PASS_SEQ)}")
+        else:
+            base = pass_dir
         paths = []
         for k in range(n_passes):
             hk = _grouped_pairs(
@@ -611,9 +635,16 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
             # without this, all K passes' shuffle files coexist and
             # the decomposition saves nothing. Cleanup is async, so
             # the budget below still assumes two passes may briefly
-            # coexist (2 x spill/K must fit free disk).
+            # coexist (2 x spill/K must fit free disk). Best-effort
+            # only: Spark Connect exposes no py4j gateway (_jvm raises
+            # AttributeError) — skip the hint there; the guaranteed
+            # bound stays 2 x spill/K, degrading toward all-passes-
+            # coexist only if the cleaner lags (docstring caveats).
             del hk
-            spark._jvm.System.gc()
+            try:
+                spark._jvm.System.gc()
+            except AttributeError:
+                pass
         hits = spark.read.parquet(*paths)
     elif grouped:
         hits = _grouped_pairs(wins)
@@ -670,7 +701,8 @@ def shared_spans(df: DataFrame, text_col: str, id_col: str,
 def remove_shared_spans(df: DataFrame, text_col: str, id_col: str,
                         min_span: int = 40,
                         max_hash_df: int | None = None,
-                        n_passes: int = 1) -> DataFrame:
+                        n_passes: int = 1,
+                        pass_dir: str | None = None) -> DataFrame:
     """X16b: excise the spans shared_spans detects — the cleaned corpus
     a training run actually consumes (Lee et al. 2022 clip the shared
     substrings out; X16 alone only reports them).
@@ -714,7 +746,8 @@ def remove_shared_spans(df: DataFrame, text_col: str, id_col: str,
     Text moves through exactly one map stage; it is never shuffled.
     """
     spans = shared_spans(df, text_col, id_col, min_span=min_span,
-                         max_hash_df=max_hash_df, n_passes=n_passes)
+                         max_hash_df=max_hash_df, n_passes=n_passes,
+                         pass_dir=pass_dir)
     cuts = (spans.select(
                 F.col("doc_b").alias("__sid"),
                 F.col("b_start").cast("int").alias("s"),

@@ -1119,3 +1119,32 @@ def test_span_removal_fixpoint_on_junction_corpus(spark):
         clean, "text", "doc_id", min_span=40).collect()}
     assert out[1].n_rounds == 1 and out[1].n_cut_total == 0
     assert out[1].text_clean == stream("fa", 120)
+
+
+def test_shared_spans_npasses_honors_caller_pass_dir(spark, tmp_path):
+    """ADVICE r11: with n_passes > 1 the result reads materialized
+    pass files; a caller-supplied pass_dir must receive them (so the
+    result can outlive the process-scoped scratch) and the returned
+    DataFrame must still equal the single-pass report."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.operators.dedup import shared_spans
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.md5(F.concat(F.lit("u"), F.col("id").cast("string"))),
+            F.md5((F.floor(F.col("id") / 2) * 1000).cast("string")),
+            F.md5((F.floor(F.col("id") / 2) * 1000).cast("string")),
+            F.md5(F.concat(F.lit("v"), F.col("id").cast("string")))
+        ).alias("text"))
+    base = str(tmp_path / "passes")
+    multi = shared_spans(docs, "text", "doc_id", min_span=40,
+                         max_hash_df=64, n_passes=3, pass_dir=base)
+    single = shared_spans(docs, "text", "doc_id", min_span=40,
+                          max_hash_df=64)
+    assert sorted(os.listdir(base)) == ["pass0", "pass1", "pass2"]
+    assert sorted(map(tuple, multi.collect())) \
+        == sorted(map(tuple, single.collect()))
