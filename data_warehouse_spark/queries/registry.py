@@ -56,62 +56,58 @@ _QUERY_MODULES = [
 # This list IS the round's window, in order; load_all() puts these names
 # first and everything else after, in registration order.
 #
-# Round-11 rotation (VERDICT.md round-10 ask #2): window = every query
-# whose CODE changed in round 11 + the r8 cohort, the oldest third of
-# the archive (40 queries whose latest driver row is CORRECTNESS_r08 —
-# computed from the archive files, matching the verdict's enumeration).
-# After this round no query's driver row predates r9.
-#   (a) the r8 cohort: streaming block st1-st11 (+u3, its foreachBatch
-#       sibling), udf1-4, mm1-mm4, x1/x2c/x2d/x2e/x3/x3b/x3c/x4/
-#       x5/x5b/x5c/x6/x7/x8/x9/x10/x12, a7, j10, f6, f12 — all green
-#       in the r10 judge's full parity re-run; hygiene, not risk;
-#   (b) round-11 code changes: x16/x16b/x16c (shared_spans grew the
-#       large-cap keep-join routing — the grouped-pairs task-memory
-#       bound is now enforced, not documented), dq1b (oracle mirrors
-#       the NULL-is-one-key struct wrap via ROW(event_id)), f7 (the
-#       envelope is read at EXECUTION by a 1-row mapInPandas stamp —
-#       tight again without failing cached plans), u9/u9b (lock
-#       release takes identity + body off one fd via fstat), x8b/x12b
-#       (new: connected components / end-to-end dedup on the planted-
-#       diameter sparse lane — amplification grows propagation ROUND
-#       COUNT, the scale dimension x8/x12's sf0.1 readings don't
-#       probe), x8c (new: FIXED diameter 256 via the alternating
-#       large/small-star algorithm — Kiveris et al. 2014 — where
-#       min-label's rounds = diameter makes it the wrong tool).
-#       mm3/mm4 gained floor-free cells without code changes, so
-#       they ride their r11 window slots in the (a) cohort.
-# Changed queries displace r8-cohort backfill only if the count
-# exceeds 50 — it does not this round (40 + 10 = 50).
+# Round-12 rotation (VERDICT.md round-11 ask #3): window = every query
+# whose CODE changed in round 12 + the r9 cohort, the oldest third of
+# the archive (43 queries whose latest green driver row is
+# CORRECTNESS_r09, computed from the archive files — matches the
+# verdict's enumeration).
+#   (b) round-12 code changes NOT already in the r9 cohort (10):
+#       e3 (planted-cohort head; e1/e1b/e1c/e2/e2b are already cohort
+#       members), e4 (new: the composed ETL day — S8 pruned scan ->
+#       U2 dedup -> e1 chain -> J6 as-of -> U1 upsert into the U9
+#       versioned store), x8d (new: auto-routed connected components
+#       on the fixed-diameter lane), x12 (clustering step switched to
+#       connected_components_auto), x8/x8b/x12b (min-label loop
+#       refactored into _min_label_rounds for the auto router),
+#       x16/x16b/x16c (shared_spans grew pass_dir + the guarded JVM
+#       gc hint; x16c's K-pass routing extracted into a named rule).
+#       x8c's change is comment-only (probe-scope note) — excluded.
+# 43 + 10 = 53 > 50, so per the established rule the changed queries
+# displace 3 of the r9-cohort backfill. Displaced: w5_sessionize,
+# u1_upsert, p6_having — chosen because they carry the freshest
+# INDEPENDENT verification of the whole cohort (the r11 judge re-ran
+# all three by hand: w5 value-exact at sf0.01 and sf0.1, u1 at 1500
+# rows, p6 at 45 rows; w5/u1 additionally carry round-12 floor-free
+# values_match cells at 4 multipliers each). Their archive rows stay
+# r9 — the one deviation from "no row predates r10", forced by the
+# 50-slot budget and documented here for the r12 judge.
 DRIVER_WINDOW = [
-    # (a) r8 cohort
-    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
-    "st4_session_window", "st5_watermark_late_drop", "st6_stream_dedup",
-    "st8_custom_stateful", "st9_stream_stream_join",
-    "st10_stream_static_join", "st11_dedup_retries",
-    "u3_microbatch_write",
-    "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
-    "udf4_udtf_words",
-    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
-    "mm4_feature_ann",
-    "x1_exact_dedup", "x2c_ngram_jaccard", "x2d_cosine_lsh",
-    "x2e_incremental_dedup",
-    "x3_cosine_topk", "x3b_ivf_topk", "x3c_multi_topk",
-    "x4_pairwise_sim",
-    "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
-    "x6_token_freq", "x7_tfidf", "x8_dup_components",
-    "x9_stratified_split", "x10_repetition_filter", "x12_dedup_corpus",
-    "a7_salted_agg", "j10_star_join", "f6_date_format", "f12_case",
-    # (b) round-11 code changes
+    # (a) r9 cohort (43 minus the 3 displaced above)
+    "a1_q1_pricing_summary", "a2_count_by_key", "a4_distinct",
+    "a5_rollup", "a6_stats", "a10_unpivot", "a11_cube",
+    "e1_trips", "e1b_bucketed_trips", "e1c_trips_localtime",
+    "e2_carbon_savings", "e2b_carbon_bucketed",
+    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
+    "j4_anti_join", "j4_semi_join", "j5_range_join", "j7_cross_join",
+    "j8_two_source_merge",
+    "p1_project", "p2_range_predicate", "p4_null_predicate",
+    "s1_scan_filter", "s7_scan_full", "s11_schema_evolution",
+    "st7_foreach_upsert",
+    "u2_dedup_latest", "u4_scd2_dimension", "u7_incremental_rollup",
+    "u8_zorder_scan",
+    "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
+    "x2b_simhash", "x5d_fingerprint", "x11_pii_redaction",
+    "x13_decontaminate", "x15_sequence_packing",
+    # (b) round-12 code changes
+    "e3_enriched_trips", "e4_daily_run",
+    "x8_dup_components", "x8b_components_sparse", "x8d_components_auto",
+    "x12_dedup_corpus", "x12b_dedup_corpus_sparse",
     "x16_span_dedup", "x16b_span_removal", "x16c_span_dedup_sparse",
-    "dq1b_validation_sketch", "f7_current_timestamp",
-    "u9_time_travel", "u9b_snapshot_diff",
-    "x8b_components_sparse", "x12b_dedup_corpus_sparse",
-    "x8c_components_highdiam",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
-# Queries added or code-changed DURING round 11 must be appended to
+# Queries added or code-changed DURING round 12 must be appended to
 # (b) — displacing (a) backfill only past 50 — so the "every changed
-# query is windowed" claim stays true against the CORRECTNESS_r11 keys.
+# query is windowed" claim stays true against the CORRECTNESS_r12 keys.
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

@@ -11,34 +11,32 @@ from data_warehouse_spark.queries.registry import DRIVER_WINDOW, load_all
 # CORRECTNESS_r08 — plus every round-11 code change. Composition
 # rationale lives next to DRIVER_WINDOW in queries/registry.py.
 MUST_BE_WINDOWED = {
-    # (a) r8 cohort
-    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
-    "st4_session_window", "st5_watermark_late_drop", "st6_stream_dedup",
-    "st8_custom_stateful", "st9_stream_stream_join",
-    "st10_stream_static_join", "st11_dedup_retries",
-    "u3_microbatch_write",
-    "udf1_row_scalar", "udf2_pandas_scalar", "udf3_grouped_pandas",
-    "udf4_udtf_words",
-    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
-    "mm4_feature_ann",
-    "x1_exact_dedup", "x2c_ngram_jaccard", "x2d_cosine_lsh",
-    "x2e_incremental_dedup",
-    "x3_cosine_topk", "x3b_ivf_topk", "x3c_multi_topk",
-    "x4_pairwise_sim",
-    "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
-    "x6_token_freq", "x7_tfidf", "x8_dup_components",
-    "x9_stratified_split", "x10_repetition_filter", "x12_dedup_corpus",
-    "a7_salted_agg", "j10_star_join", "f6_date_format", "f12_case",
-    # (b) round-11 code changes
+    # (a) r9 cohort minus the 3 displaced (w5/u1/p6 — the registry
+    # comment records why those three)
+    "a1_q1_pricing_summary", "a2_count_by_key", "a4_distinct",
+    "a5_rollup", "a6_stats", "a10_unpivot", "a11_cube",
+    "e1_trips", "e1b_bucketed_trips", "e1c_trips_localtime",
+    "e2_carbon_savings", "e2b_carbon_bucketed",
+    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
+    "j4_anti_join", "j4_semi_join", "j5_range_join", "j7_cross_join",
+    "j8_two_source_merge",
+    "p1_project", "p2_range_predicate", "p4_null_predicate",
+    "s1_scan_filter", "s7_scan_full", "s11_schema_evolution",
+    "st7_foreach_upsert",
+    "u2_dedup_latest", "u4_scd2_dimension", "u7_incremental_rollup",
+    "u8_zorder_scan",
+    "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
+    "x2b_simhash", "x5d_fingerprint", "x11_pii_redaction",
+    "x13_decontaminate", "x15_sequence_packing",
+    # (b) round-12 code changes
+    "e3_enriched_trips", "e4_daily_run",
+    "x8_dup_components", "x8b_components_sparse", "x8d_components_auto",
+    "x12_dedup_corpus", "x12b_dedup_corpus_sparse",
     "x16_span_dedup", "x16b_span_removal", "x16c_span_dedup_sparse",
-    "dq1b_validation_sketch", "f7_current_timestamp",
-    "u9_time_travel", "u9b_snapshot_diff",
-    "x8b_components_sparse", "x12b_dedup_corpus_sparse",
-    "x8c_components_highdiam",
 }
 
 
-def test_driver_window_is_exactly_the_round11_set():
+def test_driver_window_is_exactly_the_round12_set():
     # DRIVER_WINDOW is the explicit first-50 contract; it must hold
     # every query that needs (re-)verification this round and fit the
     # driver's 50-entry budget.
