@@ -186,6 +186,12 @@ DEFAULT_QUERIES = {
     # r12 (VERDICT r11 ask #5): both sides MEASURED, or Spark's wall +
     # a captured refusal — no more extrapolated oracle estimate
     "x8c_components_highdiam": (16, 64, 256, 1024),
+    # round-12 (VERDICT r11 ask #4): the AUTO-routed form on the same
+    # fixed-diameter-256 lane — the router must detect non-convergence
+    # in its 8-round min-label probe, contract by partial labels, and
+    # hand the quotient to stars; the lane shows what the probe +
+    # contraction cost on top of x8c's explicit stars choice
+    "x8d_components_auto": (16, 64, 256, 1024),
     "j6_asof_join": (16, 64, 256, 1024),
     "u1_upsert": (16, 64, 256, 1024),
     "x7_tfidf": (16, 64, 256, 1024),

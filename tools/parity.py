@@ -43,6 +43,14 @@ def duck_connection(sf_dir: str,
     import os
 
     con = duckdb.connect()
+    # Optional memory ceiling (e.g. "70GB"): under a limit DuckDB
+    # spills to its temp dir instead of growing until the kernel
+    # OOM-kills the WHOLE python process (harness + partial results).
+    # Used by the floorfree value sweeps, where a big oracle runs
+    # co-resident with a Spark JVM; unset = DuckDB's default.
+    lim = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if lim:
+        con.sql(f"SET memory_limit='{lim}'")
     for t in TABLES:
         path = pattern.format(dir=sf_dir, t=t)
         if skip_missing and not os.path.exists(
