@@ -251,6 +251,112 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     return out
 
 
+def minhash_lsh_incremental(corpus: DataFrame, batch: DataFrame,
+                            text_col: str, id_col: str,
+                            num_hashes: int = 32, bands: int = 8,
+                            shingle_n: int = 3,
+                            jaccard_threshold: float = 0.5) -> DataFrame:
+    """X2g: incremental near-dup — a new crawl batch checked against
+    the EXISTING corpus's LSH band index, the near-dup analog of
+    x2e's exact-hash incremental dedup (and the production shape of
+    X2: a continuously-ingesting pipeline never re-pairs the whole
+    corpus against itself; it probes each day's batch against a
+    persisted index and appends the batch's own bands afterwards).
+
+    Returns ONE ROW PER BATCH DOC: (id, dup_of, jaccard, is_dup)
+    where dup_of is the smallest corpus id whose exact shingle
+    Jaccard with the batch doc clears the threshold (null -> novel
+    doc), and jaccard is that winning pair's score.
+
+    Pipeline: corpus signatures -> (band, bucket, corpus_id) index;
+    batch signatures -> same banding; equi-join on (band, bucket)
+    for candidates; exact-Jaccard verify restricted (left-semi) to
+    candidate docs; min-corpus-id winner per batch doc; left join
+    back onto the full batch so novel docs keep is_dup = false.
+
+    At 100 TB the index is the persisted artifact — bucketed by
+    (band, bucket) j12-style so the daily probe join co-locates
+    without a corpus-side shuffle — and only the BATCH is shingled
+    per run; corpus text is touched only for the candidate tail's
+    verify (left-semi on candidate ids, which prunes the corpus scan
+    to near-dup suspects). Banding arithmetic matches
+    minhash_lsh_pairs band-for-band (same signature family, same
+    xxhash64 bucket fold) but is spelled locally rather than
+    factored out: sharing a helper would make every X2-family query
+    a code-change in lockstep with this one, and the 10-line
+    expression is cheaper to keep in sync than the re-verification
+    of four green queries (window-budget trade, documented here).
+    """
+    rows_per_band = num_hashes // bands
+    corpus = spread_for_compute(corpus)
+    batch = spread_for_compute(batch)
+
+    def banded(src: DataFrame, out_id: str) -> DataFrame:
+        sigs = minhash_signatures(src, text_col, id_col,
+                                  num_hashes, shingle_n)
+        return (sigs.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.xxhash64(*[F.element_at(
+                             "signature", b * rows_per_band + r + 1)
+                             for r in range(rows_per_band)]).alias("bucket"))
+                for b in range(bands)
+            ])).alias("bb"))
+            .select(out_id, "bb.band", "bb.bucket"))
+
+    index = banded(corpus, "__cid")          # the persisted artifact
+    probes = banded(batch, "__bid")
+    candidates = (probes.join(index, on=["band", "bucket"])
+                  .select("__bid", "__cid")
+                  .distinct()
+                  # referenced four times below (two semi-filters +
+                  # the verify join spine); checkpoint so the banding
+                  # join runs once — candidates are the tiny near-dup
+                  # tail. Same fault-tolerance trade as
+                  # minhash_lsh_pairs: blocks are executor-local, a
+                  # lost executor re-runs the (cheap) query.
+                  .localCheckpoint(eager=False))
+
+    def side_shingles(src: DataFrame, ids: DataFrame,
+                      out_id: str) -> DataFrame:
+        in_pairs = src.join(
+            ids.withColumnRenamed(out_id, id_col).distinct(),
+            on=id_col, how="left_semi")
+        return in_pairs.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(shingles(text_col, shingle_n)))
+            .alias("shingle"))
+
+    bsh = side_shingles(batch, candidates.select("__bid"), "__bid")
+    csh = side_shingles(corpus, candidates.select("__cid"), "__cid")
+    bsz = bsh.groupBy("__bid").agg(F.count(F.lit(1)).alias("n_b"))
+    csz = csh.groupBy("__cid").agg(F.count(F.lit(1)).alias("n_c"))
+    # c-side joins on (__cid, shingle) so the hash join emits only the
+    # intersection (the minhash_lsh_pairs discipline — id-only would
+    # cross-product each pair's shingle lists before filtering)
+    inter = (candidates
+             .join(bsh, on="__bid")
+             .join(csh, on=["__cid", "shingle"])
+             .groupBy("__bid", "__cid")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    jac = (inter.join(bsz, on="__bid").join(csz, on="__cid")
+           .withColumn("__j", F.col("n_inter")
+                       / (F.col("n_b") + F.col("n_c") - F.col("n_inter")))
+           .filter(F.col("__j") >= jaccard_threshold))
+    # winner per batch doc = LEXICOGRAPHIC struct min: corpus ids are
+    # distinct within a group, so this is min(__cid) carrying its own
+    # pair's jaccard along — no second join to recover the score
+    best = (jac.groupBy("__bid")
+            .agg(F.min(F.struct(F.col("__cid"), F.col("__j"))).alias("m"))
+            .select(F.col("__bid").alias(id_col),
+                    F.col("m.__cid").alias("dup_of"),
+                    F.round("m.__j", 6).alias("jaccard")))
+    return (batch.select(id_col).join(best, on=id_col, how="left")
+            .select(id_col, "dup_of", "jaccard",
+                    F.col("dup_of").isNotNull().alias("is_dup")))
+
+
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
                          bits: int = 64,
                          hash_family: str = "xxhash64") -> DataFrame:

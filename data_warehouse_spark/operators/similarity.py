@@ -430,6 +430,57 @@ def cosine_pairs_blocked(df: DataFrame, vec_col: str, id_col: str,
             .filter(F.col("cos_sim") >= threshold))
 
 
+def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
+                   n_cells: int = 16, threshold: float = 0.9,
+                   iters: int = 1, dim: int | None = None,
+                   max_cell_rows: int | None = 100_000) -> DataFrame:
+    """X17: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    dedup over an embedding column: k-means-cluster the corpus, then
+    prune within each cluster any vector whose cosine to a
+    SMALLER-id cluster-mate clears `threshold`. Returns one row per
+    input vector: (id, cell, pruned_by, kept) with pruned_by = the
+    smallest such mate (null -> kept).
+
+    The paper keeps one representative per epsilon-ball inside each
+    cluster (their tie-break: distance to centroid); this
+    implementation's survivor rule is min-id — deterministic,
+    engine-replayable, and the same rule x12's document pipeline
+    uses — which keeps exactly one representative per ball whenever
+    similarity is transitive at the threshold (at 0.9 on near-dup
+    copies it is in practice; the rule degrades to keeping the
+    id-minimal maximal independent prefix otherwise, same as the
+    paper's greedy scan order).
+
+    Composition of already-verified pieces: build_ivf_centroids
+    (deterministic seeds + Lloyd steps — the x3b oracle replays this
+    bit-for-bit), assign_cells (map-only Arrow argmax kernel), and
+    cosine_pairs_blocked keyed on the cell (hash join, id_a < id_b,
+    so a vector's candidate pruners are exactly its smaller
+    same-cell mates). Nothing here is quadratic in the corpus: the
+    pairwise term is Σ|cell|² and the clustering is scans +
+    broadcast-size centroid tables. At 100 TB you raise n_cells to
+    hold the mean cell at the task-memory budget (the paper runs
+    ~100k clusters at 1B+ docs for the same reason); cells that
+    still exceed `max_cell_rows` auto-route through
+    cosine_pairs_blocked's IVF sub-split, trading exact in-cell
+    recall for a bounded quadratic (pass None to force the exact
+    path — what a value-level oracle requires).
+    """
+    centroids = build_ivf_centroids(df, vec_col, id_col,
+                                    n_cells=n_cells, iters=iters, dim=dim)
+    assigned = assign_cells(df, centroids, vec_col, id_col, dim=dim)
+    pairs = cosine_pairs_blocked(assigned, vec_col, id_col,
+                                 block_col="cell", threshold=threshold,
+                                 max_block_rows=max_cell_rows, dim=dim)
+    pruned = (pairs.groupBy(F.col("id_b").alias(id_col))
+              .agg(F.min("id_a").alias("pruned_by")))
+    return (assigned
+            .select(id_col, F.col("cell").cast("long").alias("cell"))
+            .join(pruned, on=id_col, how="left")
+            .select(id_col, "cell", "pruned_by",
+                    F.col("pruned_by").isNull().alias("kept")))
+
+
 def hyperplane_band_values(df: DataFrame, vec_col: str, id_col: str,
                            num_bits: int = 128, band_bits: int = 8,
                            seed: int = 7) -> DataFrame:

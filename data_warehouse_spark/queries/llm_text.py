@@ -253,6 +253,90 @@ def x2e_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x2g_incremental_minhash",
+    oracle=f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+), batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents
+    WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0
+), ctoks AS (
+    SELECT doc_id AS id, {_TOKS} AS l FROM corpus
+), btoks AS (
+    SELECT doc_id AS id, {_TOKS} AS l FROM batch
+), cgrams AS (
+    SELECT id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(l) - 2, 0) + 1),
+        i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS g
+    FROM ctoks
+), bgrams AS (
+    SELECT id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(l) - 2, 0) + 1),
+        i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS g
+    FROM btoks
+), csz AS (
+    SELECT id, COUNT(*) AS n_c FROM cgrams GROUP BY id
+), bsz AS (
+    SELECT id, COUNT(*) AS n_b FROM bgrams GROUP BY id
+), inter AS (
+    SELECT b.id AS bid, c.id AS cid, COUNT(*) AS n_inter
+    FROM bgrams b JOIN cgrams c ON b.g = c.g
+    GROUP BY b.id, c.id
+), jac AS (
+    SELECT i.bid, i.cid,
+           n_inter * 1.0 / (bs.n_b + cs.n_c - n_inter) AS j
+    FROM inter i
+    JOIN bsz bs ON i.bid = bs.id
+    JOIN csz cs ON i.cid = cs.id
+    WHERE n_inter * 1.0 / (bs.n_b + cs.n_c - n_inter) >= 0.5
+), best AS (
+    SELECT bid, cid, j,
+           row_number() OVER (PARTITION BY bid ORDER BY cid) AS rn
+    FROM jac
+)
+SELECT b.doc_id, best.cid AS dup_of, ROUND(best.j, 6) AS jaccard,
+       best.cid IS NOT NULL AS is_dup
+FROM batch b LEFT JOIN best ON b.doc_id = best.bid AND best.rn = 1
+""",
+    doc="X2g: incremental NEAR-dup — x2e's production shape at x2's "
+        "similarity level: each new crawl batch (the held-out tenth "
+        "plus exact re-arrivals of every 7th corpus doc under new "
+        "ids, x2e's split) probes the corpus's persisted LSH band "
+        "index instead of re-pairing the corpus against itself; "
+        "candidates are exact-Jaccard verified and each batch doc "
+        "reports the smallest matching corpus id (operators/"
+        "dedup.py:minhash_lsh_incremental). The brute-force oracle "
+        "is valid for this LSH by x2's bimodality argument, which "
+        "COVERS this pair population: every batch-vs-corpus true "
+        "pair is either an exact re-arrival (jaccard 1.0 — identical "
+        "shingle sets give identical signatures, detection certain) "
+        "or a planted near-dup pair straddling the %10 split, a "
+        "subset of the all-pairs population whose union-bound miss "
+        "probability tests/test_llm_queries.py pins < 1% (x2g's "
+        "subset bound is strictly smaller); the same test's "
+        "shadow-zone assert keeps every pair clear of the 0.5 "
+        "threshold knee. At 100 TB: the index is bucketed by "
+        "(band, bucket) so the daily probe join co-locates; only "
+        "the batch is shingled per run; corpus text is rescanned "
+        "only for the candidate tail (left-semi pruned).",
+    tags=("ext", "dedup"),
+)
+def x2g_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.dedup import minhash_lsh_incremental
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    rearrivals = (corpus.filter(F.col("doc_id") % 7 == 0)
+                  .withColumn("doc_id", F.col("doc_id") + 2000000))
+    batch = docs.filter(F.col("doc_id") % 10 == 0).unionByName(rearrivals)
+    return minhash_lsh_incremental(corpus, batch, text_col="text",
+                                   id_col="doc_id", num_hashes=32, bands=8,
+                                   jaccard_threshold=0.5)
+
+
+@register(
     "x13_decontaminate",
     oracle=f"""
 WITH toks AS (

@@ -264,6 +264,104 @@ def x2d_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                             threshold=0.9)
 
 
+# x17 oracle: SemDeDup replayed end to end — x2d's planted-copy union
+# fed through x3b's deterministic clustering replay (seeds = 16
+# smallest ids, one Lloyd step with the float32 cast, final argmax
+# assign with the same sim-DESC/cell tie-break), then the within-cell
+# prune: a vector is pruned by its smallest same-cell mate at rounded
+# cosine >= 0.9. The float-noise argument is x3b's (Lloyd AVG is the
+# only summation-order-sensitive step and the float32 quantization
+# absorbs it) and the assignment margins on THIS population (union of
+# fixture + perturbed copies) are pinned by
+# tests/test_llm_queries.py's x17 margin test; the 0.9 pair gate
+# separates planted pairs (>= 0.9938) from cross pairs (<= ~0.56) by
+# x2d's construction argument.
+_SEMDEDUP_ORACLE = f"""
+WITH u AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, {_PERTURB_DUCK} FROM embeddings
+),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+           embedding AS cvec
+    FROM (SELECT vec_id, embedding FROM u ORDER BY vec_id LIMIT 16)
+),
+a1 AS (
+    SELECT vec_id, embedding, cell
+    FROM (SELECT e.vec_id, e.embedding, s.cell,
+                 {_COS_SQL.format(a='e.embedding', b='s.cvec')} AS sim
+          FROM u e CROSS JOIN seeds s)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+cavg AS (
+    SELECT cell, pos, CAST(AVG(x) AS FLOAT) AS cx
+    FROM (SELECT cell, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 unnest(range(1, 65)) AS pos
+          FROM a1)
+    GROUP BY cell, pos
+),
+cent AS (
+    SELECT cell, list(cx ORDER BY pos) AS cvec FROM cavg GROUP BY cell
+),
+a2 AS (
+    SELECT vec_id, embedding, cell
+    FROM (SELECT e.vec_id, e.embedding, c.cell,
+                 {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS sim
+          FROM u e CROSS JOIN cent c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6)
+          >= 0.9
+),
+pruned AS (
+    SELECT id_b AS vec_id, MIN(id_a) AS pruned_by FROM pairs GROUP BY id_b
+)
+SELECT a2.vec_id, a2.cell, p.pruned_by, p.pruned_by IS NULL AS kept
+FROM a2 LEFT JOIN pruned p USING (vec_id)
+"""
+
+
+@register(
+    "x17_semdedup",
+    oracle=_SEMDEDUP_ORACLE,
+    doc="X17 [ext]: SemDeDup (Abbas et al. 2023) — semantic dedup by "
+        "embedding: k-means cluster (the x3b deterministic quantizer, "
+        "16 cells, 1 Lloyd step), then prune any vector whose cosine "
+        "to a smaller-id cluster-mate rounds to >= 0.9 "
+        "(operators/similarity.py:semantic_dedup). Near-dup pairs are "
+        "planted as x2d's perturbed copies (the natural fixture has "
+        "no pair above ~0.51). Output: every vector with its cell, "
+        "its pruner (null if kept), and the kept flag — downstream "
+        "training reads WHERE kept. Quadratic cost is bounded per "
+        "cell (Σ|cell|², never corpus²); at 100 TB n_cells scales "
+        "with the corpus (the paper's own regime) and oversized cells "
+        "auto-route through an IVF sub-split. The oracle replays the "
+        "full cluster+prune pipeline in SQL, so this is value-checked "
+        "end to end, including the cell assignment.",
+    tags=("ext", "vector", "dedup"),
+)
+def x17_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.similarity import semantic_dedup
+
+    set_arrow_batch(spark, ARROW_BATCH_VECTOR)  # 64-float rows
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
+                        F.expr(_PERTURB_SPARK).alias("embedding"))
+    union = emb.unionByName(copies)
+    # max_cell_rows=None: the exact in-cell path is what the value
+    # oracle replays; the auto-split approximation is the >100k-cell
+    # scale lever, exercised by x4's routed branch instead
+    return semantic_dedup(union, vec_col="embedding", id_col="vec_id",
+                          n_cells=16, threshold=0.9, iters=1,
+                          max_cell_rows=None)
+
+
 @register(
     "x4_pairwise_sim",
     oracle=f"""

@@ -516,3 +516,172 @@ SELECT (SELECT cs FROM pr WHERE rn = 20)
                 "the x3b full-replay oracle is no longer engine-stable "
                 "on these fixtures; demote x3b to rows-only or "
                 "re-derive the stability argument")
+
+
+def test_x17_oracle_validity_semdedup_margins_recall_separation():
+    """x17's full-replay oracle rests on the same two legs as x3b's
+    plus one of x2d's: (1) every cell-assignment margin on the
+    union population (fixture + perturbed copies) must dwarf the
+    ~1e-9 float noise the distributed Lloyd average can introduce;
+    (2) no within-cell pair may sit near the 0.9 prune gate (planted
+    copies score >= 0.9938, cross pairs <= ~0.81 on these fixtures —
+    measured min gate distance 0.0938); and the SemDeDup property
+    itself: (3) a copy lands in its original's cluster >= 85% of the
+    time (measured 0.948/0.954 at sf0.001/sf0.01), else the in-cell
+    prune would silently lose its recall. DuckDB-only."""
+    import duckdb
+
+    COS = """
+list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+/ (sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))
+ * sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE))))
+"""
+    PERTURB = ("list_transform(range(1, 65), i -> CAST(0.9::DOUBLE * "
+               "embedding[i] + 0.1::DOUBLE * embedding[(i % 64) + 1] "
+               "AS FLOAT))")
+    base = f"""
+WITH u AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, {PERTURB} FROM embeddings
+),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS cvec
+    FROM (SELECT vec_id, embedding FROM u ORDER BY vec_id LIMIT 16)),
+s1 AS (SELECT e.vec_id, e.embedding, s.cell,
+              {COS.format(a='e.embedding', b='s.cvec')} AS sim
+       FROM u e CROSS JOIN seeds s),
+a1 AS (SELECT vec_id, embedding, cell FROM s1
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) = 1),
+cavg AS (SELECT cell, pos, CAST(AVG(x) AS FLOAT) AS cx
+         FROM (SELECT cell, CAST(unnest(embedding) AS DOUBLE) AS x,
+                      unnest(range(1,65)) AS pos FROM a1)
+         GROUP BY cell, pos),
+cent AS (SELECT cell, list(cx ORDER BY pos) AS cvec FROM cavg GROUP BY cell),
+s2 AS (SELECT e.vec_id, e.embedding, c.cell,
+              {COS.format(a='e.embedding', b='c.cvec')} AS sim
+       FROM u e CROSS JOIN cent c),
+a2 AS (SELECT vec_id, embedding, cell FROM s2
+       QUALIFY row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) = 1)
+"""
+    for sf in ("sf0.001", "sf0.01"):
+        con = duckdb.connect()
+        con.sql("CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+                f"'/root/testdata/{sf}/embeddings.parquet')")
+        m_assign = con.sql(base + """
+SELECT MIN(m) FROM (
+  SELECT vec_id, MAX(sim) - ANY_VALUE(s2nd) AS m FROM (
+    SELECT vec_id, sim,
+           nth_value(sim, 2) OVER (PARTITION BY vec_id
+             ORDER BY sim DESC, cell
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING) AS s2nd
+    FROM s2) GROUP BY vec_id)
+""").fetchone()[0]
+        assert m_assign is not None and m_assign > 1e-6, (
+            f"{sf}: assignment margin {m_assign} within float-noise "
+            "range — x17's full-replay oracle is no longer "
+            "engine-stable; demote to rows-only or re-derive")
+        gate_gap = con.sql(base + f"""
+SELECT MIN(ABS(ROUND({COS.format(a='a.embedding', b='b.embedding')}, 6)
+               - 0.9))
+FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+""").fetchone()[0]
+        assert gate_gap is not None and gate_gap > 0.01, (
+            f"{sf}: a within-cell pair sits {gate_gap} from the 0.9 "
+            "prune gate — boundary pairs make the x17 prune flip "
+            "under float drift; re-derive the separation argument")
+        cocell = con.sql(base + """
+SELECT AVG(CASE WHEN a.cell = b.cell THEN 1.0 ELSE 0.0 END)
+FROM a2 a JOIN a2 b ON b.vec_id = a.vec_id + 100000
+WHERE a.vec_id < 100000
+""").fetchone()[0]
+        assert cocell is not None and cocell >= 0.85, (
+            f"{sf}: only {cocell:.2%} of planted copies share their "
+            "original's cluster — SemDeDup's in-cell prune has lost "
+            "its recall on these fixtures")
+
+
+def test_x17_semdedup_prunes_copies_keeps_originals(spark, sf_dir):
+    """Semantic contract on the live fixture: originals are never
+    pruned (no natural pair clears 0.9), every pruned row is a
+    planted copy pruned by exactly its own original (min-id rule +
+    the 0.9 gate admit nothing else), and the prune catches >= 85%
+    of copies (the co-cell recall the DuckDB test pins)."""
+    rows = _q("x17_semdedup")(spark, sf_dir).collect()
+    n_emb = sum(1 for r in rows if r.vec_id < 100000)
+    assert n_emb and len(rows) == 2 * n_emb
+    originals = [r for r in rows if r.vec_id < 100000]
+    assert all(r.kept and r.pruned_by is None for r in originals)
+    copies = [r for r in rows if r.vec_id >= 100000]
+    pruned = [r for r in copies if not r.kept]
+    assert all(r.pruned_by == r.vec_id - 100000 for r in pruned)
+    assert len(pruned) >= 0.85 * len(copies)
+
+
+def test_x2g_incremental_minhash_semantics(spark):
+    """Unit semantics on a constructed corpus/batch: exact
+    re-arrivals report jaccard 1.0 against the SMALLEST identical
+    corpus doc, a near-dup batch doc reports its hand-computed
+    Jaccard, novel and sub-shingle-length docs come back is_dup =
+    false (never dropped), and nothing pairs below the threshold."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from data_warehouse_spark.operators.dedup import minhash_lsh_incremental
+
+    base = "w%d " * 30  # 30 words -> 28 shingles
+    t1 = (base % tuple(range(30))).strip()
+    # one word changed mid-doc: affects shingles 10..12 on each side
+    # -> inter = 25, union = 28 + 28 - 25 = 31, j = 25/31 ~ 0.806
+    t2 = t1.replace("w12 ", "zz ")
+    corpus = spark.createDataFrame(
+        [(2, t1), (4, "completely different text about other things "
+                      "with enough words to form several shingles here"),
+         (6, t1)],  # exact dup of id 2 inside the corpus
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, t1),            # re-arrival: j=1.0, dup_of = min(2, 6) = 2
+         (20, t2),            # near-dup of 2 and 6: j = 25/31
+         (30, "totally novel content nothing shared with the corpus "
+              "at all in any shingle of this text"),
+         (40, "too short")],  # < 3 words: no shingles, must survive
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in minhash_lsh_incremental(
+        corpus, batch, text_col="text", id_col="doc_id",
+        jaccard_threshold=0.5).collect()}
+    assert set(out) == {10, 20, 30, 40}
+    assert out[10].is_dup and out[10].dup_of == 2 and out[10].jaccard == 1.0
+    assert out[20].is_dup and out[20].dup_of == 2
+    assert abs(out[20].jaccard - round(25 / 31, 6)) < 1e-9
+    assert not out[30].is_dup and out[30].dup_of is None
+    assert not out[40].is_dup and out[40].jaccard is None
+
+
+def test_x2g_fixture_rearrivals_all_caught(spark, sf_dir):
+    """On the live fixture: every re-arrival (identical text under a
+    new id) MUST be flagged — identical shingle sets give identical
+    signatures, so banding detection is certain, not probabilistic —
+    with dup_of <= its original id: the min-id winner rule may
+    prefer a SMALLER near-dup of the original over the original's
+    own exact match (observed on the fixture: re-arrival of 161
+    reports dup_of=144 at j=0.9886), so jaccard is pinned to 1.0
+    only when dup_of IS the original. The split-straddling planted
+    near-dups are covered by x2's union-bound test (x2g's pair
+    population is a subset; see the registration doc)."""
+    rows = _q("x2g_incremental_minhash")(spark, sf_dir).collect()
+    rearr = [r for r in rows if r.doc_id >= 2000000]
+    assert rearr, "fixture produced no re-arrival batch rows"
+    for r in rearr:
+        assert r.is_dup, f"re-arrival {r.doc_id} not flagged: {r}"
+        orig = r.doc_id - 2000000
+        assert r.dup_of <= orig
+        if r.dup_of == orig:
+            assert r.jaccard == 1.0, (
+                f"re-arrival {r.doc_id} vs its own original: {r}")
+        else:
+            assert r.jaccard >= 0.5
+    assert any(not r.is_dup for r in rows), (
+        "every batch doc flagged dup — the held-out tenth should "
+        "contain novel content")

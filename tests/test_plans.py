@@ -199,6 +199,26 @@ def test_x2e_corpus_index_aggregates_below_join(spark):
     assert_no_cartesian(q(spark, "x2e_incremental_dedup"))
 
 
+def test_x2g_incremental_probe_is_equi_join_no_cartesian(spark):
+    # the batch probes the corpus's band index through a (band, bucket)
+    # equi-join and the verify stage joins candidate ids only — at
+    # 100 TB anything cartesian here would pair the batch against the
+    # whole corpus
+    assert_no_cartesian(q(spark, "x2g_incremental_minhash"))
+
+
+def test_x17_semdedup_pairs_only_within_cells(spark):
+    # cell assignment is a map-only Arrow kernel (no join at all) and
+    # the prune join keys on the cell — the quadratic term must be
+    # Σ|cell|², never corpus²: no cartesian, and the pair join must be
+    # a real equi-join
+    df = q(spark, "x17_semdedup")
+    assert_no_cartesian(df)
+    plan = executed_plan(df)
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
 def test_dq1_row_rules_are_one_aggregate_pass(spark):
     # all row rules ride ONE aggregation over the (unioned) log — no
     # per-rule scan fan-out — and the uniqueness check is its own
