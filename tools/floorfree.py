@@ -82,6 +82,24 @@ DEFAULT_QUERIES = {
     # through the IVF-cell prefilter while the DuckDB oracle stays
     # exact-quadratic — the engines stop doing the same logical work
     # at exactly the scales worth measuring.
+    # Round-12 additions x2g and x17 are absent for the same two
+    # classes. x2g (incremental MinHash): the per-copy text token
+    # leaves every corpus copy of an original a >0.9-Jaccard near-dup
+    # of every batch copy of it, so candidate volume grows as
+    # batch x n-copies (quadratic in the multiplier) on BOTH engines —
+    # a copy-clique artifact, not pipeline throughput; its scale
+    # evidence is its components' lanes: x2f (identical banding
+    # machinery, oracle-replayed to 1024x) and x2e (identical
+    # incremental index-join shape, 4096x). x17 (SemDeDup): the
+    # amplifier copies embedding VECTORS verbatim per copy (only
+    # vec_id is salted), planting n-clique cells of cos=1.0 exact
+    # duplicates — Σ|cell|² goes quadratic in the multiplier on both
+    # engines, and the query's +100000 planted-copy id offset
+    # collides with the salted id space at >=64x; the honest scale
+    # knob (n_cells grows with the corpus — the SemDeDup paper's own
+    # regime) is a parameter, not a data multiplier, and its
+    # components' lanes (x3's scan-score kernel, x4's blocked pair
+    # join, mm4's map-only Arrow class) carry the amplified evidence.
     "a11_cube": (16, 64),
     "u7_incremental_rollup": (16, 64),
     "x11_pii_redaction": (16, 64),
