@@ -685,3 +685,101 @@ def test_x2g_fixture_rearrivals_all_caught(spark, sf_dir):
     assert any(not r.is_dup for r in rows), (
         "every batch doc flagged dup — the held-out tenth should "
         "contain novel content")
+
+
+def test_semantic_dedup_prune_matches_per_row_rederivation(spark):
+    """Property check on the composition (pair join + min-agg + left
+    join): holding the operator's OWN cell assignment fixed, every
+    row's pruned_by must equal the per-row definition — the smallest
+    same-cell id whose rounded cosine clears the threshold — computed
+    independently in numpy over the same float32 inputs. Catches a
+    regression in the pair direction (id_a < id_b), the min rule, or
+    the novel-row left join without retesting the clustering (x3b's
+    replay oracle owns that)."""
+    import numpy as np
+
+    from data_warehouse_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 60
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    # plant near-copies of every 5th vector (tiny jitter keeps cos
+    # ~0.9999) — these must be pruned by their originals when co-celled
+    for i in range(0, n, 5):
+        v = base[i] + rng.normal(scale=1e-3, size=dim).astype(np.float32)
+        rows.append((1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(df, vec_col="embedding", id_col="vec_id",
+                         n_cells=4, threshold=0.9, iters=1, dim=dim)
+    got = {r.vec_id: (r.cell, r.pruned_by, r.kept) for r in out.collect()}
+    assert len(got) == len(rows)
+
+    vecs = {i: np.array(v, dtype=np.float32) for i, v in rows}
+    cells = {i: got[i][0] for i in vecs}
+
+    def cos(a, b):
+        a, b = vecs[a].astype(np.float64), vecs[b].astype(np.float64)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for j in vecs:
+        pruners = [i for i in vecs
+                   if i < j and cells[i] == cells[j]
+                   and round(cos(i, j), 6) >= 0.9]
+        want = min(pruners) if pruners else None
+        assert got[j][1] == want, (j, got[j], want)
+        assert got[j][2] == (want is None)
+
+
+def test_minhash_incremental_matches_brute_force_random_corpus(spark):
+    """Property check against an independent Python brute force on a
+    seeded random corpus with planted duplicates: x2g's whole output
+    (dup_of, jaccard, is_dup per batch doc) must equal exact
+    batch-x-corpus shingle Jaccard with the min-corpus-id winner.
+    Planted pairs sit at j >= 0.88 (one word mutated in 50), where the
+    32-hash/8-band miss probability is ~6e-4 per pair and the seeded
+    hash family makes detection deterministic for this corpus."""
+    import random
+
+    from data_warehouse_spark.operators.dedup import minhash_lsh_incremental
+
+    rng = random.Random(42)
+    words = [f"tok{i}" for i in range(400)]
+
+    def doc():
+        return " ".join(rng.choice(words) for _ in range(50))
+
+    corpus = [(2 * i + 1, doc()) for i in range(40)]   # odd ids
+    batch = [(1000 + i, doc()) for i in range(10)]     # novel
+    for k, (cid, text) in enumerate(corpus[:6]):       # near-copies
+        toks = text.split()
+        toks[20] = "mutated"
+        batch.append((2000 + k, " ".join(toks)))
+    for k, (cid, text) in enumerate(corpus[10:14]):    # exact copies
+        batch.append((3000 + k, text))
+
+    def sh(text):
+        t = text.split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    expect = {}
+    for bid, btext in batch:
+        best = None
+        for cid, ctext in corpus:
+            a, b = sh(btext), sh(ctext)
+            j = len(a & b) / len(a | b)
+            if j >= 0.5 and (best is None or cid < best[0]):
+                best = (cid, round(j, 6))
+        expect[bid] = best
+
+    out = minhash_lsh_incremental(
+        spark.createDataFrame(corpus, ["doc_id", "text"]),
+        spark.createDataFrame(batch, ["doc_id", "text"]),
+        text_col="text", id_col="doc_id", jaccard_threshold=0.5)
+    got = {r.doc_id: ((r.dup_of, r.jaccard) if r.is_dup else None)
+           for r in out.collect()}
+    assert got == expect
+    # the construction must exercise all three classes
+    assert sum(v is None for v in expect.values()) >= 10
+    assert sum(v is not None and v[1] == 1.0 for v in expect.values()) >= 4
+    assert sum(v is not None and v[1] < 1.0 for v in expect.values()) >= 6
