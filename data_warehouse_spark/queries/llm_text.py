@@ -1423,3 +1423,152 @@ def x11_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(redact_pii(F.col("t")).cast("binary")).alias("red_hash"),
         *[c.cast("int").alias(n) for c, n in zip(
             pii_counts(F.col("t")), ("n_email", "n_ipv4", "n_phone"))])
+
+
+def _x18_clean(spark: SparkSession, sf_dir: str,
+               materialize: bool = True) -> DataFrame:
+    """x18's cleaning chain: ingest (train + re-collected copies) ->
+    quality gate -> exact dedup -> decontamination. Exposed separately
+    so tests/test_plans.py can assert the chain's own shape (broadcast
+    eval grams, no cartesian) independent of the checkpoint that hides
+    it from the final plan.
+
+    materialize=True localCheckpoints `qual` — the expensive full-text
+    stage, referenced by THREE consumers (the dedup index subtree, the
+    survivor semi-join, and the contamination gram explode) that Spark
+    will not common-subexpression-share across branches (the e3
+    lesson: each branch re-executes the chain inline). Same
+    fault-tolerance trade as e3/x2: checkpoint blocks are
+    executor-local, a lost executor re-runs the (bounded) query.
+    """
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "lang", "text")
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    # re-collected crawl copies under new ids (x1's planted-dup idiom:
+    # the fixture corpus is exact-dup-free, so an unplanted dedup
+    # stage would be vacuous at every sf)
+    recollected = (train.filter(F.col("doc_id") % 11 == 0)
+                   .withColumn("doc_id", F.col("doc_id") + 1000000))
+    qual = (train.unionByName(recollected)
+            .filter(quality_score(F.col("text")) >= 0.5))
+    if materialize:
+        qual = qual.localCheckpoint(eager=False)
+    canon = (exact_dedup(qual, "text", "doc_id")
+             .select(F.col("canonical_id").alias("doc_id")))
+    kept = qual.join(canon, on="doc_id", how="left_semi")
+    eval_grams = (docs.filter(F.col("doc_id") % 37 == 0)
+                  .select(F.explode(F.array_distinct(shingles("text", 4)))
+                          .alias("g"))
+                  .distinct())
+    contaminated = (kept.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles("text", 4))).alias("g"))
+        .join(F.broadcast(eval_grams), on="g", how="left_semi")
+        .select("doc_id").distinct())
+    # the caller checkpoints the returned chain before fanning it out
+    # (x18_corpus_prep's sampler reads it three ways); keeping that
+    # checkpoint OUT of this helper leaves the chain's plan inspectable
+    return kept.join(contaminated, on="doc_id", how="left_anti")
+
+
+@register(
+    "x18_corpus_prep",
+    oracle=f"""
+WITH train AS (
+    SELECT doc_id, lang, text FROM documents WHERE doc_id % 37 <> 0
+), ingest AS (
+    SELECT * FROM train
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, lang, text FROM train
+    WHERE doc_id % 11 = 0
+), qual AS (
+    SELECT * FROM ingest WHERE
+      (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.5 END)
+    * (CASE WHEN length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+            * 1.0 / greatest(length(text), 1) <= 0.1 THEN 1.0 ELSE 0.5 END)
+    * (CASE WHEN len(list_filter({_TOKS}, t -> t IN ('the', 'and', 'of')))
+            * 1.0 / greatest(len({_TOKS}), 1) >= 0.01
+       THEN 1.0 ELSE 0.5 END) >= 0.5
+), dedup AS (
+    SELECT * FROM qual
+    QUALIFY row_number() OVER (PARTITION BY sha256(text)
+                               ORDER BY doc_id) = 1
+), evalg AS (
+    SELECT DISTINCT unnest(list_distinct(list_transform(
+        range(1, greatest(len(l) - 3, 0) + 1),
+        i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]
+             || ' ' || l[i + 3]))) AS g
+    FROM (SELECT {_TOKS} AS l FROM documents WHERE doc_id % 37 = 0)
+), contam AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(l) - 3, 0) + 1),
+            i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]
+                 || ' ' || l[i + 3]))) AS g
+        FROM (SELECT doc_id, {_TOKS} AS l FROM dedup)) t
+    JOIN evalg USING (g)
+), sized AS (
+    SELECT lang, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS k
+    FROM dedup
+    WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+      AND len({_TOKS}) > 0
+), cum AS (
+    SELECT lang, doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tokens
+    FROM sized
+)
+SELECT lang, doc_id, n_tokens, cum_tokens,
+       CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS start_seq,
+       CAST((cum_tokens - 1) // 512 AS BIGINT) AS end_seq
+FROM cum WHERE cum_tokens <= 2000
+""",
+    doc="X18: the composed CORPUS-PREP day — the documents-side analog "
+        "of e4: ingest (train + re-collected crawl copies under new "
+        "ids) -> x5c quality gate -> X1 exact dedup (min-id survivor "
+        "via the hash index + semi-join) -> X13 decontamination "
+        "(broadcast eval gram set, any-shared-4-gram drop) -> X14 "
+        "per-language token budget -> X15 sequence-packing arithmetic, "
+        "under ONE registry entry with ONE oracle replaying the whole "
+        "composition. The per-operator gate proves each stage alone; "
+        "this is the integration check that their composition — filter "
+        "pushdown across the union, dedup-before-decontaminate "
+        "ordering, budget over the CLEANED corpus — is right. Plan "
+        "discipline (test_plans.py): the expensive full-text stage is "
+        "checkpoint-materialized once and feeds its three consumers "
+        "(e3's execute-once lesson); eval grams broadcast (x13); the "
+        "budget/packing stage runs the DISTRIBUTED two-phase prefix "
+        "sum (x14b), so no one-reducer-per-language window; the final "
+        "plan reads checkpoints only — zero documents rescans. At "
+        "100 TB this is the nightly corpus build: O(corpus) scans "
+        "bounded by the two materializations, shuffles only on hashes, "
+        "counts, and the tiny drop lists.",
+    tags=("ext", "text", "dedup", "sampling"),
+)
+def x18_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.sampling import (
+        token_budget_sample_scalable,
+    )
+
+    clean = _x18_clean(spark, sf_dir).localCheckpoint(eager=False)
+    sized = (clean.select(
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+        "doc_id",
+        word_count("text").cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0))
+    out = token_budget_sample_scalable(
+        sized.select("lang", "k", "n_tokens"),
+        stratum="lang", key="k", weight="n_tokens", budget=2000)
+    ids = sized.select(F.col("lang").alias("__l"), F.col("k").alias("__k2"),
+                       "doc_id")
+    sel = (out.join(ids, on=[F.col("lang").eqNullSafe(F.col("__l")),
+                             F.col("k") == F.col("__k2")])
+           .select("lang", "doc_id", "n_tokens",
+                   F.col("cum").alias("cum_tokens")))
+    return sel.select(
+        "lang", "doc_id", "n_tokens", "cum_tokens",
+        F.expr("(cum_tokens - n_tokens) DIV 512").alias("start_seq"),
+        F.expr("(cum_tokens - 1) DIV 512").alias("end_seq"))

@@ -83,16 +83,20 @@ _QUERY_MODULES = [
 # 50-slot budget and documented here for the r12 judge.
 #
 # Mid-round additions x2g_incremental_minhash (incremental near-dup
-# vs a persisted LSH index) and x17_semdedup (SemDeDup embedding
-# dedup) append to (b) per the standing rule, displacing two more:
-# a1_q1_pricing_summary (4 values_match floor-free cells recorded
-# this round at 16x-1024x, and the headline bench re-times it every
-# round regardless) and x13_decontaminate (4 values_match cells at
-# 16x-1024x plus 4096x rows, and its broadcast scale-killer claim is
-# plan-asserted in test_plans.py). Both archive rows stay r9, same
-# deviation class as w5/u1/p6 above.
+# vs a persisted LSH index), x17_semdedup (SemDeDup embedding
+# dedup), and x18_corpus_prep (the composed corpus-prep day: quality
+# gate -> exact dedup -> decontaminate -> token budget -> packing
+# under one oracle) append to (b) per the standing rule, displacing
+# three more: a1_q1_pricing_summary (4 values_match floor-free cells
+# recorded this round at 16x-1024x, and the headline bench re-times
+# it every round regardless), x13_decontaminate (4 values_match
+# cells at 16x-1024x plus 4096x rows, and its broadcast scale-killer
+# claim is plan-asserted in test_plans.py), and x11_pii_redaction
+# (4 values_match cells at 16x-1024x plus a 4096x row check, and its
+# zero-UDF codegen claim is plan-asserted). All three archive rows
+# stay r9, same deviation class as w5/u1/p6 above.
 DRIVER_WINDOW = [
-    # (a) r9 cohort (43 minus the 5 displaced above)
+    # (a) r9 cohort (43 minus the 6 displaced above)
     "a2_count_by_key", "a4_distinct",
     "a5_rollup", "a6_stats", "a10_unpivot", "a11_cube",
     "e1_trips", "e1b_bucketed_trips", "e1c_trips_localtime",
@@ -106,14 +110,14 @@ DRIVER_WINDOW = [
     "u2_dedup_latest", "u4_scd2_dimension", "u7_incremental_rollup",
     "u8_zorder_scan",
     "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
-    "x2b_simhash", "x5d_fingerprint", "x11_pii_redaction",
+    "x2b_simhash", "x5d_fingerprint",
     "x15_sequence_packing",
     # (b) round-12 code changes
     "e3_enriched_trips", "e4_daily_run",
     "x8_dup_components", "x8b_components_sparse", "x8d_components_auto",
     "x12_dedup_corpus", "x12b_dedup_corpus_sparse",
     "x16_span_dedup", "x16b_span_removal", "x16c_span_dedup_sparse",
-    "x2g_incremental_minhash", "x17_semdedup",
+    "x2g_incremental_minhash", "x17_semdedup", "x18_corpus_prep",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
 # Queries added or code-changed DURING round 12 must be appended to

@@ -783,3 +783,20 @@ def test_minhash_incremental_matches_brute_force_random_corpus(spark):
     assert sum(v is None for v in expect.values()) >= 10
     assert sum(v is not None and v[1] == 1.0 for v in expect.values()) >= 4
     assert sum(v is not None and v[1] < 1.0 for v in expect.values()) >= 6
+
+
+def test_x18_pipeline_semantics(spark, sf_dir):
+    """The composed prep's class structure on the live fixture: no
+    eval doc (37-multiples) survives into the output, every planted
+    re-collected copy (+1000000 ids) was deduped away in favor of its
+    original, the budget holds per language, and the packing
+    arithmetic is consistent row by row."""
+    rows = _q("x18_corpus_prep")(spark, sf_dir).collect()
+    assert rows
+    assert all(r.doc_id % 37 != 0 for r in rows)
+    assert all(r.doc_id < 1000000 for r in rows)
+    for r in rows:
+        assert 0 < r.n_tokens <= r.cum_tokens <= 2000
+        assert r.start_seq == (r.cum_tokens - r.n_tokens) // 512
+        assert r.end_seq == (r.cum_tokens - 1) // 512
+        assert r.start_seq <= r.end_seq

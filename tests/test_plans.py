@@ -219,6 +219,39 @@ def test_x17_semdedup_pairs_only_within_cells(spark):
             or "BroadcastHashJoin" in plan)
 
 
+def test_x18_chain_broadcasts_and_final_plan_reads_checkpoints(spark):
+    """x18's composition discipline: the cleaning chain broadcasts the
+    eval gram set (x13's rule) with no cartesian anywhere; materialized,
+    the chain reads the checkpointed quality stage (e3's execute-once
+    lesson — three consumers would otherwise re-run the full-text scan
+    inline) so exactly ONE documents scan remains (the eval branch);
+    and the full query's plan reads checkpoints only — zero documents
+    scans survive into the budget/packing stage."""
+    from data_warehouse_spark.queries.llm_text import _x18_clean
+
+    chain = _x18_clean(spark, SF, materialize=False)
+    plan = executed_plan(chain)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    mat = _x18_clean(spark, SF, materialize=True)
+    mplan = executed_plan(mat)
+    assert "Scan ExistingRDD" in mplan, (
+        "x18's quality stage is no longer checkpoint-materialized")
+    doc_scans = [ln for ln in mplan.splitlines()
+                 if "Scan parquet" in ln and "documents" in ln]
+    assert len(doc_scans) == 1, (
+        f"expected exactly the eval-gram branch's documents scan, got "
+        f"{len(doc_scans)} — a chain consumer is re-deriving inline")
+
+    fplan = executed_plan(q(spark, "x18_corpus_prep"))
+    fdoc = [ln for ln in fplan.splitlines()
+            if "Scan parquet" in ln and "documents" in ln]
+    assert not fdoc, (
+        "composed x18 plan re-derives the cleaning chain inline "
+        "instead of reading its checkpoint")
+
+
 def test_dq1_row_rules_are_one_aggregate_pass(spark):
     # all row rules ride ONE aggregation over the (unioned) log — no
     # per-rule scan fan-out — and the uniqueness check is its own
