@@ -1572,3 +1572,71 @@ def x18_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", "n_tokens", "cum_tokens",
         F.expr("(cum_tokens - n_tokens) DIV 512").alias("start_seq"),
         F.expr("(cum_tokens - 1) DIV 512").alias("end_seq"))
+
+
+@register(
+    "x19_quality_gate",
+    oracle=f"""
+WITH scored AS (
+    SELECT lang, doc_id,
+      (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.5 END)
+    * (CASE WHEN length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+            * 1.0 / greatest(length(text), 1) <= 0.1 THEN 1.0 ELSE 0.5 END)
+    * (CASE WHEN len(list_filter({_TOKS}, t -> t IN ('the', 'and', 'of')))
+            * 1.0 / greatest(len({_TOKS}), 1) >= 0.01
+       THEN 1.0 ELSE 0.5 END) AS quality
+    FROM documents
+), r AS (
+    SELECT lang, doc_id, quality,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY quality DESC, doc_id) AS rnk,
+           COUNT(*) OVER (PARTITION BY lang) AS n_lang
+    FROM scored
+)
+SELECT lang, doc_id, quality, CAST(rnk AS BIGINT) AS rnk,
+       CAST(n_lang AS BIGINT) AS n_lang
+FROM r WHERE rnk <= CEIL(0.25 * n_lang)
+""",
+    doc="X19: per-source quality-percentile gate — keep the TOP 25% of "
+        "documents per language by x5c's heuristic quality score (the "
+        "relative filter production pipelines use when an absolute "
+        "threshold would gut low-resource languages). The hard part at "
+        "100 TB is the EXACT rank: the naive per-stratum window "
+        "serializes each language's full corpus on one reducer, so "
+        "the rank is computed as a distributed prefix sum of weight 1 "
+        "over (stratum=lang, key=(-quality, doc_id)) on the x14b "
+        "two-phase machinery (operators/sampling.py:"
+        "prefix_sum_scalable) — parallelism strata x chunks, "
+        "plan-asserted chunk-partitioned in test_plans.py. The "
+        "(score, id) composite key keeps (stratum, key) unique, the "
+        "machinery's determinism precondition; the keep bound "
+        "ceil(0.25 * n) is exact integer arithmetic on both engines. "
+        "Quality values are exact binary fractions (products of "
+        "1.0/0.5 factors), so cross-engine rank order cannot drift.",
+    tags=("ext", "text", "sampling"),
+)
+def x19_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.sampling import prefix_sum_scalable
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", "doc_id", quality_score(F.col("text")).alias("quality"))
+    keyed = scored.select(
+        "lang",
+        F.struct((-F.col("quality")).alias("negq"),
+                 F.col("doc_id").alias("doc_id")).alias("k"),
+        F.lit(1).cast("long").alias("one"))
+    ranked = (prefix_sum_scalable(keyed, stratum="lang", key="k",
+                                  weight="one")
+              .select("lang", F.col("k.doc_id").alias("doc_id"),
+                      F.col("cum").alias("rnk")))
+    counts = scored.groupBy(F.col("lang").alias("__l")) \
+        .agg(F.count(F.lit(1)).alias("n_lang"))
+    # quality rejoins over the globally-unique doc_id; counts rejoin
+    # null-safe on lang (a NULL stratum is a real window partition)
+    return (ranked
+            .join(scored.select(F.col("doc_id"), "quality"), on="doc_id")
+            .join(F.broadcast(counts),
+                  on=[F.col("lang").eqNullSafe(F.col("__l"))])
+            .filter(F.col("rnk") <= F.ceil(F.col("n_lang") * 0.25))
+            .select("lang", "doc_id", "quality", "rnk", "n_lang"))

@@ -800,3 +800,35 @@ def test_x18_pipeline_semantics(spark, sf_dir):
         assert r.start_seq == (r.cum_tokens - r.n_tokens) // 512
         assert r.end_seq == (r.cum_tokens - 1) // 512
         assert r.start_seq <= r.end_seq
+
+
+def test_x19_quality_gate_keeps_exact_top_quarter(spark, sf_dir):
+    """Per language: the kept set is exactly the ceil(n/4) best by
+    (quality DESC, doc_id) — ranks contiguous from 1, count matches
+    the bound, and no kept doc scores below a dropped one (checked
+    against an independent full re-score of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.functions.text import quality_score
+
+    rows = _q("x19_quality_gate")(spark, sf_dir).collect()
+    assert rows
+    full = (load_table(spark, sf_dir, "documents")
+            .select("lang", "doc_id",
+                    quality_score(F.col("text")).alias("q")).collect())
+    by_lang: dict = {}
+    for r in full:
+        by_lang.setdefault(r.lang, []).append((-r.q, r.doc_id))
+    kept: dict = {}
+    for r in rows:
+        kept.setdefault(r.lang, []).append(r)
+    assert set(kept) == set(by_lang)
+    import math
+    for lang, rs in kept.items():
+        n = len(by_lang[lang])
+        bound = math.ceil(0.25 * n)
+        assert len(rs) == bound
+        assert sorted(r.rnk for r in rs) == list(range(1, bound + 1))
+        assert all(r.n_lang == n for r in rs)
+        want_ids = [d for _, d in sorted(by_lang[lang])[:bound]]
+        assert sorted(r.doc_id for r in rs) == sorted(want_ids)

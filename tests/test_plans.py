@@ -430,6 +430,24 @@ def test_x14b_window_is_chunked_not_single_reducer(spark):
         "chunk offsets no longer broadcast back to the data")
 
 
+def test_x19_rank_window_is_chunked_not_single_reducer(spark):
+    """x19's exact per-language rank must ride the same two-phase
+    decomposition as x14b: the per-ROW window partitioned by
+    (stratum, chunk), never by the stratum alone — a lang-only window
+    would serialize each language's whole corpus on one reducer. The
+    key column here is the (negated-quality, doc_id) struct k."""
+    df = q(spark, "x19_quality_gate")
+    plan = executed_plan(df)
+    row_windows = [ln for ln in plan.splitlines()
+                   if "windowspecdefinition(" in ln and " k#" in ln]
+    assert row_windows, "per-row rank window (ordered by key k) not found"
+    for ln in row_windows:
+        assert "__chunk" in ln, (
+            "rank window lost its chunk partition — single reducer "
+            f"per language is back: {ln.strip()[:200]}")
+    assert "CartesianProduct" not in plan
+
+
 def test_x16c_kpass_routing_thresholds():
     """The K-pass bounded-spill routing rule (SCALE.md): 1 pass
     through 256x amplification (recorded single-pass cells stay

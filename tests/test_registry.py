@@ -11,11 +11,11 @@ from data_warehouse_spark.queries.registry import DRIVER_WINDOW, load_all
 # CORRECTNESS_r08 — plus every round-11 code change. Composition
 # rationale lives next to DRIVER_WINDOW in queries/registry.py.
 MUST_BE_WINDOWED = {
-    # (a) r9 cohort minus the 6 displaced (w5/u1/p6 at rotation time,
-    # a1/x13/x11 when the mid-round additions landed — the registry
+    # (a) r9 cohort minus the 7 displaced (w5/u1/p6 at rotation time,
+    # a1/x13/x11/a11 when the mid-round additions landed — the registry
     # comment records why each)
     "a2_count_by_key", "a4_distinct",
-    "a5_rollup", "a6_stats", "a10_unpivot", "a11_cube",
+    "a5_rollup", "a6_stats", "a10_unpivot",
     "e1_trips", "e1b_bucketed_trips", "e1c_trips_localtime",
     "e2_carbon_savings", "e2b_carbon_bucketed",
     "j1_inner_join", "j2_broadcast_join", "j3_left_join",
@@ -30,12 +30,13 @@ MUST_BE_WINDOWED = {
     "x2b_simhash", "x5d_fingerprint",
     "x15_sequence_packing",
     # (b) round-12 code changes (incl. the mid-round additions
-    # x2g/x17/x18 — new queries must land in the round's window)
+    # x2g/x17/x18/x19 — new queries must land in the round's window)
     "e3_enriched_trips", "e4_daily_run",
     "x8_dup_components", "x8b_components_sparse", "x8d_components_auto",
     "x12_dedup_corpus", "x12b_dedup_corpus_sparse",
     "x16_span_dedup", "x16b_span_removal", "x16c_span_dedup_sparse",
     "x2g_incremental_minhash", "x17_semdedup", "x18_corpus_prep",
+    "x19_quality_gate",
 }
 
 
