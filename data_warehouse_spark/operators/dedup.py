@@ -310,7 +310,7 @@ def minhash_lsh_incremental(corpus: DataFrame, batch: DataFrame,
     candidates = (probes.join(index, on=["band", "bucket"])
                   .select("__bid", "__cid")
                   .distinct()
-                  # referenced four times below (two semi-filters +
+                  # referenced three times below (two semi-filters +
                   # the verify join spine); checkpoint so the banding
                   # join runs once — candidates are the tiny near-dup
                   # tail. Same fault-tolerance trade as

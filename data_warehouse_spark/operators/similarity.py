@@ -468,7 +468,14 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
     """
     centroids = build_ivf_centroids(df, vec_col, id_col,
                                     n_cells=n_cells, iters=iters, dim=dim)
-    assigned = assign_cells(df, centroids, vec_col, id_col, dim=dim)
+    # three consumers read the assignment (both sides of the pair
+    # self-join + the output left join) and Spark shares no subtree
+    # across branches — without the checkpoint the scan + Arrow argmax
+    # kernel (and the Lloyd clustering beneath it) execute ~3x per
+    # query (r12 review finding; same trade as x2g's candidates:
+    # executor-local blocks, lost-executor re-runs the query)
+    assigned = assign_cells(df, centroids, vec_col, id_col, dim=dim) \
+        .localCheckpoint(eager=False)
     pairs = cosine_pairs_blocked(assigned, vec_col, id_col,
                                  block_col="cell", threshold=threshold,
                                  max_block_rows=max_cell_rows, dim=dim)

@@ -1626,16 +1626,21 @@ def x19_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct((-F.col("quality")).alias("negq"),
                  F.col("doc_id").alias("doc_id")).alias("k"),
         F.lit(1).cast("long").alias("one"))
+    # quality comes back out of the key (-(-q) is exact IEEE negation,
+    # and the scores are exact binary fractions) — re-joining `scored`
+    # would re-execute the regex-heavy scoring scan a second time,
+    # the e3 cross-branch re-execution trap (r12 review finding)
     ranked = (prefix_sum_scalable(keyed, stratum="lang", key="k",
                                   weight="one")
               .select("lang", F.col("k.doc_id").alias("doc_id"),
+                      (-F.col("k.negq")).alias("quality"),
                       F.col("cum").alias("rnk")))
     counts = scored.groupBy(F.col("lang").alias("__l")) \
         .agg(F.count(F.lit(1)).alias("n_lang"))
-    # quality rejoins over the globally-unique doc_id; counts rejoin
-    # null-safe on lang (a NULL stratum is a real window partition)
+    # counts rejoin null-safe on lang (a NULL stratum is a real window
+    # partition); the count aggregate reads only (lang) — column
+    # pruning keeps this branch off the text payload
     return (ranked
-            .join(scored.select(F.col("doc_id"), "quality"), on="doc_id")
             .join(F.broadcast(counts),
                   on=[F.col("lang").eqNullSafe(F.col("__l"))])
             .filter(F.col("rnk") <= F.ceil(F.col("n_lang") * 0.25))
