@@ -453,3 +453,63 @@ def u3_microbatch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         money_sum("value").alias("sum_value"))
+
+
+@register(
+    "st12_stream_incremental_dedup",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+), batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents
+    WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0
+), idx AS (
+    SELECT sha256(text) AS h, MIN(doc_id) AS dup_of
+    FROM corpus GROUP BY sha256(text)
+)
+SELECT b.doc_id, i.dup_of, i.dup_of IS NOT NULL AS is_dup
+FROM (SELECT doc_id, sha256(text) AS h FROM batch) b
+LEFT JOIN idx i ON b.h = i.h
+""",
+    doc="ST12: x2e's incremental corpus dedup as a REAL Structured "
+        "Streaming run — the continuous-ingest shape: arriving crawl "
+        "documents (the held-out tenth plus re-arrivals under new ids, "
+        "derived in-stream with a stateless projection) left-join the "
+        "STATIC corpus (content_hash, canonical_id) index per "
+        "micro-batch, st10-style: a broadcast hash join planned per "
+        "batch, ZERO state store (the join is stateless, the sink is "
+        "append — no aggregate, no watermark, no dedup state to "
+        "evict, which is exactly why the index form beats streaming "
+        "dropDuplicates over corpus ∪ stream: state stays O(index) "
+        "on the persisted artifact, not O(stream history) in the "
+        "store). Final appended state is deterministic regardless of "
+        "file->batch slicing, so the x2e oracle checks it value-"
+        "exactly; multi-batch arrival and batch-equivalence are "
+        "pinned in tests/test_streaming.py.",
+    tags=("streaming", "dedup"),
+)
+def st12_stream_incremental_dedup(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    from data_warehouse_spark.streaming.jobs import read_documents_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = (docs.filter(F.col("doc_id") % 10 != 0)
+           .groupBy(F.sha2("text", 256).alias("h"))
+           .agg(F.min("doc_id").alias("dup_of")))
+    stream = read_documents_stream(spark, sf_dir)
+    arriving = (stream
+                .filter((F.col("doc_id") % 10 == 0)
+                        | (F.col("doc_id") % 7 == 0))
+                .withColumn("doc_id",
+                            F.when(F.col("doc_id") % 10 == 0,
+                                   F.col("doc_id"))
+                            .otherwise(F.col("doc_id") + 2000000))
+                .select("doc_id", F.sha2("text", 256).alias("h")))
+    flagged = (arriving.join(F.broadcast(idx), on="h", how="left")
+               .select("doc_id", "dup_of",
+                       F.col("dup_of").isNotNull().alias("is_dup")))
+    q = start_memory_sink(flagged, "st12_out", "append")
+    q.awaitTermination()
+    return spark.sql("SELECT doc_id, dup_of, is_dup FROM st12_out")

@@ -33,6 +33,24 @@ EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
                  "event_type string, value double, props string")
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str,
+                          max_files: int = 1,
+                          glob: str = "documents.parquet") -> DataFrame:
+    """ST12: streaming file source over the documents corpus — the
+    continuous-crawl arrival shape. Only the dedup-relevant columns
+    are declared (parquet projection prunes the rest at the source);
+    no timestamp column exists, so unlike events there is nothing to
+    normalize. The default glob picks the documents log out of a
+    fixture dir; tests pass glob="*.parquet" with a staged multi-file
+    directory to force multi-batch arrival under
+    maxFilesPerTrigger=1."""
+    return (spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", max_files)
+            .option("pathGlobFilter", glob)
+            .load(f"{sf_dir}/"))
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files: int = 1) -> DataFrame:
     """ST1: streaming file source over the events log (the reference's

@@ -11,8 +11,8 @@ from data_warehouse_spark.queries.registry import DRIVER_WINDOW, load_all
 # CORRECTNESS_r08 — plus every round-11 code change. Composition
 # rationale lives next to DRIVER_WINDOW in queries/registry.py.
 MUST_BE_WINDOWED = {
-    # (a) r9 cohort minus the 7 displaced (w5/u1/p6 at rotation time,
-    # a1/x13/x11/a11 when the mid-round additions landed — the registry
+    # (a) r9 cohort minus the 8 displaced (w5/u1/p6 at rotation time,
+    # a1/x13/x11/a11/x15 when the mid-round additions landed — the registry
     # comment records why each)
     "a2_count_by_key", "a4_distinct",
     "a5_rollup", "a6_stats", "a10_unpivot",
@@ -28,15 +28,14 @@ MUST_BE_WINDOWED = {
     "u8_zorder_scan",
     "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
     "x2b_simhash", "x5d_fingerprint",
-    "x15_sequence_packing",
     # (b) round-12 code changes (incl. the mid-round additions
-    # x2g/x17/x18/x19 — new queries must land in the round's window)
+    # x2g/x17/x18/x19/st12 — new queries must land in the round's window)
     "e3_enriched_trips", "e4_daily_run",
     "x8_dup_components", "x8b_components_sparse", "x8d_components_auto",
     "x12_dedup_corpus", "x12b_dedup_corpus_sparse",
     "x16_span_dedup", "x16b_span_removal", "x16c_span_dedup_sparse",
     "x2g_incremental_minhash", "x17_semdedup", "x18_corpus_prep",
-    "x19_quality_gate",
+    "x19_quality_gate", "st12_stream_incremental_dedup",
 }
 
 
