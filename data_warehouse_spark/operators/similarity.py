@@ -476,9 +476,15 @@ def semantic_dedup(df: DataFrame, vec_col: str, id_col: str,
     # executor-local blocks, lost-executor re-runs the query)
     assigned = assign_cells(df, centroids, vec_col, id_col, dim=dim) \
         .localCheckpoint(eager=False)
-    pairs = cosine_pairs_blocked(assigned, vec_col, id_col,
-                                 block_col="cell", threshold=threshold,
-                                 max_block_rows=max_cell_rows, dim=dim)
+    # the pair join's block key is renamed away from "cell":
+    # cosine_pairs_blocked's oversized-block route runs assign_cells
+    # INTERNALLY, whose output column is also "cell" — keying the
+    # block on the same name makes the sub-split's struct reference
+    # ambiguous (surfaced by the routing pytest)
+    pairs = cosine_pairs_blocked(
+        assigned.withColumnRenamed("cell", "__sd_cell"), vec_col, id_col,
+        block_col="__sd_cell", threshold=threshold,
+        max_block_rows=max_cell_rows, dim=dim)
     pruned = (pairs.groupBy(F.col("id_b").alias(id_col))
               .agg(F.min("id_a").alias("pruned_by")))
     return (assigned

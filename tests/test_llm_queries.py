@@ -832,3 +832,83 @@ def test_x19_quality_gate_keeps_exact_top_quarter(spark, sf_dir):
         assert all(r.n_lang == n for r in rs)
         want_ids = [d for _, d in sorted(by_lang[lang])[:bound]]
         assert sorted(r.doc_id for r in rs) == sorted(want_ids)
+
+
+def test_semantic_dedup_oversized_cell_routing(spark):
+    """The >max_cell_rows scale lever: forcing a tiny cap routes every
+    big cell through cosine_pairs_blocked's IVF sub-split. Routing may
+    only LOSE pairs (sub-cells partition each cell), so the routed
+    kept-set must be a superset of the exact kept-set — and the
+    planted near-identical copies (cos ~0.9999) must still be caught,
+    since a near-duplicate pair lands in the same sub-cell unless it
+    straddles a sub-centroid boundary (>= 80% recall pinned)."""
+    import numpy as np
+
+    from data_warehouse_spark.operators.similarity import semantic_dedup
+
+    # realistic routed regime: blocks several times larger than the
+    # 64-sub-centroid codebook (the design's >100k-row shape scaled
+    # down), NOT fewer rows than centroids — in that degenerate case
+    # near-identical SEED pairs each self-assign to their own
+    # singleton sub-cell and recall collapses by construction
+    rng = np.random.default_rng(11)
+    dim, n = 8, 1200
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    for i in range(100, n, 10):   # copies of non-seed originals
+        v = base[i] + rng.normal(scale=1e-3, size=dim).astype(np.float32)
+        rows.append((10000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {r.vec_id: r.kept for r in semantic_dedup(
+        df, "embedding", "vec_id", n_cells=2, threshold=0.9,
+        iters=1, dim=dim, max_cell_rows=None).collect()}
+    routed = {r.vec_id: r.kept for r in semantic_dedup(
+        df, "embedding", "vec_id", n_cells=2, threshold=0.9,
+        iters=1, dim=dim, max_cell_rows=300).collect()}
+    assert set(routed) == set(exact)
+    # routing only loses pairs: anything exact keeps, routed keeps too
+    assert all(routed[v] for v in exact if exact[v])
+    planted = [v for v in routed if v >= 10000]
+    pruned_routed = [v for v in planted if not routed[v]]
+    pruned_exact = [v for v in planted if not exact[v]]
+    assert pruned_exact, "exact path caught no planted copies"
+    assert len(pruned_routed) >= 0.8 * len(pruned_exact), (
+        f"routed path caught {len(pruned_routed)}/{len(pruned_exact)} "
+        "of the exact path's planted-copy prunes")
+
+
+def test_prefix_sum_scalable_struct_keys_match_naive_window(spark):
+    """x19 orders the prefix sum by a STRUCT key ((-quality, id)) —
+    new key territory for the decomposition (prior property tests used
+    md5 strings). Adversarial data: heavy ties in the first struct
+    field (coarse scores), a NULL stratum, single-row strata. The
+    two-phase result must equal the naive single-window form at
+    several chunk counts."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.operators.sampling import prefix_sum_scalable
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(400):
+        stratum = rng.choice(["a", "b", "c", None])
+        score = rng.choice([0.125, 0.25, 0.5, 1.0])   # heavy ties
+        rows.append((stratum, score, i))
+    rows.append(("solo", 0.5, 9999))                   # single-row stratum
+    df = spark.createDataFrame(rows, ["s", "score", "rid"]) \
+        .select("s",
+                F.struct((-F.col("score")).alias("negq"),
+                         F.col("rid").alias("rid")).alias("k"),
+                F.lit(1).cast("long").alias("one"))
+    w = (Window.partitionBy("s").orderBy("k")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    naive = {(r.s, r.k.negq, r.k.rid): r.cum for r in
+             df.withColumn("cum", F.sum("one").over(w)).collect()}
+    for coarse in (2, 7, 32):
+        got = {(r.s, r.k.negq, r.k.rid): r.cum for r in
+               prefix_sum_scalable(df, stratum="s", key="k",
+                                   weight="one", coarse=coarse).collect()}
+        assert got == naive, f"coarse={coarse} diverged from naive window"
