@@ -415,3 +415,30 @@ def test_st12_multibatch_arrival_matches_batch_x2e(spark, sf_dir, tmp_path):
              for r in load_all()["x2e_incremental_dedup"]
              .fn(spark, sf_dir).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_st12_plans_stateless_broadcast_no_state_store(spark, sf_dir):
+    """ST12's zero-state claim on the real streaming engine: the
+    per-micro-batch plan must join the static index as a
+    BroadcastHashJoin with NO stateful operator at all — no
+    symmetric-hash stream join, no StreamingDeduplicate, no
+    StateStore — because the dedup state lives in the persisted index,
+    not the stream."""
+    from data_warehouse_spark.streaming.jobs import (
+        read_documents_stream, start_memory_sink,
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = (docs.filter(F.col("doc_id") % 10 != 0)
+           .groupBy(F.sha2("text", 256).alias("h"))
+           .agg(F.min("doc_id").alias("dup_of")))
+    stream = read_documents_stream(spark, sf_dir)
+    flagged = (stream.select("doc_id", F.sha2("text", 256).alias("h"))
+               .join(F.broadcast(idx), on="h", how="left"))
+    q = start_memory_sink(flagged, "t_st12_plan", "append")
+    q.awaitTermination()
+    plan = q._jsq.explainInternal(False)
+    assert "BroadcastHashJoin" in plan
+    for stateful in ("StreamingSymmetricHashJoin", "StreamingDeduplicate",
+                     "StateStore"):
+        assert stateful not in plan, (
+            f"st12's stateless claim violated: {stateful} in plan")
