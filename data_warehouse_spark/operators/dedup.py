@@ -162,6 +162,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     `block` column — this is the scale path `ngram_jaccard_pairs`
     routes oversized blocks through.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}: "
+            "the trailing signature rows would be silently dropped "
+            "from every band, degrading recall with no error")
     rows_per_band = num_hashes // bands
     df = spread_for_compute(df)
     # NOT checkpointed: both sides of the banding self-join do
@@ -287,6 +292,11 @@ def minhash_lsh_incremental(corpus: DataFrame, batch: DataFrame,
     expression is cheaper to keep in sync than the re-verification
     of four green queries (window-budget trade, documented here).
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}: "
+            "the trailing signature rows would be silently dropped "
+            "from every band, degrading recall with no error")
     rows_per_band = num_hashes // bands
     corpus = spread_for_compute(corpus)
     batch = spread_for_compute(batch)

@@ -230,6 +230,24 @@ _PERTURB_DUCK = (
     " + 0.1::DOUBLE * embedding[(i % 64) + 1] AS FLOAT))")
 
 
+def _planted_copy_id():
+    """The planted near-dup copy's id: vec_id + 100000, GUARDED. The
+    offset assumes the fixture id space tops out below 100000 (sf0.1
+    has 10k vectors); on an amplified fixture (vec_id salted to
+    vec_id*n + copy) a collision would silently corrupt the id space
+    instead of planting copies — that's why x2d/x17 carry no
+    floor-free lanes (tools/floorfree.py) and why x17b synthesizes its
+    own embeddings. This expression makes an accidental amplified run
+    ERROR at execution rather than pass with corrupt ids; it lives in
+    the id path so column pruning can never drop the check
+    (ADVICE r12 item #3)."""
+    return F.when(F.col("vec_id") < 100000, F.col("vec_id") + 100000) \
+            .otherwise(F.raise_error(F.concat(
+                F.lit("planted-copy id offset collides: vec_id "),
+                F.col("vec_id").cast("string"),
+                F.lit(" >= 100000 — is this an amplified fixture?"))))
+
+
 @register(
     "x2d_cosine_lsh",
     oracle=f"""
@@ -257,7 +275,7 @@ WHERE ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6) >= 0.9
 def x2d_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     set_arrow_batch(spark, ARROW_BATCH_VECTOR)  # 64-float rows
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    copies = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
+    copies = emb.select(_planted_copy_id().alias("vec_id"),
                         F.expr(_PERTURB_SPARK).alias("embedding"))
     union = emb.unionByName(copies)
     return cosine_lsh_pairs(union, vec_col="embedding", id_col="vec_id",
@@ -351,7 +369,7 @@ def x17_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     set_arrow_batch(spark, ARROW_BATCH_VECTOR)  # 64-float rows
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    copies = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
+    copies = emb.select(_planted_copy_id().alias("vec_id"),
                         F.expr(_PERTURB_SPARK).alias("embedding"))
     union = emb.unionByName(copies)
     # max_cell_rows=None: the exact in-cell path is what the value

@@ -391,7 +391,16 @@ def test_x2_oracle_validity_fixture_pairs_sit_above_banding_knee():
     on the current fixtures, min pair j = 8/9), and NOTHING may fall
     in the [0.35, 0.5) shadow zone just below threshold (where a
     boundary pair could flip in under tokenization drift).
-    DuckDB-only — no Spark needed."""
+    DuckDB-only — no Spark needed.
+
+    Round-13 (ADVICE r12 item #1): x2g_incremental_minhash leans on
+    the SAME invariant — its 32-hash/8-band probe has the identical
+    r=4 knee, and its exact-Jaccard oracle equals the LSH probe only
+    while this bimodality holds. The fixture generator is driver-owned
+    (read-only testdata), so THIS test is the fail-fast: a regenerated
+    fixture that plants shadow-zone pairs fails here, in pytest, with
+    the invariant named — instead of surfacing as an x2/x2g parity
+    hash mismatch with no stated cause."""
     import duckdb
 
     pair_sql = """

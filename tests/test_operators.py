@@ -4,6 +4,7 @@ asserts (SURVEY §5)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -64,6 +65,38 @@ def test_minhash_finds_planted_near_dup(spark, sf_dir):
     assert any({p.id_a, p.id_b} == {0, 9000} for p in pairs)
     for p in pairs:
         assert p.jaccard >= 0.5
+
+
+def test_minhash_band_divisibility_fails_loudly(spark, sf_dir):
+    """ADVICE r12 item #2: num_hashes not divisible by bands used to
+    silently drop trailing signature rows from every band (recall
+    loss with no error). Both the all-pairs and incremental forms
+    must refuse the misconfiguration before any job runs."""
+    from data_warehouse_spark.operators.dedup import minhash_lsh_incremental
+    docs = load_table(spark, sf_dir, "documents").limit(10) \
+        .select("doc_id", "text")
+    with pytest.raises(ValueError, match="not divisible"):
+        minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=5)
+    with pytest.raises(ValueError, match="not divisible"):
+        minhash_lsh_incremental(docs, docs, "text", "doc_id",
+                                num_hashes=32, bands=5)
+
+
+def test_planted_copy_id_guard_errors_on_amplified_ids(spark):
+    """ADVICE r12 item #3: x2d/x17's +100000 planted-copy offset must
+    ERROR on an id space that would collide (amplified fixtures salt
+    vec_id to vec_id*n + copy), never silently corrupt ids."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from data_warehouse_spark.queries.llm_vector import _planted_copy_id
+    ok = spark.sql("SELECT CAST(99999 AS BIGINT) AS vec_id") \
+        .select(_planted_copy_id().alias("v")).collect()
+    assert ok[0].v == 199999
+    bad = spark.sql("SELECT CAST(100000 AS BIGINT) AS vec_id") \
+        .select(_planted_copy_id().alias("v"))
+    with pytest.raises((Py4JJavaError, SparkRuntimeException),
+                       match="planted-copy id offset collides"):
+        bad.collect()
 
 
 def test_x16_shared_spans_planted_exact_bounds(spark):
