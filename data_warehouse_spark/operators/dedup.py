@@ -367,6 +367,117 @@ def minhash_lsh_incremental(corpus: DataFrame, batch: DataFrame,
                     F.col("dup_of").isNotNull().alias("is_dup")))
 
 
+def minhash_band_index(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 32, bands: int = 8,
+                       shingle_n: int = 3) -> DataFrame:
+    """The persisted artifact of X2g's 100 TB story, as a DataFrame:
+    (band, bucket, corpus_id) — one row per (doc, band). Write it once
+    with operators.bucketing.write_bucketed(keys=[band, bucket]) and
+    every daily probe join co-locates with NO index-side Exchange
+    (tests/test_plans.py pins the plan). Banding arithmetic is
+    band-for-band identical to minhash_lsh_incremental's inline form
+    (same signature family, same xxhash64 bucket fold) — asserted
+    equal in tests, not shared, for the window-budget reason
+    documented there."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}: "
+            "the trailing signature rows would be silently dropped "
+            "from every band, degrading recall with no error")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(spread_for_compute(df), text_col, id_col,
+                              num_hashes, shingle_n)
+    return (sigs.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.element_at(
+                         "signature", b * rows_per_band + r + 1)
+                         for r in range(rows_per_band)]).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"))
+        .select("bb.band", "bb.bucket", "corpus_id"))
+
+
+def probe_candidates(index: DataFrame, batch: DataFrame,
+                     text_col: str, id_col: str,
+                     num_hashes: int = 32, bands: int = 8,
+                     shingle_n: int = 3) -> DataFrame:
+    """The probe's candidate join on its own — batch bands (the same
+    minhash_band_index arithmetic) equi-joined against the persisted
+    index. Exposed separately so the plan test can assert the
+    index-side zero-Exchange shape BEFORE the checkpoint that
+    minhash_probe_index puts above it truncates the executed plan."""
+    probes = (minhash_band_index(batch, text_col, id_col,
+                                 num_hashes, bands, shingle_n)
+              .withColumnRenamed("corpus_id", "__bid"))
+    return (probes.join(index, on=["band", "bucket"])
+            .select("__bid", F.col("corpus_id").alias("__cid"))
+            .distinct())
+
+
+def minhash_probe_index(index: DataFrame, batch: DataFrame,
+                        fetch_texts, text_col: str, id_col: str,
+                        num_hashes: int = 32, bands: int = 8,
+                        shingle_n: int = 3,
+                        jaccard_threshold: float = 0.5) -> DataFrame:
+    """The daily-probe half of the incremental near-dup pipeline,
+    against a PERSISTED index (VERDICT r12 ask #5): band the batch,
+    equi-join the (band, bucket)-bucketed index — co-located, so the
+    index side carries no Exchange — then exact-verify ONLY the
+    candidate tail.
+
+    `fetch_texts(ids_df) -> DataFrame(id_col, text_col)` supplies the
+    candidate corpus docs' texts. This is deliberately a callback, not
+    a corpus DataFrame: a left-semi join against the corpus would scan
+    O(corpus) text per probe, which is exactly what the persisted
+    index exists to avoid. In production this is a point-lookup
+    (id-keyed doc store / id-sorted layout); the x2g probe lane
+    synthesizes texts from ids, which models the same O(candidates)
+    cost. Everything else — per-run shingling O(batch), candidate
+    volume O(batch) on a sparse-sharing corpus — matches
+    minhash_lsh_incremental row-for-row (asserted in tests).
+
+    Returns one row per batch doc: (id, dup_of, jaccard, is_dup)."""
+    candidates = (probe_candidates(index, batch, text_col, id_col,
+                                   num_hashes, bands, shingle_n)
+                  # three consumers (two shingle sides + verify spine)
+                  .localCheckpoint(eager=False))
+    batch = spread_for_compute(batch)
+
+    ctext = fetch_texts(candidates.select(
+        F.col("__cid").alias(id_col)).distinct())
+    csh = ctext.select(
+        F.col(id_col).alias("__cid"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n)))
+        .alias("shingle"))
+    bsh = (batch.join(candidates.select("__bid")
+                      .withColumnRenamed("__bid", id_col).distinct(),
+                      on=id_col, how="left_semi")
+           .select(F.col(id_col).alias("__bid"),
+                   F.explode(F.array_distinct(shingles(text_col, shingle_n)))
+                   .alias("shingle")))
+    bsz = bsh.groupBy("__bid").agg(F.count(F.lit(1)).alias("n_b"))
+    csz = csh.groupBy("__cid").agg(F.count(F.lit(1)).alias("n_c"))
+    inter = (candidates
+             .join(bsh, on="__bid")
+             .join(csh, on=["__cid", "shingle"])
+             .groupBy("__bid", "__cid")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    jac = (inter.join(bsz, on="__bid").join(csz, on="__cid")
+           .withColumn("__j", F.col("n_inter")
+                       / (F.col("n_b") + F.col("n_c") - F.col("n_inter")))
+           .filter(F.col("__j") >= jaccard_threshold))
+    best = (jac.groupBy("__bid")
+            .agg(F.min(F.struct(F.col("__cid"), F.col("__j"))).alias("m"))
+            .select(F.col("__bid").alias(id_col),
+                    F.col("m.__cid").alias("dup_of"),
+                    F.round("m.__j", 6).alias("jaccard")))
+    return (batch.select(id_col).join(best, on=id_col, how="left")
+            .select(id_col, "dup_of", "jaccard",
+                    F.col("dup_of").isNotNull().alias("is_dup")))
+
+
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str,
                          bits: int = 64,
                          hash_family: str = "xxhash64") -> DataFrame:

@@ -128,3 +128,75 @@ def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     a = sorted(r.event_id for r in spark.read.parquet(zdir).collect())
     b = sorted(r.event_id for r in ev.select("event_id").collect())
     assert a == b
+
+
+def test_x2g_probe_join_has_no_index_side_exchange(spark, tmp_path):
+    """Round-13 (VERDICT r12 ask #5): the daily probe against the
+    PERSISTED (band, bucket)-bucketed LSH index must shuffle only the
+    batch side. Comparative assert, self-calibrating: the same probe
+    against the same index stored as PLAIN parquet carries one more
+    Exchange on the join key — that extra exchange is exactly the
+    corpus-side shuffle the persisted layout pays once at write time."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.io import load_table
+    from data_warehouse_spark.operators.bucketing import write_bucketed
+    from data_warehouse_spark.operators.dedup import (
+        minhash_band_index, minhash_probe_index, probe_candidates,
+    )
+
+    corpus = (load_table(spark, SF_SMOKE, "documents")
+              .select("doc_id", "text").limit(80))
+    batch = corpus.limit(10).select(
+        (F.col("doc_id") + 90_000).alias("doc_id"), "text")
+    index = minhash_band_index(corpus, "text", "doc_id")
+
+    spark.sql("DROP TABLE IF EXISTS x2g_index_plan_test")
+    write_bucketed(index, "x2g_index_plan_test",
+                   str(tmp_path / "x2gix"), keys=["band", "bucket"],
+                   n_buckets=8)
+    plain_path = str(tmp_path / "x2gix_plain")
+    index.write.mode("overwrite").parquet(plain_path)
+
+    def fetch(ids):
+        return corpus.join(ids, on="doc_id", how="left_semi")
+
+    # end-to-end equivalence first: same answer off either layout
+    bucketed_full = minhash_probe_index(
+        spark.table("x2g_index_plan_test"), batch, fetch,
+        "text", "doc_id")
+    plain_full = minhash_probe_index(
+        spark.read.parquet(plain_path), batch, fetch, "text", "doc_id")
+    assert ({tuple(r) for r in bucketed_full.collect()}
+            == {tuple(r) for r in plain_full.collect()})
+
+    # plan shape on the candidate join itself (minhash_probe_index
+    # checkpoints it, which truncates the executed plan — assert on
+    # the exposed subplan instead)
+    thresholds = ["spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold"]
+    saved = {c: spark.conf.get(c, None) for c in thresholds}
+    for c in thresholds:  # pin the big-index regime, as in j12's test
+        spark.conf.set(c, "-1")
+    try:
+        cb = probe_candidates(spark.table("x2g_index_plan_test"),
+                              batch, "text", "doc_id")
+        cp = probe_candidates(spark.read.parquet(plain_path),
+                              batch, "text", "doc_id")
+        cb.collect(), cp.collect()
+        pb, pp = _plan(cb), _plan(cp)
+    finally:
+        for c, v in saved.items():
+            spark.conf.set(c, v) if v is not None else spark.conf.unset(c)
+    nb = pb.count("Exchange hashpartitioning(band")
+    np_ = pp.count("Exchange hashpartitioning(band")
+    # AQE's plan string renders each shuffle twice (the exchange node
+    # + its ShuffleQueryStage), so compare the RATIO: plain parquet
+    # shuffles both sides (2 real exchanges on the key), bucketed
+    # shuffles only the batch side (1) — and the bucketed scan must
+    # say so itself
+    assert nb * 2 == np_ and nb > 0, (
+        f"bucketed probe shows {nb} (band, bucket) exchanges vs "
+        f"{np_} on plain parquet — the index side is shuffling")
+    assert "Bucketed: true" in pb
+    assert "Bucketed: true" not in pp
