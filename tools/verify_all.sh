@@ -9,6 +9,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== [0/4] generated docs in sync =="
+python tools/operators_md.py --check
+
 echo "== [1/4] pytest =="
 python -m pytest tests/ -q
 
