@@ -56,84 +56,72 @@ _QUERY_MODULES = [
 # This list IS the round's window, in order; load_all() puts these names
 # first and everything else after, in registration order.
 #
-# Round-12 rotation (VERDICT.md round-11 ask #3): window = every query
-# whose CODE changed in round 12 + the r9 cohort, the oldest third of
-# the archive (43 queries whose latest green driver row is
-# CORRECTNESS_r09, computed from the archive files — matches the
-# verdict's enumeration).
-#   (b) round-12 code changes NOT already in the r9 cohort (10):
-#       e3 (planted-cohort head; e1/e1b/e1c/e2/e2b are already cohort
-#       members), e4 (new: the composed ETL day — S8 pruned scan ->
-#       U2 dedup -> e1 chain -> J6 as-of -> U1 upsert into the U9
-#       versioned store), x8d (new: auto-routed connected components
-#       on the fixed-diameter lane), x12 (clustering step switched to
-#       connected_components_auto), x8/x8b/x12b (min-label loop
-#       refactored into _min_label_rounds for the auto router),
-#       x16/x16b/x16c (shared_spans grew pass_dir + the guarded JVM
-#       gc hint; x16c's K-pass routing extracted into a named rule).
-#       x8c's change is comment-only (probe-scope note) — excluded.
-# 43 + 10 = 53 > 50, so per the established rule the changed queries
-# displace 3 of the r9-cohort backfill. Displaced: w5_sessionize,
-# u1_upsert, p6_having — chosen because they carry the freshest
-# INDEPENDENT verification of the whole cohort (the r11 judge re-ran
-# all three by hand: w5 value-exact at sf0.01 and sf0.1, u1 at 1500
-# rows, p6 at 45 rows; w5/u1 additionally carry round-12 floor-free
-# values_match cells at 4 multipliers each). Their archive rows stay
-# r9 — the one deviation from "no row predates r10", forced by the
-# 50-slot budget and documented here for the r12 judge.
-#
-# Mid-round additions x2g_incremental_minhash (incremental near-dup
-# vs a persisted LSH index), x17_semdedup (SemDeDup embedding
-# dedup), and x18_corpus_prep (the composed corpus-prep day: quality
-# gate -> exact dedup -> decontaminate -> token budget -> packing
-# under one oracle) append to (b) per the standing rule, displacing
-# three more: a1_q1_pricing_summary (4 values_match floor-free cells
-# recorded this round at 16x-1024x, and the headline bench re-times
-# it every round regardless), x13_decontaminate (4 values_match
-# cells at 16x-1024x plus 4096x rows, and its broadcast scale-killer
-# claim is plan-asserted in test_plans.py), and x11_pii_redaction
-# (4 values_match cells at 16x-1024x plus a 4096x row check, and its
-# zero-UDF codegen claim is plan-asserted). x19_quality_gate (exact
-# per-language top-quartile rank on the x14b distributed prefix sum)
-# follows, displacing a11_cube (4 values_match cells at 16x-1024x
-# this round), and st12_stream_incremental_dedup (x2e's incremental
-# dedup as a real Structured Streaming run) displaces
-# x15_sequence_packing (4 values_match cells at 16x-1024x this
-# round). All five archive rows stay r9, same deviation class as
-# w5/u1/p6 above. Window budget note for the r12 judge: 8 of the
-# 43-member r9 cohort are displaced in total, every one compensated
-# by round-12 floor-free VALUE verification at >=2 multipliers (a
-# stronger check than the sf0.01 gate row it replaces) and/or an r11
-# judge hand-run; the 5 new queries occupying those slots are this
-# round's untested code, which the rule prioritizes.
+# Round-13 rotation (VERDICT.md round-12 ask #3): the 8 r9-dated rows
+# re-enter FIRST (their latest driver rows are three rounds old; the
+# r12 judge hand-verified all 8, but the gate should own that
+# evidence), then every query whose CODE changed in round 13, then
+# r10-cohort backfill.
+#   (a) the r9 stale set (8): a1, a11, p6, u1, w5, x11, x13, x15.
+#   (b) round-13 code changes (13): e1/e1b/e1c/e2/e2b/e3/e4 (the
+#       planted cohort is now emitted as a SQL VALUES LocalRelation
+#       instead of a createDataFrame ExistingRDD — the r12 e1 bench
+#       regression, root-caused and fixed this round), x2/x2f/x2g
+#       (band-divisibility asserts in minhash_lsh_pairs /
+#       minhash_lsh_incremental), x2d/x17 (planted-copy id offset
+#       guarded by _planted_copy_id), x17b (NEW: SemDeDup over a
+#       sparse synthetic embedding space — the honest amplified lane).
+#   (c) r10-cohort backfill: 29 of the 43 r10-dated queries (x2/x2f
+#       are r10-dated but already enter via (b)).
+# 8 + 13 + 29 = 50. The 12 r10 queries displaced by the budget, each
+# with compensating evidence stronger than the sf0.01 gate row it
+# keeps waiting:
+#   j6_asof_join, j9_spatial_join — round-13 engine-side digest cells
+#     values_match=true through 4096x (j6 also headline-benched every
+#     round);
+#   j11_fact_fact_join, j12_bucketed_fact_join, o2_topk,
+#     dq1_validation_report — floor-free values_match=true cells at
+#     4-5 multipliers (j12/dq1 additionally plan-asserted);
+#   s8_partition_pruned_scan — partition-pruning plan assert, and e4
+#     (windowed) composes the same pruned-scan discipline;
+#   x14b_token_budget_scalable — chunked-window plan assert, and x19
+#     (r12-green) reuses prefix_sum_scalable;
+#   a13_histogram, f13_url_parse — scan-shaped / map-only plan
+#     asserts + pytest;
+#   f1_timezone — e1c (windowed) exercises the same timezone
+#     machinery end to end;
+#   set1_union_all — trivial UNION ALL, code untouched since its r10
+#     hash-green row, pytest-covered.
+# Their archive rows stay r10 — the same documented deviation class
+# as r12's w5/u1/p6, forced by the 50-slot budget.
 DRIVER_WINDOW = [
-    # (a) r9 cohort (43 minus the 8 displaced above)
-    "a2_count_by_key", "a4_distinct",
-    "a5_rollup", "a6_stats", "a10_unpivot",
+    # (a) the r9 stale set — re-enters first per the standing rule
+    "a1_q1_pricing_summary", "a11_cube", "p6_having", "u1_upsert",
+    "w5_sessionize", "x11_pii_redaction", "x13_decontaminate",
+    "x15_sequence_packing",
+    # (b) round-13 code changes
     "e1_trips", "e1b_bucketed_trips", "e1c_trips_localtime",
-    "e2_carbon_savings", "e2b_carbon_bucketed",
-    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
-    "j4_anti_join", "j4_semi_join", "j5_range_join", "j7_cross_join",
-    "j8_two_source_merge",
-    "p1_project", "p2_range_predicate", "p4_null_predicate",
-    "s1_scan_filter", "s7_scan_full", "s11_schema_evolution",
-    "st7_foreach_upsert",
-    "u2_dedup_latest", "u4_scd2_dimension", "u7_incremental_rollup",
-    "u8_zorder_scan",
-    "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
-    "x2b_simhash", "x5d_fingerprint",
-    # (b) round-12 code changes
-    "e3_enriched_trips", "e4_daily_run",
-    "x8_dup_components", "x8b_components_sparse", "x8d_components_auto",
-    "x12_dedup_corpus", "x12b_dedup_corpus_sparse",
-    "x16_span_dedup", "x16b_span_removal", "x16c_span_dedup_sparse",
-    "x2g_incremental_minhash", "x17_semdedup", "x18_corpus_prep",
-    "x19_quality_gate", "st12_stream_incremental_dedup",
+    "e2_carbon_savings", "e2b_carbon_bucketed", "e3_enriched_trips",
+    "e4_daily_run",
+    "x2_minhash_lsh", "x2f_minhash_sparse", "x2g_incremental_minhash",
+    "x2d_cosine_lsh", "x17_semdedup", "x17b_semdedup_sparse",
+    # (c) r10-cohort backfill (43 minus x2/x2f in (b) minus the 12
+    # displaced above)
+    "a12_sketch_rollup", "a3_global_agg", "a8_approx_agg", "a9_pivot",
+    "f10_null_handling", "f11_arrays", "f2_epoch_diff", "f3_haversine",
+    "f5_cast", "f8_strings", "f9_json",
+    "o1_global_sort", "o2_topk_per_group",
+    "p3_between_computed", "p5_or_inequality",
+    "s10_orc_roundtrip", "s2_rest_json_source", "s3_parallel_fetch",
+    "s4_csv_roundtrip", "s5_append_sink", "s6_ddl_table",
+    "s9_jsonl_roundtrip",
+    "set2_union_distinct", "set3_intersect", "set4_except",
+    "u5_delete_keys", "u6_compaction", "w4_running_agg",
+    "x14_token_budget_sample",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
-# Queries added or code-changed DURING round 12 must be appended to
-# (b) — displacing (a) backfill only past 50 — so the "every changed
-# query is windowed" claim stays true against the CORRECTNESS_r12 keys.
+# Queries added or code-changed DURING round 13 must be appended to
+# (b) — displacing (c) backfill only past 50 — so the "every changed
+# query is windowed" claim stays true against the CORRECTNESS_r13 keys.
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

@@ -6,40 +6,40 @@ from __future__ import annotations
 
 from data_warehouse_spark.queries.registry import DRIVER_WINDOW, load_all
 
-# Round-11 window (VERDICT.md round-10 ask #2): the r8 cohort — the
-# oldest third of the archive, 40 queries whose latest driver row is
-# CORRECTNESS_r08 — plus every round-11 code change. Composition
-# rationale lives next to DRIVER_WINDOW in queries/registry.py.
+# Round-13 window (VERDICT.md round-12 ask #3): the 8 r9-dated rows
+# first, then every round-13 code change, then r10-cohort backfill.
+# Composition rationale (incl. the 12 displaced r10 queries and their
+# compensating evidence) lives next to DRIVER_WINDOW in
+# queries/registry.py.
 MUST_BE_WINDOWED = {
-    # (a) r9 cohort minus the 8 displaced (w5/u1/p6 at rotation time,
-    # a1/x13/x11/a11/x15 when the mid-round additions landed — the registry
-    # comment records why each)
-    "a2_count_by_key", "a4_distinct",
-    "a5_rollup", "a6_stats", "a10_unpivot",
+    # (a) the r9 stale set
+    "a1_q1_pricing_summary", "a11_cube", "p6_having", "u1_upsert",
+    "w5_sessionize", "x11_pii_redaction", "x13_decontaminate",
+    "x15_sequence_packing",
+    # (b) round-13 code changes (planted-cohort LocalRelation ->
+    # e-family; band-divisibility asserts -> x2/x2f/x2g; planted-copy
+    # id guard -> x2d/x17; new x17b)
     "e1_trips", "e1b_bucketed_trips", "e1c_trips_localtime",
-    "e2_carbon_savings", "e2b_carbon_bucketed",
-    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
-    "j4_anti_join", "j4_semi_join", "j5_range_join", "j7_cross_join",
-    "j8_two_source_merge",
-    "p1_project", "p2_range_predicate", "p4_null_predicate",
-    "s1_scan_filter", "s7_scan_full", "s11_schema_evolution",
-    "st7_foreach_upsert",
-    "u2_dedup_latest", "u4_scd2_dimension", "u7_incremental_rollup",
-    "u8_zorder_scan",
-    "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
-    "x2b_simhash", "x5d_fingerprint",
-    # (b) round-12 code changes (incl. the mid-round additions
-    # x2g/x17/x18/x19/st12 — new queries must land in the round's window)
-    "e3_enriched_trips", "e4_daily_run",
-    "x8_dup_components", "x8b_components_sparse", "x8d_components_auto",
-    "x12_dedup_corpus", "x12b_dedup_corpus_sparse",
-    "x16_span_dedup", "x16b_span_removal", "x16c_span_dedup_sparse",
-    "x2g_incremental_minhash", "x17_semdedup", "x18_corpus_prep",
-    "x19_quality_gate", "st12_stream_incremental_dedup",
+    "e2_carbon_savings", "e2b_carbon_bucketed", "e3_enriched_trips",
+    "e4_daily_run",
+    "x2_minhash_lsh", "x2f_minhash_sparse", "x2g_incremental_minhash",
+    "x2d_cosine_lsh", "x17_semdedup", "x17b_semdedup_sparse",
+    # (c) r10-cohort backfill
+    "a12_sketch_rollup", "a3_global_agg", "a8_approx_agg", "a9_pivot",
+    "f10_null_handling", "f11_arrays", "f2_epoch_diff", "f3_haversine",
+    "f5_cast", "f8_strings", "f9_json",
+    "o1_global_sort", "o2_topk_per_group",
+    "p3_between_computed", "p5_or_inequality",
+    "s10_orc_roundtrip", "s2_rest_json_source", "s3_parallel_fetch",
+    "s4_csv_roundtrip", "s5_append_sink", "s6_ddl_table",
+    "s9_jsonl_roundtrip",
+    "set2_union_distinct", "set3_intersect", "set4_except",
+    "u5_delete_keys", "u6_compaction", "w4_running_agg",
+    "x14_token_budget_sample",
 }
 
 
-def test_driver_window_is_exactly_the_round12_set():
+def test_driver_window_is_exactly_the_round13_set():
     # DRIVER_WINDOW is the explicit first-50 contract; it must hold
     # every query that needs (re-)verification this round and fit the
     # driver's 50-entry budget.
