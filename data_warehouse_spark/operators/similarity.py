@@ -818,3 +818,102 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
     idx = build_ivf_index(df, vec_col, id_col, n_cells=n_cells, iters=1,
                           dim=len(query_vec), persist=False)
     return idx.probe(query_vec, k=k, nprobe=nprobe)
+
+
+def pq_codebook_sample(df: DataFrame, vec_col: str, id_col: str,
+                       n_codes: int = 16) -> list[list[float]]:
+    """Deterministic PQ codebook: the `n_codes` corpus vectors with the
+    smallest md5(id) — a k-medoids-style seeding (codewords are real
+    data points, no averaging), so the selection replays exactly in
+    SQL (`ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n`) and the
+    codebook is identical on any engine and any partitioning. The
+    collect is an n_codes-row parameter read (the IVF-centroid
+    convention), not data flow. Production note: a Lloyd-refined
+    codebook drops reconstruction error further; the sampled codebook
+    is the deterministic, oracle-replayable baseline and the API
+    accepts any codebook list."""
+    rows = (df.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+              .limit(n_codes).select(vec_col).collect())
+    return [list(r[0]) for r in rows]
+
+
+def pq_encode(df: DataFrame, vec_col: str, id_col: str,
+              codebook: list[list[float]], n_sub: int = 8,
+              query_vec: list[float] | None = None) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): encode each vector as
+    `n_sub` codeword ids — per subspace, the argmin-L2 codeword, ties
+    to the smaller id — and, when `query_vec` is given, score the
+    asymmetric-distance (ADC) approximation against it from a
+    16-entry-per-subspace lookup table.
+
+    Output: id_col, pq_code ('c0-c1-...-c7', 0-based codeword ids),
+    and approx_dist (round-6 ADC squared-L2) when query_vec is set.
+
+    100 TB design: the encode is MAP-ONLY — the codebook enters the
+    plan as literals (K*dim doubles, ~8 KB), every distance is a
+    codegen'd expression, zero exchanges (plan-asserted). The payoff
+    is the memory wall: 8 code bytes per vector instead of 256 float
+    bytes (32x), so a 100 TB embedding store's searchable index fits
+    in ~3 TB of executor memory, and ADC scoring reads ONLY codes —
+    the raw vectors never move after encode. Compose with the IVF
+    half (build_ivf_index) for the standard IVF-PQ layout: cell
+    prefilter bounds candidates, ADC ranks them, exact rerank on the
+    surviving tail (x3c's size-routed kernels).
+
+    Exactness contract with the oracle: subspace distances sum
+    (x_t - c_t)^2 left-to-right in double over float32 inputs, the
+    ADC total sums subspaces in m order, and only the final ADC value
+    is rounded — the same fold order DuckDB's list_sum uses, so codes
+    and scores agree bit-for-bit before the shared round(6).
+    """
+    k = len(codebook)
+    dim = len(codebook[0])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+    if any(len(c) != dim for c in codebook):
+        raise ValueError("ragged codebook")
+
+    def sub_dist_expr(m: int, j: int) -> Column:
+        terms = " + ".join(
+            f"({_elem(vec_col, m * d_sub + t)} - "
+            f"{_dlit(codebook[j][m * d_sub + t])}) * "
+            f"({_elem(vec_col, m * d_sub + t)} - "
+            f"{_dlit(codebook[j][m * d_sub + t])})"
+            for t in range(d_sub))
+        return F.expr(terms)
+
+    code_cols = []
+    for m in range(n_sub):
+        darr = F.array(*[sub_dist_expr(m, j) for j in range(k)])
+        # array_position returns the FIRST index holding the min —
+        # ties break to the smaller codeword id, same as the oracle's
+        # ORDER BY dist, code
+        code_cols.append(
+            F.array_position(darr, F.array_min(darr))
+             .cast("int").alias(f"__c{m}"))
+    encoded = df.select(F.col(id_col), *code_cols)
+
+    sel: list[Column] = [
+        F.col(id_col),
+        F.concat_ws("-", *[(F.col(f"__c{m}") - 1).cast("string")
+                           for m in range(n_sub)]).alias("pq_code"),
+    ]
+    if query_vec is not None:
+        if len(query_vec) != dim:
+            raise ValueError("query_vec dim mismatch")
+        adist: Column | None = None
+        for m in range(n_sub):
+            lut = []
+            for j in range(k):
+                s = 0.0
+                for t in range(d_sub):
+                    dlt = float(query_vec[m * d_sub + t]) \
+                        - float(codebook[j][m * d_sub + t])
+                    s += dlt * dlt
+                lut.append(s)
+            term = F.element_at(F.array(*[F.lit(v) for v in lut]),
+                                F.col(f"__c{m}"))
+            adist = term if adist is None else adist + term
+        sel.append(F.round(adist, 6).alias("approx_dist"))
+    return encoded.select(*sel)

@@ -1645,3 +1645,45 @@ def x19_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                   on=[F.col("lang").eqNullSafe(F.col("__l"))])
             .filter(F.col("rnk") <= F.ceil(F.col("n_lang") * 0.25))
             .select("lang", "doc_id", "quality", "rnk", "n_lang"))
+
+
+@register(
+    "x20_chunk_overlap",
+    oracle=f"""
+WITH c AS (
+    SELECT doc_id, {_TOKS} AS toks,
+           CAST(len({_TOKS}) AS INT) AS n,
+           CASE WHEN len({_TOKS}) <= 64 THEN 1
+                ELSE CAST(ceil((len({_TOKS}) - 64) / 48.0) AS INT) + 1
+           END AS nc
+    FROM documents
+), e AS (
+    SELECT doc_id, toks, n,
+           unnest(generate_series(0, nc - 1)) AS i
+    FROM c
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(i * 48 AS INT) AS tok_start,
+       array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64), ' ')
+           AS chunk_text,
+       CAST(least(64, n - i * 48) AS INT) AS n_tokens
+FROM e
+""",
+    doc="X20 [ext]: overlapping token-window chunking — the RAG / "
+        "pretraining chunker (operators/chunking.py). Every document "
+        "explodes into 64-token windows at stride 48 (16-token "
+        "overlap) with stable (doc_id, chunk_idx) identity and token "
+        "offsets; only a doc's final chunk may be short. Map-only: "
+        "scan -> Generate -> Project, zero exchanges at any scale "
+        "(plan-asserted); the downstream writer owns output "
+        "partitioning. Tokenization is the repo-wide word_tokens "
+        "split contract, so chunk boundaries replay bit-for-bit in "
+        "the oracle's string_split_regex.",
+    tags=("ext", "text"),
+)
+def x20_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.chunking import chunk_overlapping
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_overlapping(docs, text_col="text", id_col="doc_id",
+                             chunk_size=64, stride=48)

@@ -564,3 +564,82 @@ def x4_pairwise_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_blocked(emb, vec_col="embedding", id_col="vec_id",
                                 block_col="label", threshold=0.25,
                                 dim=64)
+
+
+_PQ_ORACLE = """
+WITH cb AS (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS code,
+           embedding AS cvec
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16) AS s
+),
+subs AS (SELECT unnest(range(0, 8)) AS m),
+d AS (
+    SELECT e.vec_id, s.m, c.code,
+           list_sum(list_transform(range(1, 9),
+               t -> (e.embedding[s.m * 8 + t]::DOUBLE
+                     - c.cvec[s.m * 8 + t]::DOUBLE)
+                  * (e.embedding[s.m * 8 + t]::DOUBLE
+                     - c.cvec[s.m * 8 + t]::DOUBLE))) AS dist
+    FROM embeddings e CROSS JOIN subs s CROSS JOIN cb c
+),
+codes AS (
+    SELECT vec_id, m, code
+    FROM d
+    QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                               ORDER BY dist, code) = 1
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+lut AS (
+    SELECT s.m, cb.code,
+           list_sum(list_transform(range(1, 9),
+               t -> (qv.q[s.m * 8 + t]::DOUBLE
+                     - cb.cvec[s.m * 8 + t]::DOUBLE)
+                  * (qv.q[s.m * 8 + t]::DOUBLE
+                     - cb.cvec[s.m * 8 + t]::DOUBLE))) AS l
+    FROM subs s CROSS JOIN cb CROSS JOIN qv
+),
+per AS (
+    SELECT c.vec_id, c.m, c.code, l.l
+    FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code
+)
+SELECT vec_id,
+       string_agg(CAST(code - 1 AS VARCHAR), '-' ORDER BY m) AS pq_code,
+       ROUND(list_sum(list(l ORDER BY m)), 6) AS approx_dist
+FROM per
+GROUP BY vec_id
+"""
+
+
+@register(
+    "x3d_pq_adc",
+    oracle=_PQ_ORACLE,
+    doc="X3d [ext]: product quantization + ADC scoring (Jégou et al. "
+        "2011; operators/similarity.py:pq_encode) — the memory half "
+        "of IVF-PQ, composing with x3b's IVF cells. Codebook = the 16 "
+        "md5-smallest corpus vectors (k-medoids-style deterministic "
+        "seeding, replayed exactly by the oracle's ORDER BY "
+        "md5/LIMIT); each vector encodes to 8 codeword ids (argmin "
+        "subspace L2, ties to the smaller id) = 8 bytes vs 256 raw "
+        "(32x compression at 100 TB); approx_dist is the asymmetric "
+        "lookup-table distance to the fixture query vector (vec_id "
+        "0). The encode+score plan is map-only with the codebook as "
+        "~8 KB of literals: zero exchanges, zero Python "
+        "(plan-asserted). Fold order (t within subspace, m across "
+        "subspaces, round only at the end) matches DuckDB's "
+        "list_sum, so codes AND scores agree bit-for-bit.",
+    tags=("ext", "vector"),
+)
+def x3d_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.similarity import (
+        pq_codebook_sample, pq_encode,
+    )
+
+    set_arrow_batch(spark, ARROW_BATCH_VECTOR)
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = pq_codebook_sample(emb, vec_col="embedding",
+                                  id_col="vec_id", n_codes=16)
+    return pq_encode(emb, vec_col="embedding", id_col="vec_id",
+                     codebook=codebook, n_sub=8,
+                     query_vec=_query_vec(spark, sf_dir))

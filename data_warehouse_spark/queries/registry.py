@@ -69,10 +69,14 @@ _QUERY_MODULES = [
 #       (band-divisibility asserts in minhash_lsh_pairs /
 #       minhash_lsh_incremental), x2d/x17 (planted-copy id offset
 #       guarded by _planted_copy_id), x17b (NEW: SemDeDup over a
-#       sparse synthetic embedding space — the honest amplified lane).
-#   (c) r10-cohort backfill: 29 of the 43 r10-dated queries (x2/x2f
+#       sparse synthetic embedding space — the honest amplified lane),
+#       x20 (NEW: overlapping token-window chunking, the RAG chunker —
+#       map-only explode, zero-exchange plan-asserted), x3d (NEW:
+#       product quantization + ADC scoring, the memory half of
+#       IVF-PQ — codebook-as-literals map-only encode).
+#   (c) r10-cohort backfill: 27 of the 43 r10-dated queries (x2/x2f
 #       are r10-dated but already enter via (b)).
-# 8 + 13 + 29 = 50. The 12 r10 queries displaced by the budget, each
+# 8 + 15 + 27 = 50. The 14 r10 queries displaced by the budget, each
 # with compensating evidence stronger than the sf0.01 gate row it
 # keeps waiting:
 #   j6_asof_join, j9_spatial_join — round-13 engine-side digest cells
@@ -90,7 +94,13 @@ _QUERY_MODULES = [
 #   f1_timezone — e1c (windowed) exercises the same timezone
 #     machinery end to end;
 #   set1_union_all — trivial UNION ALL, code untouched since its r10
-#     hash-green row, pytest-covered.
+#     hash-green row, pytest-covered;
+#   w4_running_agg — displaced by the mid-round x20/x3d additions:
+#     the same window machinery runs in this window via w5/e1*/e4,
+#     code untouched since its r10 hash-green row, pytest-covered;
+#   x14_token_budget_sample — displaced by x20/x3d: its scalable
+#     forms x14b (chunked-window plan assert) and x19 (r12 gate
+#     green) own the machinery; x14's own code untouched since r10.
 # Their archive rows stay r10 — the same documented deviation class
 # as r12's w5/u1/p6, forced by the 50-slot budget.
 DRIVER_WINDOW = [
@@ -104,6 +114,7 @@ DRIVER_WINDOW = [
     "e4_daily_run",
     "x2_minhash_lsh", "x2f_minhash_sparse", "x2g_incremental_minhash",
     "x2d_cosine_lsh", "x17_semdedup", "x17b_semdedup_sparse",
+    "x20_chunk_overlap", "x3d_pq_adc",
     # (c) r10-cohort backfill (43 minus x2/x2f in (b) minus the 12
     # displaced above)
     "a12_sketch_rollup", "a3_global_agg", "a8_approx_agg", "a9_pivot",
@@ -115,8 +126,7 @@ DRIVER_WINDOW = [
     "s4_csv_roundtrip", "s5_append_sink", "s6_ddl_table",
     "s9_jsonl_roundtrip",
     "set2_union_distinct", "set3_intersect", "set4_except",
-    "u5_delete_keys", "u6_compaction", "w4_running_agg",
-    "x14_token_budget_sample",
+    "u5_delete_keys", "u6_compaction",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
 # Queries added or code-changed DURING round 13 must be appended to

@@ -983,3 +983,73 @@ def test_prefix_sum_scalable_struct_keys_match_naive_window(spark):
                prefix_sum_scalable(df, stratum="s", key="k",
                                    weight="one", coarse=coarse).collect()}
         assert got == naive, f"coarse={coarse} diverged from naive window"
+
+
+def test_x20_chunks_match_python_rederivation(spark, sf_dir):
+    import math
+
+    got = {(r.doc_id, r.chunk_idx, r.tok_start, r.chunk_text, r.n_tokens)
+           for r in _q("x20_chunk_overlap")(spark, sf_dir).collect()}
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    want = set()
+    for d in docs:
+        # the repo-wide split contract: empty text -> [''] (one token)
+        toks = re.split(r"\s+", d.text.strip().lower())
+        n = len(toks)
+        nc = 1 if n <= 64 else math.ceil((n - 64) / 48) + 1
+        for i in range(nc):
+            s = i * 48
+            w = toks[s:s + 64]
+            want.add((d.doc_id, i, s, " ".join(w), len(w)))
+    assert got == want
+    # stride discipline: every chunk except a doc's last is full-size,
+    # and consecutive chunks overlap by exactly 16 tokens
+    last = {}
+    for doc_id, idx, _s, _t, _n in got:
+        last[doc_id] = max(last.get(doc_id, -1), idx)
+    for doc_id, idx, s, _t, n in got:
+        assert s == idx * 48
+        if idx < last[doc_id]:
+            assert n == 64
+
+
+def test_x3d_pq_matches_python_rederivation(spark, sf_dir):
+    rows = _q("x3d_pq_adc")(spark, sf_dir).collect()
+    got = {r.vec_id: (r.pq_code, r.approx_dist) for r in rows}
+
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .select("vec_id", "embedding").collect()
+    by_id = {r.vec_id: list(r.embedding) for r in emb}
+    # codebook = the 16 md5-smallest ids, exactly as both engines pick
+    order = sorted(by_id, key=lambda i: (hashlib.md5(str(i).encode())
+                                         .hexdigest(), i))
+    cb = [by_id[i] for i in order[:16]]
+    q0 = by_id[0]
+
+    assert set(got) == set(by_id)
+    for vid, v in by_id.items():
+        codes, ad = [], 0.0
+        for m in range(8):
+            dists = []
+            for j in range(16):
+                s = 0.0
+                for t in range(8):
+                    d = v[m * 8 + t] - cb[j][m * 8 + t]
+                    s += d * d
+                dists.append(s)
+            jmin = min(range(16), key=lambda j: (dists[j], j))
+            codes.append(jmin)
+            s = 0.0
+            for t in range(8):
+                d = q0[m * 8 + t] - cb[jmin][m * 8 + t]
+                s += d * d
+            ad += s
+        code_str, adist = got[vid]
+        assert code_str == "-".join(map(str, codes)), vid
+        assert abs(adist - ad) < 1e-6, vid
+    # the query vector itself must encode losslessly enough to score
+    # ~0 against its own codes only if it IS a codeword; always true:
+    # ADC(self) <= exact distance to nearest codeword per subspace
+    assert got[0][1] >= 0.0

@@ -460,3 +460,32 @@ def test_x16c_kpass_routing_thresholds():
     assert x16c_n_passes(1_454_545) == 1        # last single-pass size
     assert x16c_n_passes(1_454_546) == 2        # first 2-pass size
     assert x16c_n_passes(5_120_000) == 4        # 1024x: ~2.9e9 windows
+
+
+def test_x20_chunking_is_map_only_zero_exchange(spark):
+    # scan -> Generate (explode of the per-row start sequence) ->
+    # Project; the chunker must not shuffle at any scale, and the
+    # whole pipeline stays JVM-side (no Python eval of any flavor)
+    df = q(spark, "x20_chunk_overlap")
+    assert count_exchanges(df) == 0
+    plan = executed_plan(df)
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "PythonMapInArrow", "MapInArrow"):
+        assert marker not in plan, marker
+
+
+def test_x3d_pq_encode_is_map_only_zero_exchange(spark):
+    # the codebook rides the plan as ~8 KB of literals; encode + ADC
+    # scoring must be scan -> project with zero exchanges and zero
+    # Python evaluation — the property that makes the 32x-compressed
+    # index buildable by a pure map pass at any scale
+    df = q(spark, "x3d_pq_adc")
+    assert count_exchanges(df) == 0
+    plan = executed_plan(df)
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "PythonMapInArrow", "MapInArrow"):
+        assert marker not in plan, marker
+    assert "WholeStageCodegen" in codegen_text(df)

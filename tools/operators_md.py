@@ -28,7 +28,8 @@ PKG = REPO / "data_warehouse_spark"
 # are scalar expression helpers: map-only by construction, so they get
 # the standing auto-note instead of a curated one.
 OPERATOR_MODULES = [
-    "operators/bucketing.py", "operators/dedup.py", "operators/graph.py",
+    "operators/bucketing.py", "operators/chunking.py",
+    "operators/dedup.py", "operators/graph.py",
     "operators/joins.py", "operators/maintenance.py", "operators/merge.py",
     "operators/multimodal.py", "operators/sampling.py",
     "operators/sessionize.py", "operators/similarity.py",
@@ -224,6 +225,19 @@ SCALE_NOTES = {
     "similarity.ivf_topk":
         "one-shot build+probe convenience; repeated queries use the "
         "persisted index (x3b/x3c)",
+    "similarity.pq_codebook_sample":
+        "16-row md5-ordered parameter read — deterministic, "
+        "engine-replayable codebook seeding (no training shuffle)",
+    "similarity.pq_encode":
+        "map-only encode with the codebook as ~8 KB of literals: 32x "
+        "index compression (8 code bytes vs 256 float bytes), ADC "
+        "scores read codes only — zero exchange (plan-asserted)",
+    "chunking.n_chunks_for":
+        "pure column arithmetic shared with the oracle's ceil — exact "
+        "chunk counts at any doc length",
+    "chunking.chunk_overlapping":
+        "scan -> Generate -> Project, ZERO exchanges (plan-asserted); "
+        "output amplification is per-split, writer owns partitioning",
     "skew.with_salt":
         "deterministic row salt — no monotonically_increasing_id "
         "(stable under retries)",
