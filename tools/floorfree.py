@@ -103,6 +103,16 @@ DEFAULT_QUERIES = {
     "a11_cube": (16, 64),
     "u7_incremental_rollup": (16, 64),
     "x11_pii_redaction": (16, 64),
+    # round-13: the two new map-only operators get honest lanes on
+    # arrival — amplification is linear work on both engines (no pair
+    # structure anywhere). x20 explodes each doc into token windows
+    # (output ~n_tokens/48 rows per doc, value-checked via the digest
+    # above the pull cap); x3d's oracle replays the N x 16-codeword x
+    # 8-subspace distance table (~41M list_sum rows at 64x, measured
+    # 2.9 s — linear, so the lane runs to 1024x and shows the
+    # fixed-codegen-cost amortization crossing below 1).
+    "x20_chunk_overlap": (16, 64, 256),
+    "x3d_pq_adc": (4, 16, 64, 256, 1024),
     # late round-5 additions: decontamination (gram explode + broadcast
     # eval set — amplification's copy-cliques make ~every doc overlap,
     # a worst-case-dense but realistic join), incremental dedup
