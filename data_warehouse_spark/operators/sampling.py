@@ -50,7 +50,7 @@ table, the multi-consumer-intermediate norm (see x7's tf note).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -137,3 +137,38 @@ def prefix_sum_scalable(df: DataFrame, stratum: str, key: str,
                       F.col("__chunk") == F.col("__c")])
             .withColumn("cum", F.col("__off") + F.sum(weight).over(w_in))
             .select(stratum, key, weight, "cum"))
+
+
+def mixture_schedule(df: DataFrame, stratum: str, id_col: str,
+                     weights: dict[str, float], default_weight: float,
+                     coarse: int = 32) -> DataFrame:
+    """Deterministic source-mixture schedule (the data-mixing pass a
+    pretraining pipeline runs: interleave strata at target sampling
+    weights): per-stratum md5-order rank r, virtual time r / w_s —
+    classic stride scheduling, so reading the output in vtime order
+    yields each stratum at ~its weight share of every prefix (a
+    stratum with weight 0.5 appears every 2 ticks, 0.1 every 10).
+
+    Output: stratum, id, rnk (1-based md5-order rank within the
+    stratum), vtime (round-6). The GLOBAL interleave order is vtime —
+    deliberately NOT materialized as a row_number here: a global rank
+    would serialize on one reducer, while the writer's range-sort on
+    vtime (or a downstream prefix_sum_scalable over vtime-as-key)
+    partitions it. Ranks come from the same two-phase prefix sum as
+    the budget sampler — parallelism strata x chunks, never one
+    reducer per stratum."""
+    keyed = df.select(
+        F.col(stratum),
+        F.struct(F.md5(F.col(id_col).cast("string")).alias("h"),
+                 F.col(id_col).alias("id")).alias("__k"),
+        F.lit(1).cast("long").alias("__one"))
+    ranked = (prefix_sum_scalable(keyed, stratum=stratum, key="__k",
+                                  weight="__one", coarse=coarse)
+              .select(F.col(stratum), F.col("__k.id").alias(id_col),
+                      F.col("cum").alias("rnk")))
+    w: Column = F.lit(float(default_weight))
+    for s, sw in sorted(weights.items()):
+        w = F.when(F.col(stratum) == s, F.lit(float(sw))).otherwise(w)
+    return ranked.select(
+        stratum, id_col, "rnk",
+        F.round(F.col("rnk") / w, 6).alias("vtime"))

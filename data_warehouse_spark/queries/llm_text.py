@@ -1687,3 +1687,44 @@ def x20_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return chunk_overlapping(docs, text_col="text", id_col="doc_id",
                              chunk_size=64, stride=48)
+
+
+@register(
+    "x21_mixture_schedule",
+    oracle="""
+WITH ranked AS (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rnk
+    FROM documents
+)
+SELECT lang, doc_id, rnk,
+       ROUND(rnk / (CASE lang WHEN 'en' THEN 0.5
+                              WHEN 'de' THEN 0.15
+                              WHEN 'fr' THEN 0.15
+                              WHEN 'es' THEN 0.1
+                              ELSE 0.1 END)::DOUBLE, 6) AS vtime
+FROM ranked
+""",
+    doc="X21 [ext]: deterministic source-mixture schedule "
+        "(operators/sampling.py:mixture_schedule) — the data-mixing "
+        "pass that interleaves strata at target sampling weights "
+        "(en 0.5 / de 0.15 / fr 0.15 / es 0.1 / zh 0.1): per-language "
+        "md5-order rank via the x14b two-phase prefix sum (parallelism "
+        "strata x chunks, never one reducer per stratum), virtual "
+        "time = rank / weight (stride scheduling — reading in vtime "
+        "order yields each language at ~its weight share of every "
+        "prefix). The global order is deliberately left as the vtime "
+        "sort key for the writer's range-sort; materializing a global "
+        "row_number would serialize on one reducer.",
+    tags=("ext", "text", "sampling"),
+)
+def x21_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.sampling import mixture_schedule
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_schedule(
+        docs, stratum="lang", id_col="doc_id",
+        weights={"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1},
+        default_weight=0.1)

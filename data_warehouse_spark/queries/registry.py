@@ -73,10 +73,12 @@ _QUERY_MODULES = [
 #       x20 (NEW: overlapping token-window chunking, the RAG chunker —
 #       map-only explode, zero-exchange plan-asserted), x3d (NEW:
 #       product quantization + ADC scoring, the memory half of
-#       IVF-PQ — codebook-as-literals map-only encode).
-#   (c) r10-cohort backfill: 27 of the 43 r10-dated queries (x2/x2f
+#       IVF-PQ — codebook-as-literals map-only encode), x21 (NEW:
+#       deterministic source-mixture schedule — stride scheduling on
+#       the x14b prefix sum).
+#   (c) r10-cohort backfill: 26 of the 43 r10-dated queries (x2/x2f
 #       are r10-dated but already enter via (b)).
-# 8 + 15 + 27 = 50. The 14 r10 queries displaced by the budget, each
+# 8 + 16 + 26 = 50. The 15 r10 queries displaced by the budget, each
 # with compensating evidence stronger than the sf0.01 gate row it
 # keeps waiting:
 #   j6_asof_join, j9_spatial_join — round-13 engine-side digest cells
@@ -100,7 +102,11 @@ _QUERY_MODULES = [
 #     code untouched since its r10 hash-green row, pytest-covered;
 #   x14_token_budget_sample — displaced by x20/x3d: its scalable
 #     forms x14b (chunked-window plan assert) and x19 (r12 gate
-#     green) own the machinery; x14's own code untouched since r10.
+#     green) own the machinery; x14's own code untouched since r10;
+#   u6_compaction — displaced by the mid-round x21 addition:
+#     byte-for-byte partition-scoped rewrite pinned in
+#     test_maintenance.py, code untouched since its r10 hash-green
+#     row.
 # Their archive rows stay r10 — the same documented deviation class
 # as r12's w5/u1/p6, forced by the 50-slot budget.
 DRIVER_WINDOW = [
@@ -114,7 +120,7 @@ DRIVER_WINDOW = [
     "e4_daily_run",
     "x2_minhash_lsh", "x2f_minhash_sparse", "x2g_incremental_minhash",
     "x2d_cosine_lsh", "x17_semdedup", "x17b_semdedup_sparse",
-    "x20_chunk_overlap", "x3d_pq_adc",
+    "x20_chunk_overlap", "x3d_pq_adc", "x21_mixture_schedule",
     # (c) r10-cohort backfill (43 minus x2/x2f in (b) minus the 12
     # displaced above)
     "a12_sketch_rollup", "a3_global_agg", "a8_approx_agg", "a9_pivot",
@@ -126,7 +132,7 @@ DRIVER_WINDOW = [
     "s4_csv_roundtrip", "s5_append_sink", "s6_ddl_table",
     "s9_jsonl_roundtrip",
     "set2_union_distinct", "set3_intersect", "set4_except",
-    "u5_delete_keys", "u6_compaction",
+    "u5_delete_keys",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
 # Queries added or code-changed DURING round 13 must be appended to

@@ -1053,3 +1053,29 @@ def test_x3d_pq_matches_python_rederivation(spark, sf_dir):
     # ~0 against its own codes only if it IS a codeword; always true:
     # ADC(self) <= exact distance to nearest codeword per subspace
     assert got[0][1] >= 0.0
+
+
+def test_x21_mixture_schedule_stride_property(spark, sf_dir):
+    import math
+
+    rows = _q("x21_mixture_schedule")(spark, sf_dir).collect()
+    w = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+    n_lang = {}
+    for r in rows:
+        n_lang[r.lang] = n_lang.get(r.lang, 0) + 1
+        # vtime is exactly rank / weight (round-6)
+        assert abs(r.vtime - round(r.rnk / w[r.lang], 6)) < 1e-9
+    # ranks are a 1..n_lang permutation per language (the prefix sum
+    # really is a dense md5-order rank)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.rnk)
+    for lang, rnks in by_lang.items():
+        assert rnks == set(range(1, n_lang[lang] + 1)), lang
+    # stride-scheduling interleave: for any horizon T, the number of
+    # lang docs scheduled at vtime <= T is exactly min(floor(T*w), n)
+    for T in (10.0, 25.0, 100.0, 400.0):
+        for lang in w:
+            got = sum(1 for r in rows if r.lang == lang and r.vtime <= T)
+            want = min(math.floor(T * w[lang] + 1e-9), n_lang.get(lang, 0))
+            assert got == want, (lang, T, got, want)

@@ -853,3 +853,48 @@ def test_auto_cc_matches_minlabel_on_all_regimes(spark):
                    connected_components_auto(df, "a", "b",
                                              probe_rounds=probe).collect()}
             assert got == want, f"case {k} probe {probe}"
+
+
+def test_chunk_overlapping_properties_random_params(spark):
+    """chunk_overlapping vs a plain-Python reference across random
+    (chunk_size, stride) configs and adversarial texts (empty,
+    whitespace-only, single-token, exact-boundary lengths). Invariants
+    beyond equality: full coverage (every token index falls in >= 1
+    chunk), exact overlap (consecutive chunks share chunk_size -
+    stride token positions), and no chunk is empty."""
+    import re
+
+    from data_warehouse_spark.operators.chunking import chunk_overlapping
+
+    rng = random.Random(13)
+    words = ["tok%d" % i for i in range(40)]
+    texts = ["", "   ", "one", "a b", "  padded  text  "]
+    for n in (1, 47, 48, 49, 63, 64, 65, 96, 112, 113, 200):
+        texts.append(" ".join(rng.choice(words) for _ in range(n)))
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for chunk_size, stride in ((64, 48), (64, 64), (5, 2), (1, 1),
+                               (16, 5), (7, 7)):
+        got = {}
+        out = chunk_overlapping(df, text_col="text", id_col="doc_id",
+                                chunk_size=chunk_size, stride=stride)
+        for r in out.collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.tok_start, r.chunk_text, r.n_tokens))
+        for doc_id, text in rows:
+            toks = re.split(r"\s+", text.strip().lower())
+            n = len(toks)
+            nc = 1 if n <= chunk_size else \
+                math.ceil((n - chunk_size) / stride) + 1
+            want = []
+            covered = set()
+            for i in range(nc):
+                s = i * stride
+                w = toks[s:s + chunk_size]
+                covered.update(range(s, s + len(w)))
+                want.append((i, s, " ".join(w), len(w)))
+            assert sorted(got[doc_id]) == want, \
+                (doc_id, chunk_size, stride)
+            assert covered == set(range(n)), (doc_id, chunk_size, stride)
+            assert all(c[3] >= 1 for c in want)

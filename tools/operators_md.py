@@ -232,6 +232,11 @@ SCALE_NOTES = {
         "map-only encode with the codebook as ~8 KB of literals: 32x "
         "index compression (8 code bytes vs 256 float bytes), ADC "
         "scores read codes only — zero exchange (plan-asserted)",
+    "sampling.mixture_schedule":
+        "stride-scheduled source mixing: per-stratum rank via the "
+        "two-phase prefix sum (strata x chunks parallelism), global "
+        "order is a vtime sort key for the writer's range-sort — no "
+        "single-reducer anywhere",
     "chunking.n_chunks_for":
         "pure column arithmetic shared with the oracle's ceil — exact "
         "chunk counts at any doc length",
