@@ -113,6 +113,10 @@ DEFAULT_QUERIES = {
     # fixed-codegen-cost amortization crossing below 1).
     "x20_chunk_overlap": (16, 64, 256),
     "x3d_pq_adc": (4, 16, 64, 256, 1024),
+    # round-13: the mixture schedule — Spark's strata x chunks
+    # prefix sum vs DuckDB's per-partition window (5 language
+    # partitions caps its thread use); linear work both sides
+    "x21_mixture_schedule": (16, 64, 256, 1024),
     # late round-5 additions: decontamination (gram explode + broadcast
     # eval set — amplification's copy-cliques make ~every doc overlap,
     # a worst-case-dense but realistic join), incremental dedup
