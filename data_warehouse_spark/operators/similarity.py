@@ -917,3 +917,46 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
             adist = term if adist is None else adist + term
         sel.append(F.round(adist, 6).alias("approx_dist"))
     return encoded.select(*sel)
+
+
+def ivf_pq_topk(df: DataFrame, vec_col: str, id_col: str,
+                query_vec: list[float], k: int = 20, n_cells: int = 16,
+                nprobe: int = 4, n_sub: int = 8,
+                rerank: int = 2) -> DataFrame:
+    """The production ANN probe shape — IVF-PQ (Jégou et al. 2011):
+    IVF cells bound the candidate set (~nprobe/n_cells of the corpus),
+    ADC over PQ codes ranks the candidates without touching raw
+    vectors, and only the k*rerank shortlist pays an exact cosine.
+
+    100 TB anatomy: build_ivf_index's assignment is the one
+    corpus-sized pass (persisted at ingest); pq codes are 8 bytes per
+    vector so the rank stage reads the 32x-compressed representation;
+    the exact rerank touches k*rerank raw vectors via a broadcast
+    semi-join. Per-probe cost is O(candidates) compute over codes +
+    O(k*rerank) vector fetches — never a corpus scan.
+
+    Determinism contract (what makes the SQL oracle replay exact):
+    cell choice is x3b's (round-6 snap + smallest-cell ties), ADC
+    distances fold in the same order as DuckDB's list_sum and are
+    rounded to 6 before the shortlist cut with vec_id ties, and the
+    final order is (round-6 exact cosine DESC, vec_id)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    idx = build_ivf_index(df, vec_col, id_col, n_cells=n_cells, iters=1,
+                          dim=len(query_vec), persist=False)
+    best_cells = (idx.centroids
+                  .select("cell",
+                          cosine(F.col("cvec"), q, idx.dim).alias("csim"))
+                  .orderBy(F.col("csim").desc(), "cell").limit(nprobe)
+                  .select("cell"))
+    probed = idx.assigned.join(F.broadcast(best_cells), on="cell")
+    codebook = pq_codebook_sample(df, vec_col, id_col, n_codes=16)
+    shortlist = (pq_encode(probed, vec_col, id_col, codebook,
+                           n_sub=n_sub, query_vec=query_vec)
+                 .orderBy(F.col("approx_dist").asc(), id_col)
+                 .limit(k * rerank)
+                 .select(id_col))
+    return (df.join(F.broadcast(shortlist), on=id_col)
+            .select(id_col,
+                    F.round(cosine(F.col(vec_col), q, len(query_vec)), 6)
+                     .alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), id_col).limit(k))

@@ -643,3 +643,126 @@ def x3d_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(emb, vec_col="embedding", id_col="vec_id",
                      codebook=codebook, n_sub=8,
                      query_vec=_query_vec(spark, sf_dir))
+
+
+# x3e oracle = x3b's IVF replay (seeds -> one Lloyd step -> re-assign
+# -> probe_cells; float-stability argument at _IVF_ORACLE) composed
+# with x3d's PQ replay (md5-sampled codebook, per-subspace argmin,
+# query lookup tables), then the production cut discipline: ADC
+# shortlist of k*rerank by (round-6 ADC dist, vec_id), exact cosine
+# only on the shortlist, final (round-6 cosine DESC, vec_id) top-k.
+# Both engines round the ADC value to 6 BEFORE the shortlist cut (the
+# unrounded doubles are bit-identical — same fold order — but the
+# shared round keeps the cut insensitive to any future kernel change
+# that re-associates the sum).
+_IVFPQ_ORACLE = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+           embedding AS cvec
+    FROM (SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT 16)
+),
+a1 AS (
+    SELECT vec_id, embedding, cell
+    FROM (SELECT e.vec_id, e.embedding, s.cell,
+                 {_COS_SQL.format(a='e.embedding', b='s.cvec')} AS sim
+          FROM emb e CROSS JOIN seeds s)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+cavg AS (
+    SELECT cell, pos, CAST(AVG(x) AS FLOAT) AS cx
+    FROM (SELECT cell, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 unnest(range(1, 65)) AS pos
+          FROM a1)
+    GROUP BY cell, pos
+),
+cent AS (
+    SELECT cell, list(cx ORDER BY pos) AS cvec FROM cavg GROUP BY cell
+),
+a2 AS (
+    SELECT vec_id, embedding, cell
+    FROM (SELECT e.vec_id, e.embedding, c.cell,
+                 {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS sim
+          FROM emb e CROSS JOIN cent c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+q AS (SELECT embedding AS qv FROM emb WHERE vec_id = 0),
+probe_cells AS (
+    SELECT cell FROM cent CROSS JOIN q
+    ORDER BY {_COS_SQL.format(a='cvec', b='qv')} DESC, cell LIMIT 4
+),
+cand AS (
+    SELECT a2.vec_id, a2.embedding
+    FROM a2 JOIN probe_cells USING (cell)
+),
+cb AS (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS code,
+           embedding AS pqvec
+    FROM (SELECT vec_id, embedding FROM emb
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16) AS s
+),
+subs AS (SELECT unnest(range(0, 8)) AS m),
+pqd AS (
+    SELECT e.vec_id, s.m, c.code,
+           list_sum(list_transform(range(1, 9),
+               t -> (e.embedding[s.m * 8 + t]::DOUBLE
+                     - c.pqvec[s.m * 8 + t]::DOUBLE)
+                  * (e.embedding[s.m * 8 + t]::DOUBLE
+                     - c.pqvec[s.m * 8 + t]::DOUBLE))) AS dist
+    FROM cand e CROSS JOIN subs s CROSS JOIN cb c
+),
+pqcodes AS (
+    SELECT vec_id, m, code
+    FROM pqd
+    QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                               ORDER BY dist, code) = 1
+),
+lut AS (
+    SELECT s.m, cb.code,
+           list_sum(list_transform(range(1, 9),
+               t -> (q.qv[s.m * 8 + t]::DOUBLE
+                     - cb.pqvec[s.m * 8 + t]::DOUBLE)
+                  * (q.qv[s.m * 8 + t]::DOUBLE
+                     - cb.pqvec[s.m * 8 + t]::DOUBLE))) AS l
+    FROM subs s CROSS JOIN cb CROSS JOIN q
+),
+adc AS (
+    SELECT c.vec_id, ROUND(list_sum(list(l.l ORDER BY c.m)), 6) AS ad
+    FROM pqcodes c JOIN lut l ON l.m = c.m AND l.code = c.code
+    GROUP BY c.vec_id
+),
+short AS (SELECT vec_id FROM adc ORDER BY ad, vec_id LIMIT 40)
+SELECT e.vec_id,
+       ROUND({_COS_SQL.format(a='e.embedding', b='qv')}, 6) AS cos_sim
+FROM emb e JOIN short USING (vec_id) CROSS JOIN q
+ORDER BY cos_sim DESC, vec_id LIMIT 20
+"""
+
+
+@register(
+    "x3e_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
+    doc="X3e [ext]: IVF-PQ top-k — the production ANN probe composed "
+        "from x3b's IVF cells and x3d's PQ codes "
+        "(operators/similarity.py:ivf_pq_topk): probe nprobe=4 of 16 "
+        "cells, rank the candidates by ADC over 8-byte codes (never "
+        "touching raw candidate vectors), exact-cosine rerank only "
+        "the 40-row shortlist. Per-probe cost at 100 TB: O(candidate "
+        "codes) + 40 raw-vector fetches — no corpus scan, no "
+        "quadratic term, and the ranked representation is "
+        "32x-compressed. The oracle replays IVF + PQ + both cut "
+        "boundaries end to end (ADC round-6 + vec_id ties before the "
+        "shortlist; round-6 cosine + vec_id ties at the end).",
+    tags=("ext", "vector"),
+)
+def x3e_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.similarity import ivf_pq_topk
+
+    set_arrow_batch(spark, ARROW_BATCH_VECTOR)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, vec_col="embedding", id_col="vec_id",
+                       query_vec=_query_vec(spark, sf_dir), k=20,
+                       n_cells=16, nprobe=4, n_sub=8, rerank=2)

@@ -75,10 +75,12 @@ _QUERY_MODULES = [
 #       product quantization + ADC scoring, the memory half of
 #       IVF-PQ — codebook-as-literals map-only encode), x21 (NEW:
 #       deterministic source-mixture schedule — stride scheduling on
-#       the x14b prefix sum).
-#   (c) r10-cohort backfill: 26 of the 43 r10-dated queries (x2/x2f
+#       the x14b prefix sum), x3e (NEW: IVF-PQ top-k — the production
+#       ANN probe composing x3b's cells with x3d's codes, ADC
+#       shortlist + exact rerank, both cut boundaries oracle-replayed).
+#   (c) r10-cohort backfill: 25 of the 43 r10-dated queries (x2/x2f
 #       are r10-dated but already enter via (b)).
-# 8 + 16 + 26 = 50. The 15 r10 queries displaced by the budget, each
+# 8 + 17 + 25 = 50. The 16 r10 queries displaced by the budget, each
 # with compensating evidence stronger than the sf0.01 gate row it
 # keeps waiting:
 #   j6_asof_join, j9_spatial_join — round-13 engine-side digest cells
@@ -106,7 +108,10 @@ _QUERY_MODULES = [
 #   u6_compaction — displaced by the mid-round x21 addition:
 #     byte-for-byte partition-scoped rewrite pinned in
 #     test_maintenance.py, code untouched since its r10 hash-green
-#     row.
+#     row;
+#   f5_cast — displaced by the mid-round x3e addition: trivial cast
+#     battery, pytest-covered, code untouched since its r10
+#     hash-green row.
 # Their archive rows stay r10 — the same documented deviation class
 # as r12's w5/u1/p6, forced by the 50-slot budget.
 DRIVER_WINDOW = [
@@ -121,11 +126,12 @@ DRIVER_WINDOW = [
     "x2_minhash_lsh", "x2f_minhash_sparse", "x2g_incremental_minhash",
     "x2d_cosine_lsh", "x17_semdedup", "x17b_semdedup_sparse",
     "x20_chunk_overlap", "x3d_pq_adc", "x21_mixture_schedule",
+    "x3e_ivfpq_topk",
     # (c) r10-cohort backfill (43 minus x2/x2f in (b) minus the 12
     # displaced above)
     "a12_sketch_rollup", "a3_global_agg", "a8_approx_agg", "a9_pivot",
     "f10_null_handling", "f11_arrays", "f2_epoch_diff", "f3_haversine",
-    "f5_cast", "f8_strings", "f9_json",
+    "f8_strings", "f9_json",
     "o1_global_sort", "o2_topk_per_group",
     "p3_between_computed", "p5_or_inequality",
     "s10_orc_roundtrip", "s2_rest_json_source", "s3_parallel_fetch",

@@ -1079,3 +1079,20 @@ def test_x21_mixture_schedule_stride_property(spark, sf_dir):
             got = sum(1 for r in rows if r.lang == lang and r.vtime <= T)
             want = min(math.floor(T * w[lang] + 1e-9), n_lang.get(lang, 0))
             assert got == want, (lang, T, got, want)
+
+
+def test_x3e_ivfpq_recall_vs_exact(spark, sf_dir):
+    """IVF-PQ's top-20 must recall most of the exact brute-force
+    top-20 (the x3b recall contract extended through the ADC stage),
+    and every returned cos_sim must equal the exact query's value for
+    that id — the rerank stage reports EXACT scores, approximation
+    only shapes the candidate set."""
+    approx = {r.vec_id: r.cos_sim
+              for r in _q("x3e_ivfpq_topk")(spark, sf_dir).collect()}
+    exact = {r.vec_id: r.cos_sim
+             for r in _q("x3_cosine_topk")(spark, sf_dir).collect()}
+    assert len(approx) == 20
+    overlap = set(approx) & set(exact)
+    assert len(overlap) >= 10, sorted(approx)
+    for vid in overlap:
+        assert abs(approx[vid] - exact[vid]) < 1e-9, vid

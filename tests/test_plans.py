@@ -489,3 +489,14 @@ def test_x3d_pq_encode_is_map_only_zero_exchange(spark):
                    "PythonMapInArrow", "MapInArrow"):
         assert marker not in plan, marker
     assert "WholeStageCodegen" in codegen_text(df)
+
+
+def test_x3e_ivfpq_probe_joins_are_broadcast_no_cartesian(spark):
+    # the probe's two semi-join shapes (best-cells onto the
+    # assignment, shortlist onto the corpus) must broadcast — the
+    # candidate and shortlist sides are nprobe-cells / k*rerank rows
+    # by construction — and nothing may fall back to a cartesian
+    df = q(spark, "x3e_ivfpq_topk")
+    assert_no_cartesian(df)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

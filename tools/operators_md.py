@@ -232,6 +232,10 @@ SCALE_NOTES = {
         "map-only encode with the codebook as ~8 KB of literals: 32x "
         "index compression (8 code bytes vs 256 float bytes), ADC "
         "scores read codes only — zero exchange (plan-asserted)",
+    "similarity.ivf_pq_topk":
+        "IVF-PQ probe: nprobe cells bound candidates, ADC reads the "
+        "32x-compressed codes, exact cosine touches only the "
+        "k*rerank broadcast shortlist — no corpus scan per probe",
     "sampling.mixture_schedule":
         "stride-scheduled source mixing: per-stratum rank via the "
         "two-phase prefix sum (strata x chunks parallelism), global "
