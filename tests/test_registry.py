@@ -18,24 +18,28 @@ MUST_BE_WINDOWED = {
     "x15_sequence_packing",
     # (b) round-13 code changes (planted-cohort LocalRelation ->
     # e-family; band-divisibility asserts -> x2/x2f/x2g; planted-copy
-    # id guard -> x2d/x17; new x17b)
+    # id guard -> x2d/x17; new x17b; session-2 additions x20/x3d/x21/
+    # x3e per the standing new-query rule — each displaced one (c)
+    # entry: w4_running_agg, x14_token_budget_sample, u6_compaction,
+    # f5_cast (compensation documented at DRIVER_WINDOW))
     "e1_trips", "e1b_bucketed_trips", "e1c_trips_localtime",
     "e2_carbon_savings", "e2b_carbon_bucketed", "e3_enriched_trips",
     "e4_daily_run",
     "x2_minhash_lsh", "x2f_minhash_sparse", "x2g_incremental_minhash",
     "x2d_cosine_lsh", "x17_semdedup", "x17b_semdedup_sparse",
+    "x20_chunk_overlap", "x3d_pq_adc", "x21_mixture_schedule",
+    "x3e_ivfpq_topk",
     # (c) r10-cohort backfill
     "a12_sketch_rollup", "a3_global_agg", "a8_approx_agg", "a9_pivot",
     "f10_null_handling", "f11_arrays", "f2_epoch_diff", "f3_haversine",
-    "f5_cast", "f8_strings", "f9_json",
+    "f8_strings", "f9_json",
     "o1_global_sort", "o2_topk_per_group",
     "p3_between_computed", "p5_or_inequality",
     "s10_orc_roundtrip", "s2_rest_json_source", "s3_parallel_fetch",
     "s4_csv_roundtrip", "s5_append_sink", "s6_ddl_table",
     "s9_jsonl_roundtrip",
     "set2_union_distinct", "set3_intersect", "set4_except",
-    "u5_delete_keys", "u6_compaction", "w4_running_agg",
-    "x14_token_budget_sample",
+    "u5_delete_keys",
 }
 
 
