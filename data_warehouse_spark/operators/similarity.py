@@ -866,6 +866,8 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
     is rounded — the same fold order DuckDB's list_sum uses, so codes
     and scores agree bit-for-bit before the shared round(6).
     """
+    if not codebook:
+        raise ValueError("empty codebook")
     k = len(codebook)
     dim = len(codebook[0])
     if dim % n_sub:
@@ -921,35 +923,46 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
 
 def ivf_pq_topk(df: DataFrame, vec_col: str, id_col: str,
                 query_vec: list[float], k: int = 20, n_cells: int = 16,
-                nprobe: int = 4, n_sub: int = 8,
-                rerank: int = 2) -> DataFrame:
+                nprobe: int = 4, n_sub: int = 8, rerank: int = 2,
+                index: "IvfIndex | None" = None,
+                codebook: list[list[float]] | None = None) -> DataFrame:
     """The production ANN probe shape — IVF-PQ (Jégou et al. 2011):
     IVF cells bound the candidate set (~nprobe/n_cells of the corpus),
     ADC over PQ codes ranks the candidates without touching raw
     vectors, and only the k*rerank shortlist pays an exact cosine.
 
-    100 TB anatomy: build_ivf_index's assignment is the one
-    corpus-sized pass (persisted at ingest); pq codes are 8 bytes per
-    vector so the rank stage reads the 32x-compressed representation;
-    the exact rerank touches k*rerank raw vectors via a broadcast
-    semi-join. Per-probe cost is O(candidates) compute over codes +
-    O(k*rerank) vector fetches — never a corpus scan.
+    Without `index`/`codebook` this is the ONE-SHOT convenience form
+    (the ivf_topk convention): it builds an unpersisted index and
+    md5-samples a codebook, both corpus-sized passes, per call.
+    Repeated probes MUST pass a prebuilt `index`
+    (build_ivf_index(persist=True)) and a `codebook`
+    (pq_codebook_sample once, or any trained codebook) — then the
+    per-probe cost is O(candidate codes) + O(k*rerank) raw-vector
+    fetches via broadcast semi-joins, never a corpus scan. (In
+    production the codes themselves would also be a persisted column
+    of the assignment table; here the candidate set is small enough —
+    ~nprobe/n_cells of the corpus — that encoding candidates inline
+    keeps the one-shot form honest.)
 
     Determinism contract (what makes the SQL oracle replay exact):
-    cell choice is x3b's (round-6 snap + smallest-cell ties), ADC
-    distances fold in the same order as DuckDB's list_sum and are
-    rounded to 6 before the shortlist cut with vec_id ties, and the
-    final order is (round-6 exact cosine DESC, vec_id)."""
+    the nprobe cell cut orders by the raw centroid cosine with
+    smallest-cell ties (identical expression on both engines; cell
+    ASSIGNMENT inherits assign_cells' 1e-12 snap + smallest-cell
+    ties), ADC distances fold in the same order as DuckDB's list_sum
+    and are rounded to 6 before the shortlist cut with vec_id ties,
+    and the final order is (round-6 exact cosine DESC, vec_id)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    idx = build_ivf_index(df, vec_col, id_col, n_cells=n_cells, iters=1,
-                          dim=len(query_vec), persist=False)
+    idx = index if index is not None else build_ivf_index(
+        df, vec_col, id_col, n_cells=n_cells, iters=1,
+        dim=len(query_vec), persist=False)
     best_cells = (idx.centroids
                   .select("cell",
                           cosine(F.col("cvec"), q, idx.dim).alias("csim"))
                   .orderBy(F.col("csim").desc(), "cell").limit(nprobe)
                   .select("cell"))
     probed = idx.assigned.join(F.broadcast(best_cells), on="cell")
-    codebook = pq_codebook_sample(df, vec_col, id_col, n_codes=16)
+    if codebook is None:
+        codebook = pq_codebook_sample(df, vec_col, id_col, n_codes=16)
     shortlist = (pq_encode(probed, vec_col, id_col, codebook,
                            n_sub=n_sub, query_vec=query_vec)
                  .orderBy(F.col("approx_dist").asc(), id_col)

@@ -127,7 +127,7 @@ DRIVER_WINDOW = [
     "x2d_cosine_lsh", "x17_semdedup", "x17b_semdedup_sparse",
     "x20_chunk_overlap", "x3d_pq_adc", "x21_mixture_schedule",
     "x3e_ivfpq_topk",
-    # (c) r10-cohort backfill (43 minus x2/x2f in (b) minus the 12
+    # (c) r10-cohort backfill (43 minus x2/x2f in (b) minus the 16
     # displaced above)
     "a12_sketch_rollup", "a3_global_agg", "a8_approx_agg", "a9_pivot",
     "f10_null_handling", "f11_arrays", "f2_epoch_diff", "f3_haversine",

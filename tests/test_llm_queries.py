@@ -1049,10 +1049,21 @@ def test_x3d_pq_matches_python_rederivation(spark, sf_dir):
         code_str, adist = got[vid]
         assert code_str == "-".join(map(str, codes)), vid
         assert abs(adist - ad) < 1e-6, vid
-    # the query vector itself must encode losslessly enough to score
-    # ~0 against its own codes only if it IS a codeword; always true:
-    # ADC(self) <= exact distance to nearest codeword per subspace
-    assert got[0][1] >= 0.0
+    # the query vector's own ADC distance is the floor of the metric:
+    # for v = q0 the per-subspace codeword distances ARE the lookup
+    # table, so its argmin codes achieve exactly sum-of-lut-minima —
+    # a broken LUT indexing would break this identity
+    lut_min_sum = 0.0
+    for m in range(8):
+        best = None
+        for j in range(16):
+            s = 0.0
+            for t in range(8):
+                d = q0[m * 8 + t] - cb[j][m * 8 + t]
+                s += d * d
+            best = s if best is None or s < best else best
+        lut_min_sum += best
+    assert abs(got[0][1] - lut_min_sum) < 1e-6
 
 
 def test_x21_mixture_schedule_stride_property(spark, sf_dir):

@@ -235,7 +235,9 @@ SCALE_NOTES = {
     "similarity.ivf_pq_topk":
         "IVF-PQ probe: nprobe cells bound candidates, ADC reads the "
         "32x-compressed codes, exact cosine touches only the "
-        "k*rerank broadcast shortlist — no corpus scan per probe",
+        "k*rerank broadcast shortlist; with a prebuilt index+codebook "
+        "no corpus scan per probe (the no-index form is the one-shot "
+        "convenience, like ivf_topk)",
     "sampling.mixture_schedule":
         "stride-scheduled source mixing: per-stratum rank via the "
         "two-phase prefix sum (strata x chunks parallelism), global "
