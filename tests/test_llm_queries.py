@@ -1107,3 +1107,29 @@ def test_x3e_ivfpq_recall_vs_exact(spark, sf_dir):
     assert len(overlap) >= 10, sorted(approx)
     for vid in overlap:
         assert abs(approx[vid] - exact[vid]) < 1e-9, vid
+
+
+def test_ivf_pq_topk_prebuilt_index_matches_one_shot(spark, sf_dir):
+    """The serving path (prebuilt IvfIndex + codebook, the form that
+    skips the per-probe corpus passes) must return exactly the
+    one-shot form's rows — same cells, same codes, same cuts."""
+    from data_warehouse_spark.operators.similarity import (
+        build_ivf_index, ivf_pq_topk, pq_codebook_sample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = (emb.filter("vec_id = 0").select("embedding")
+          .collect()[0][0])
+    qv = list(qv)
+    one_shot = ivf_pq_topk(emb, "embedding", "vec_id", qv, k=20)
+    idx = build_ivf_index(emb, "embedding", "vec_id", n_cells=16,
+                          iters=1, dim=64, persist=True)
+    cb = pq_codebook_sample(emb, "embedding", "vec_id", n_codes=16)
+    try:
+        served = ivf_pq_topk(emb, "embedding", "vec_id", qv, k=20,
+                             index=idx, codebook=cb)
+        a = [(r.vec_id, r.cos_sim) for r in one_shot.collect()]
+        b = [(r.vec_id, r.cos_sim) for r in served.collect()]
+        assert a == b
+    finally:
+        idx.unpersist()
