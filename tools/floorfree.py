@@ -117,6 +117,16 @@ DEFAULT_QUERIES = {
     # prefix sum vs DuckDB's per-partition window (5 language
     # partitions caps its thread use); linear work both sides
     "x21_mixture_schedule": (16, 64, 256, 1024),
+    # x3e (IVF-PQ probe) is deliberately ABSENT: the amplifier salts
+    # only vec_id, so the 16 smallest-id IVF seed vectors become 16
+    # verbatim copies of original 0 — the coarse quantizer collapses
+    # to one cell on both engines and "candidates" = the whole corpus,
+    # a degenerate configuration no deployment would run. Its
+    # components' lanes (x3d's ADC kernel through 1024x, x17b's
+    # cell-assignment machinery, x3-class scan-score) carry the
+    # amplified evidence; x3e's own evidence is the sf0.01 value
+    # oracle replaying both cut boundaries plus the recall and
+    # prebuilt-index-equivalence tests.
     # late round-5 additions: decontamination (gram explode + broadcast
     # eval set — amplification's copy-cliques make ~every doc overlap,
     # a worst-case-dense but realistic join), incremental dedup
