@@ -156,7 +156,22 @@ def mixture_schedule(df: DataFrame, stratum: str, id_col: str,
     vtime (or a downstream prefix_sum_scalable over vtime-as-key)
     partitions it. Ranks come from the same two-phase prefix sum as
     the budget sampler — parallelism strata x chunks, never one
-    reducer per stratum."""
+    reducer per stratum.
+
+    Weights must all be finite and > 0 (including default_weight): a
+    zero/negative weight would silently emit an infinite or negative
+    vtime — a nonsensical schedule — so it raises here instead. Caveat
+    the validation cannot cover cheaply: a typo'd `weights` key never
+    matches any stratum value and silently falls through to
+    default_weight; checking would cost a distinct-scan per call, so
+    callers own key spelling (the x21 oracle pins it end to end)."""
+    import math
+    for s, sw in {**weights, "<default_weight>": default_weight}.items():
+        if not (isinstance(sw, (int, float)) and math.isfinite(sw)
+                and sw > 0):
+            raise ValueError(
+                f"mixture_schedule: weight for {s!r} must be finite "
+                f"and > 0, got {sw!r}")
     keyed = df.select(
         F.col(stratum),
         F.struct(F.md5(F.col(id_col).cast("string")).alias("h"),

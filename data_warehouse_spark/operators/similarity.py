@@ -821,7 +821,8 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
 
 
 def pq_codebook_sample(df: DataFrame, vec_col: str, id_col: str,
-                       n_codes: int = 16) -> list[list[float]]:
+                       n_codes: int = 16,
+                       dim: int | None = None) -> list[list[float]]:
     """Deterministic PQ codebook: the `n_codes` corpus vectors with the
     smallest md5(id) — a k-medoids-style seeding (codewords are real
     data points, no averaging), so the selection replays exactly in
@@ -831,10 +832,102 @@ def pq_codebook_sample(df: DataFrame, vec_col: str, id_col: str,
     convention), not data flow. Production note: a Lloyd-refined
     codebook drops reconstruction error further; the sampled codebook
     is the deterministic, oracle-replayable baseline and the API
-    accepts any codebook list."""
-    rows = (df.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    accepts any codebook list.
+
+    Degenerate rows (null vector, null/NaN element, and — when `dim`
+    is given — wrong dimension) are excluded BEFORE the md5 cut, so a
+    corrupted corpus can never plant a garbage codeword: the sentinel
+    contract pq_encode applies on read extends to the codebook build.
+    On a clean corpus the filter selects the identical rows, so the
+    `ORDER BY md5, id LIMIT n` oracle replay is unchanged."""
+    ok = (F.col(vec_col).isNotNull()
+          & ~F.exists(vec_col, lambda x: x.isNull() | F.isnan(x)))
+    if dim is not None:
+        ok = ok & (F.size(vec_col) == dim)
+    rows = (df.where(ok)
+              .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
               .limit(n_codes).select(vec_col).collect())
     return [list(r[0]) for r in rows]
+
+
+def _pq_sub_dist(vec_col: str, codebook: list[list[float]], m: int,
+                 j: int, d_sub: int) -> Column:
+    """Squared L2 between subspace m of `vec_col` and codeword j's
+    subspace-m slice, as one codegen expression: terms fold
+    left-to-right in double — the shared fold order of the pq_encode
+    oracle contract."""
+    terms = " + ".join(
+        f"({_elem(vec_col, m * d_sub + t)} - "
+        f"{_dlit(codebook[j][m * d_sub + t])}) * "
+        f"({_elem(vec_col, m * d_sub + t)} - "
+        f"{_dlit(codebook[j][m * d_sub + t])})"
+        for t in range(d_sub))
+    return F.expr(terms)
+
+
+def pq_codebook_train(df: DataFrame, vec_col: str, id_col: str,
+                      n_codes: int = 16, n_sub: int = 8,
+                      iters: int = 2,
+                      dim: int | None = None) -> list[list[float]]:
+    """Lloyd-refined PQ codebook (Jégou et al. 2011 §III): per-subspace
+    k-means over the corpus, seeded from pq_codebook_sample's
+    md5-smallest vectors (the same deterministic-seeding convention as
+    build_ivf_centroids). Each iteration is ONE distributed pass:
+    every row emits (subspace, argmin codeword id, subvector) structs,
+    a posexplode + groupBy computes the per-(subspace, codeword,
+    position) mean, and the n_sub*n_codes*d_sub(=dim*n_codes) result
+    rows come back as a parameter read (the centroid-collect
+    convention — ~1k rows, never data flow). Codewords that attract no
+    vectors keep their previous value (standard Lloyd).
+
+    Returns the codebook in pq_encode's full-dim layout: codeword j =
+    the positional concatenation of each subspace's j-th codeword, so
+    it drops into pq_encode/ivf_pq_topk unchanged. Rows failing
+    pq_encode's validity gate (null/ragged/NaN) are excluded from
+    training, matching the sentinel contract there.
+
+    Determinism note: the assignment step is exact (the same literal
+    expressions as pq_encode), but the recompute step's F.avg folds in
+    partition order, so trained codewords can differ in final ulps
+    across partitionings — the same caveat as build_ivf_centroids.
+    That is why the ORACLE path stays the sampled codebook (exactly
+    replayable in SQL); the trained book is the production-quality
+    option, quantified against the sampled one by recall@k and ADC
+    reconstruction error in tests/SCALE.md."""
+    codebook = pq_codebook_sample(df, vec_col, id_col, n_codes=n_codes,
+                                  dim=dim)
+    if not codebook:
+        raise ValueError("pq_codebook_train: empty corpus")
+    dim = len(codebook[0])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+    ok = (F.col(vec_col).isNotNull()
+          & (F.size(vec_col) == dim)
+          & ~F.exists(vec_col, lambda x: x.isNull() | F.isnan(x)))
+    for _ in range(iters):
+        subs = []
+        for m in range(n_sub):
+            darr = F.array(*[_pq_sub_dist(vec_col, codebook, m, j, d_sub)
+                             for j in range(n_codes)])
+            subs.append(F.struct(
+                F.lit(m).alias("m"),
+                F.array_position(darr, F.array_min(darr))
+                 .cast("int").alias("code"),
+                F.slice(F.col(vec_col), m * d_sub + 1, d_sub)
+                 .alias("sub")))
+        means = (df.where(ok)
+                 .select(F.explode(F.array(*subs)).alias("s"))
+                 .select("s.m", "s.code",
+                         F.posexplode("s.sub").alias("t", "x"))
+                 .groupBy("m", "code", "t")
+                 .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+                 .collect())
+        new_cb = [list(c) for c in codebook]
+        for r in means:
+            new_cb[r["code"] - 1][r["m"] * d_sub + r["t"]] = float(r["cx"])
+        codebook = new_cb
+    return codebook
 
 
 def pq_encode(df: DataFrame, vec_col: str, id_col: str,
@@ -865,6 +958,16 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
     ADC total sums subspaces in m order, and only the final ADC value
     is rounded — the same fold order DuckDB's list_sum uses, so codes
     and scores agree bit-for-bit before the shared round(6).
+
+    Degenerate inputs (null vector, wrong dimension, null/NaN element)
+    emit pq_code = NULL and approx_dist = NULL — ONE explicit sentinel,
+    never a malformed shorter code: without the guard, NULL subspace
+    codes made concat_ws silently drop segments and the NULL ADC
+    distance sorted NULLS-FIRST in an ascending shortlist, displacing
+    real candidates. This mirrors assign_cells' hardening contract for
+    the same input class; ivf_pq_topk's shortlist cut sorts
+    approx_dist NULLS LAST so sentinel rows can never outrank a real
+    ADC candidate.
     """
     if not codebook:
         raise ValueError("empty codebook")
@@ -875,15 +978,14 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
     d_sub = dim // n_sub
     if any(len(c) != dim for c in codebook):
         raise ValueError("ragged codebook")
+    # validity gate for the sentinel contract above; the exists() scan
+    # is one codegen pass over the array, no exchange
+    ok = (F.col(vec_col).isNotNull()
+          & (F.size(vec_col) == dim)
+          & ~F.exists(vec_col, lambda x: x.isNull() | F.isnan(x)))
 
     def sub_dist_expr(m: int, j: int) -> Column:
-        terms = " + ".join(
-            f"({_elem(vec_col, m * d_sub + t)} - "
-            f"{_dlit(codebook[j][m * d_sub + t])}) * "
-            f"({_elem(vec_col, m * d_sub + t)} - "
-            f"{_dlit(codebook[j][m * d_sub + t])})"
-            for t in range(d_sub))
-        return F.expr(terms)
+        return _pq_sub_dist(vec_col, codebook, m, j, d_sub)
 
     code_cols = []
     for m in range(n_sub):
@@ -892,14 +994,17 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
         # ties break to the smaller codeword id, same as the oracle's
         # ORDER BY dist, code
         code_cols.append(
-            F.array_position(darr, F.array_min(darr))
-             .cast("int").alias(f"__c{m}"))
-    encoded = df.select(F.col(id_col), *code_cols)
+            F.when(ok, F.array_position(darr, F.array_min(darr))
+                        .cast("int")).alias(f"__c{m}"))
+    encoded = df.select(F.col(id_col), ok.alias("__ok"), *code_cols)
 
     sel: list[Column] = [
         F.col(id_col),
-        F.concat_ws("-", *[(F.col(f"__c{m}") - 1).cast("string")
-                           for m in range(n_sub)]).alias("pq_code"),
+        # NULL sentinel for invalid rows (never a partial concat_ws)
+        F.when(F.col("__ok"),
+               F.concat_ws("-", *[(F.col(f"__c{m}") - 1).cast("string")
+                                  for m in range(n_sub)]))
+         .alias("pq_code"),
     ]
     if query_vec is not None:
         if len(query_vec) != dim:
@@ -917,12 +1022,23 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
             term = F.element_at(F.array(*[F.lit(v) for v in lut]),
                                 F.col(f"__c{m}"))
             adist = term if adist is None else adist + term
-        sel.append(F.round(adist, 6).alias("approx_dist"))
+        # The explicit __ok gate is LOAD-BEARING, not belt-and-braces:
+        # Spark 4.1.2's whole-stage codegen for element_at over a
+        # LITERAL array with a nullable index has a stale-buffer bug —
+        # a NULL index reproducibly returns the PREVIOUS ROW's element
+        # instead of NULL (minimal repro: 4-row df, one NULL int,
+        # element_at(array(10.0,20.0), c) yields the prior row's
+        # value). Gating on __ok makes the sentinel row's approx_dist
+        # NULL regardless of what the buggy kernel leaves in the
+        # buffer.
+        sel.append(F.when(F.col("__ok"), F.round(adist, 6))
+                    .alias("approx_dist"))
     return encoded.select(*sel)
 
 
 def ivf_pq_topk(df: DataFrame, vec_col: str, id_col: str,
-                query_vec: list[float], k: int = 20, n_cells: int = 16,
+                query_vec: list[float], k: int = 20,
+                n_cells: int | None = None,
                 nprobe: int = 4, n_sub: int = 8, rerank: int = 2,
                 index: "IvfIndex | None" = None,
                 codebook: list[list[float]] | None = None) -> DataFrame:
@@ -950,11 +1066,33 @@ def ivf_pq_topk(df: DataFrame, vec_col: str, id_col: str,
     ASSIGNMENT inherits assign_cells' 1e-12 snap + smallest-cell
     ties), ADC distances fold in the same order as DuckDB's list_sum
     and are rounded to 6 before the shortlist cut with vec_id ties,
-    and the final order is (round-6 exact cosine DESC, vec_id)."""
+    and the final order is (round-6 exact cosine DESC, vec_id).
+
+    PRECONDITION when `index` is passed: `df` MUST be the corpus the
+    index (and codebook) were built from — a mismatched pair joins
+    cleanly on cell/id and returns silently wrong results, so the
+    cheap invariants ARE checked here: vec_col/id_col must match the
+    index's, the index dim must match len(query_vec), and `n_cells`
+    must be left None (it is a build-time parameter fixed by the
+    index; passing it alongside an index is a contradiction, not an
+    override)."""
+    if index is not None:
+        if n_cells is not None:
+            raise ValueError(
+                "n_cells is fixed by the prebuilt index; pass it to "
+                "build_ivf_index, not to the probe")
+        if (vec_col, id_col) != (index.vec_col, index.id_col):
+            raise ValueError(
+                f"index was built over ({index.vec_col!r}, "
+                f"{index.id_col!r}), probe asked for ({vec_col!r}, "
+                f"{id_col!r}) — df must be the indexed corpus")
+        if index.dim is not None and index.dim != len(query_vec):
+            raise ValueError(
+                f"query dim {len(query_vec)} != index dim {index.dim}")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     idx = index if index is not None else build_ivf_index(
-        df, vec_col, id_col, n_cells=n_cells, iters=1,
-        dim=len(query_vec), persist=False)
+        df, vec_col, id_col, n_cells=16 if n_cells is None else n_cells,
+        iters=1, dim=len(query_vec), persist=False)
     best_cells = (idx.centroids
                   .select("cell",
                           cosine(F.col("cvec"), q, idx.dim).alias("csim"))
@@ -962,10 +1100,13 @@ def ivf_pq_topk(df: DataFrame, vec_col: str, id_col: str,
                   .select("cell"))
     probed = idx.assigned.join(F.broadcast(best_cells), on="cell")
     if codebook is None:
-        codebook = pq_codebook_sample(df, vec_col, id_col, n_codes=16)
+        codebook = pq_codebook_sample(df, vec_col, id_col, n_codes=16,
+                                      dim=len(query_vec))
+    # nulls LAST: pq_encode's sentinel rows (null/ragged vectors) carry
+    # approx_dist=NULL and must never displace real ADC candidates
     shortlist = (pq_encode(probed, vec_col, id_col, codebook,
                            n_sub=n_sub, query_vec=query_vec)
-                 .orderBy(F.col("approx_dist").asc(), id_col)
+                 .orderBy(F.col("approx_dist").asc_nulls_last(), id_col)
                  .limit(k * rerank)
                  .select(id_col))
     return (df.join(F.broadcast(shortlist), on=id_col)

@@ -1282,15 +1282,71 @@ ORDER BY cos_sim DESC, doc_id
 LIMIT 20
 """,
     doc="MM4 [ext]: the full multimodal -> similarity pipeline in one "
-        "plan: opaque binary payload -> Arrow-batched feature-extract "
-        "stub (mapInPandas; a real pipeline plugs an image/audio "
-        "encoder here) -> JVM-side cosine top-k (TakeOrderedAndProject) "
-        "against a query vector. Demonstrates that decoded features "
-        "compose directly with the vector operators — no driver hop "
-        "between the Python decode stage and the similarity search.",
+        "plan: opaque binary payload -> feature extraction -> JVM-side "
+        "cosine top-k (TakeOrderedAndProject) against a query vector. "
+        "The stub features here are pure column math "
+        "(octet_length(blob) % k), so the DEFAULT path keeps them in "
+        "whole-stage codegen end to end — payload bytes to top-k with "
+        "zero Python (the r13 verdict's mm4 ask: the old mapInPandas "
+        "stub paid 12.6x floor-free at 1024x for arithmetic built-ins "
+        "express). The Arrow encoder seam a REAL image/audio encoder "
+        "plugs into is demonstrated — and its serde cost measured — "
+        "by mm4b, byte-identical semantics over the same oracle.",
     tags=("ext", "multimodal", "vector"),
 )
 def mm4_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.multimodal import attach_blob
+    from data_warehouse_spark.operators.similarity import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_blob(docs)
+    # null-safe like the seam form's `0 if b is None`; blob length is
+    # BYTES (octet_length) matching the seam's len(bytes) and the
+    # oracle's strlen (DuckDB strlen = bytes)
+    n = F.coalesce(F.octet_length("blob"), F.lit(0))
+    feats = blobs.select(
+        "doc_id",
+        F.array(*[(n % k).cast("double") for k in (7, 11, 13)])
+         .alias("features"))
+    q = F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0))
+    sim = cosine(F.col("features"), q)
+    nonzero = F.aggregate(F.transform("features", lambda x: x * x),
+                          F.lit(0.0), lambda a, x: a + x) > 0
+    return (feats.filter(nonzero)
+            .select("doc_id", F.round(sim, 6).alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), "doc_id").limit(20))
+
+
+@register(
+    "mm4b_feature_ann_seam",
+    oracle="""
+WITH feats AS (
+    SELECT doc_id,
+           CAST(strlen(text) % 7  AS DOUBLE) AS f0,
+           CAST(strlen(text) % 11 AS DOUBLE) AS f1,
+           CAST(strlen(text) % 13 AS DOUBLE) AS f2
+    FROM documents
+)
+SELECT doc_id,
+       ROUND((f0 * 1.0 + f1 * 2.0 + f2 * 3.0)
+             / (sqrt(f0*f0 + f1*f1 + f2*f2) * sqrt(14.0)), 6) AS cos_sim
+FROM feats
+WHERE f0*f0 + f1*f1 + f2*f2 > 0
+ORDER BY cos_sim DESC, doc_id
+LIMIT 20
+""",
+    doc="MM4b [ext]: mm4's pipeline with the feature extractor behind "
+        "the Arrow encoder seam (mapInPandas) — the shape a REAL "
+        "image/audio encoder needs, since a neural encoder is not "
+        "column math. Same features, same oracle, same top-k as mm4; "
+        "the ONLY difference is where extraction runs, so "
+        "bench(mm4b) - bench(mm4) IS the measured Arrow serde + "
+        "Python tax of the seam itself (recorded in SCALE.md), no "
+        "longer conflated with the query. Downstream of the seam, "
+        "cosine + top-k stay JVM-side — no driver hop.",
+    tags=("ext", "multimodal", "vector"),
+)
+def mm4b_feature_ann_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
     set_arrow_batch(spark, ARROW_BATCH_BLOB)  # opaque payload rows
     import pandas as pd
 

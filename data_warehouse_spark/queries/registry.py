@@ -56,94 +56,70 @@ _QUERY_MODULES = [
 # This list IS the round's window, in order; load_all() puts these names
 # first and everything else after, in registration order.
 #
-# Round-13 rotation (VERDICT.md round-12 ask #3): the 8 r9-dated rows
-# re-enter FIRST (their latest driver rows are three rounds old; the
-# r12 judge hand-verified all 8, but the gate should own that
-# evidence), then every query whose CODE changed in round 13, then
-# r10-cohort backfill.
-#   (a) the r9 stale set (8): a1, a11, p6, u1, w5, x11, x13, x15.
-#   (b) round-13 code changes (13): e1/e1b/e1c/e2/e2b/e3/e4 (the
-#       planted cohort is now emitted as a SQL VALUES LocalRelation
-#       instead of a createDataFrame ExistingRDD — the r12 e1 bench
-#       regression, root-caused and fixed this round), x2/x2f/x2g
-#       (band-divisibility asserts in minhash_lsh_pairs /
-#       minhash_lsh_incremental), x2d/x17 (planted-copy id offset
-#       guarded by _planted_copy_id), x17b (NEW: SemDeDup over a
-#       sparse synthetic embedding space — the honest amplified lane),
-#       x20 (NEW: overlapping token-window chunking, the RAG chunker —
-#       map-only explode, zero-exchange plan-asserted), x3d (NEW:
-#       product quantization + ADC scoring, the memory half of
-#       IVF-PQ — codebook-as-literals map-only encode), x21 (NEW:
-#       deterministic source-mixture schedule — stride scheduling on
-#       the x14b prefix sum), x3e (NEW: IVF-PQ top-k — the production
-#       ANN probe composing x3b's cells with x3d's codes, ADC
-#       shortlist + exact rerank, both cut boundaries oracle-replayed).
-#   (c) r10-cohort backfill: 25 of the 43 r10-dated queries (x2/x2f
-#       are r10-dated but already enter via (b)).
-# 8 + 17 + 25 = 50. The 16 r10 queries displaced by the budget, each
+# Round-14 rotation (VERDICT.md round-13 ask #3): the 16 r10-dated
+# rows re-enter FIRST (no archive row older than r12 may remain; the
+# r13 judge hand-verified 8 of the 16 at sf0.01, but the gate should
+# own the evidence), then every query whose CODE changed in round 14,
+# then r11-cohort backfill.
+#   (a) the 16 r10-dated rows: a13, dq1, f13, f1, f5, j11, j12, j6,
+#       j9, o2, s8, set1, u6, w4, x14, x14b.
+#   (b) round-14 code changes (5): x3d (pq_encode null/ragged/NaN
+#       sentinel hardening + pq_codebook_sample degenerate-row filter,
+#       r13 ADVICE #1, plus the upstream Spark 4.1.2 element_at
+#       stale-buffer workaround documented at
+#       operators/similarity.py pq_encode), x3e (ivf_pq_topk
+#       NULLS-LAST shortlist cut + prebuilt-index consistency asserts,
+#       r13 ADVICE #1/#2), x21 (mixture_schedule weight validation,
+#       r13 ADVICE #3), mm4 (features moved from a mapInPandas stub to
+#       whole-stage codegen octet_length column math — r13 verdict
+#       ask #2; zero-Python plan-asserted), mm4b (NEW: mm4's exact
+#       semantics behind the Arrow encoder seam, so bench(mm4b) -
+#       bench(mm4) is the measured serde cost of the seam itself).
+#   (c) r11-cohort backfill: 29 of the 42 r11-dated queries (mm4 is
+#       r11-dated but re-enters via (b)).
+# 16 + 5 + 29 = 50. The 12 r11 queries displaced by the budget, each
 # with compensating evidence stronger than the sf0.01 gate row it
 # keeps waiting:
-#   j6_asof_join, j9_spatial_join — round-13 engine-side digest cells
-#     values_match=true through 4096x (j6 also headline-benched every
-#     round);
-#   j11_fact_fact_join, j12_bucketed_fact_join, o2_topk,
-#     dq1_validation_report — floor-free values_match=true cells at
-#     4-5 multipliers (j12/dq1 additionally plan-asserted);
-#   s8_partition_pruned_scan — partition-pruning plan assert, and e4
-#     (windowed) composes the same pruned-scan discipline;
-#   x14b_token_budget_scalable — chunked-window plan assert, and x19
-#     (r12-green) reuses prefix_sum_scalable;
-#   a13_histogram, f13_url_parse — scan-shaped / map-only plan
-#     asserts + pytest;
-#   f1_timezone — e1c (windowed) exercises the same timezone
-#     machinery end to end;
-#   set1_union_all — trivial UNION ALL, code untouched since its r10
-#     hash-green row, pytest-covered;
-#   w4_running_agg — displaced by the mid-round x20/x3d additions:
-#     the same window machinery runs in this window via w5/e1*/e4,
-#     code untouched since its r10 hash-green row, pytest-covered;
-#   x14_token_budget_sample — displaced by x20/x3d: its scalable
-#     forms x14b (chunked-window plan assert) and x19 (r12 gate
-#     green) own the machinery; x14's own code untouched since r10;
-#   u6_compaction — displaced by the mid-round x21 addition:
-#     byte-for-byte partition-scoped rewrite pinned in
-#     test_maintenance.py, code untouched since its r10 hash-green
-#     row;
-#   f5_cast — displaced by the mid-round x3e addition: trivial cast
-#     battery, pytest-covered, code untouched since its r10
-#     hash-green row.
-# Their archive rows stay r10 — the same documented deviation class
-# as r12's w5/u1/p6, forced by the 50-slot budget.
+#   st1-st6, st8-st11 — every ST query runs as REAL Structured
+#     Streaming (sources, watermarks, state stores, checkpoints) in
+#     tests/test_streaming.py each round, and st7's exactly-once
+#     contract is additionally SIGKILL+replay-tortured in
+#     test_stream_kill_replay.py; their batch-plan gate forms are
+#     code-untouched since their r11 hash-green rows;
+#   udf1_row_scalar, udf2_pandas_scalar — trivial UDF batteries,
+#     pytest-covered (tests/test_operators.py), code untouched since
+#     their r11 hash-green rows.
+# Their archive rows stay r11 — the same documented deviation class
+# as r13's 16 r10 rows, forced by the 50-slot budget; they lead the
+# r15 window per the standing rotation rule.
 DRIVER_WINDOW = [
-    # (a) the r9 stale set — re-enters first per the standing rule
-    "a1_q1_pricing_summary", "a11_cube", "p6_having", "u1_upsert",
-    "w5_sessionize", "x11_pii_redaction", "x13_decontaminate",
-    "x15_sequence_packing",
-    # (b) round-13 code changes
-    "e1_trips", "e1b_bucketed_trips", "e1c_trips_localtime",
-    "e2_carbon_savings", "e2b_carbon_bucketed", "e3_enriched_trips",
-    "e4_daily_run",
-    "x2_minhash_lsh", "x2f_minhash_sparse", "x2g_incremental_minhash",
-    "x2d_cosine_lsh", "x17_semdedup", "x17b_semdedup_sparse",
-    "x20_chunk_overlap", "x3d_pq_adc", "x21_mixture_schedule",
-    "x3e_ivfpq_topk",
-    # (c) r10-cohort backfill (43 minus x2/x2f in (b) minus the 16
+    # (a) the 16 r10-dated rows — re-enter first per the standing rule
+    "a13_histogram", "dq1_validation_report", "f13_url_parse",
+    "f1_timezone", "f5_cast", "j11_fact_fact_join",
+    "j12_bucketed_fact_join", "j6_asof_join", "j9_spatial_join",
+    "o2_topk", "s8_partition_pruned_scan", "set1_union_all",
+    "u6_compaction", "w4_running_agg", "x14_token_budget_sample",
+    "x14b_token_budget_scalable",
+    # (b) round-14 code changes
+    "x3d_pq_adc", "x3e_ivfpq_topk", "x21_mixture_schedule",
+    "mm4_feature_ann", "mm4b_feature_ann_seam",
+    # (c) r11-cohort backfill (42 minus mm4 in (b) minus the 12
     # displaced above)
-    "a12_sketch_rollup", "a3_global_agg", "a8_approx_agg", "a9_pivot",
-    "f10_null_handling", "f11_arrays", "f2_epoch_diff", "f3_haversine",
-    "f8_strings", "f9_json",
-    "o1_global_sort", "o2_topk_per_group",
-    "p3_between_computed", "p5_or_inequality",
-    "s10_orc_roundtrip", "s2_rest_json_source", "s3_parallel_fetch",
-    "s4_csv_roundtrip", "s5_append_sink", "s6_ddl_table",
-    "s9_jsonl_roundtrip",
-    "set2_union_distinct", "set3_intersect", "set4_except",
-    "u5_delete_keys",
+    "a7_salted_agg", "dq1b_validation_sketch", "f12_case",
+    "f6_date_format", "f7_current_timestamp", "j10_star_join",
+    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
+    "u3_microbatch_write", "u9_time_travel", "u9b_snapshot_diff",
+    "udf3_grouped_pandas", "udf4_udtf_words", "x10_repetition_filter",
+    "x1_exact_dedup", "x2c_ngram_jaccard", "x2e_incremental_dedup",
+    "x3_cosine_topk", "x3b_ivf_topk", "x3c_multi_topk",
+    "x4_pairwise_sim", "x5_text_stats", "x5b_lang_id",
+    "x5c_quality_score", "x6_token_freq", "x7_tfidf",
+    "x8c_components_highdiam", "x9_stratified_split",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
-# Queries added or code-changed DURING round 13 must be appended to
+# Queries added or code-changed DURING round 14 must be appended to
 # (b) — displacing (c) backfill only past 50 — so the "every changed
-# query is windowed" claim stays true against the CORRECTNESS_r13 keys.
+# query is windowed" claim stays true against the CORRECTNESS_r14 keys.
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

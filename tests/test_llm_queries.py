@@ -1133,3 +1133,156 @@ def test_ivf_pq_topk_prebuilt_index_matches_one_shot(spark, sf_dir):
         assert a == b
     finally:
         idx.unpersist()
+
+
+def test_ivf_pq_topk_degenerate_rows_never_displace(spark):
+    """r13 ADVICE #1: null/ragged/NaN vectors must emit pq_encode's
+    NULL sentinel (one explicit NULL pq_code, never a malformed
+    shorter concat) and sort NULLS LAST at the ADC shortlist cut, so
+    degenerate rows cannot displace real candidates even when they
+    outnumber the whole k*rerank shortlist."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from data_warehouse_spark.operators.similarity import (
+        ivf_pq_topk, pq_codebook_sample, pq_encode,
+    )
+
+    dim, n = 8, 40
+    clean = [(i, [float(math.sin(i * dim + t)) for t in range(dim)])
+             for i in range(n)]
+    bad = ([(1000 + i, None) for i in range(12)]             # null vecs
+           + [(2000, [1.0, 2.0, 3.0])]                       # ragged
+           + [(3000, [float("nan")] + [0.5] * (dim - 1))])   # NaN elem
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    corrupt = spark.createDataFrame(clean + bad, schema)
+    qv = clean[0][1]
+    # nprobe = n_cells: every cell (so every degenerate row) is probed
+    got = ivf_pq_topk(corrupt, "embedding", "vec_id", qv, k=5,
+                      n_cells=2, nprobe=2, n_sub=2, rerank=2).collect()
+    assert len(got) == 5
+    assert all(r.vec_id < 1000 for r in got)
+    assert all(r.cos_sim is not None for r in got)
+    # the sentinel contract itself
+    cb = pq_codebook_sample(corrupt, "embedding", "vec_id",
+                            n_codes=4, dim=dim)
+    assert len(cb) == 4 and all(len(c) == dim for c in cb)
+    enc = {r.vec_id: (r.pq_code, r.approx_dist)
+           for r in pq_encode(corrupt, "embedding", "vec_id", cb,
+                              n_sub=2, query_vec=qv).collect()}
+    for bad_id in (1000, 2000, 3000):
+        assert enc[bad_id] == (None, None), bad_id
+    for good_id in range(5):
+        code, ad = enc[good_id]
+        assert code is not None and code.count("-") == 1, good_id
+        assert ad is not None, good_id
+
+
+def test_ivf_pq_topk_prebuilt_index_contract(spark, sf_dir):
+    """r13 ADVICE #2: with a prebuilt index the probe must reject the
+    contradictions it can check cheaply — n_cells alongside an index,
+    column names that differ from the index's, a query dim that
+    differs from the index dim."""
+    import pytest
+
+    from data_warehouse_spark.operators.similarity import (
+        build_ivf_index, ivf_pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = list(emb.filter("vec_id = 0").select("embedding")
+              .collect()[0][0])
+    idx = build_ivf_index(emb, "embedding", "vec_id", n_cells=16,
+                          iters=1, dim=64, persist=False)
+    with pytest.raises(ValueError, match="fixed by the prebuilt index"):
+        ivf_pq_topk(emb, "embedding", "vec_id", qv, n_cells=16,
+                    index=idx)
+    with pytest.raises(ValueError, match="indexed corpus"):
+        ivf_pq_topk(emb, "embedding", "doc_id", qv, index=idx)
+    with pytest.raises(ValueError, match="dim"):
+        ivf_pq_topk(emb, "embedding", "vec_id", qv[:32], index=idx)
+
+
+def test_pq_codebook_train_improves_distortion_and_recall(spark, sf_dir):
+    """r13 verdict ask #5: the Lloyd-refined codebook must not
+    increase quantization distortion over its own seed (the
+    md5-sampled book — k-means monotonicity, checked on the real
+    corpus), and its IVF-PQ recall vs the exact top-20 must be >= the
+    sampled book's on the same prebuilt index."""
+    import pyspark.sql.functions as F
+
+    from data_warehouse_spark.operators.similarity import (
+        _pq_sub_dist, build_ivf_index, ivf_pq_topk,
+        pq_codebook_sample, pq_codebook_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sampled = pq_codebook_sample(emb, "embedding", "vec_id",
+                                 n_codes=16, dim=64)
+    trained = pq_codebook_train(emb, "embedding", "vec_id",
+                                n_codes=16, n_sub=8, iters=2, dim=64)
+    assert len(trained) == 16 and all(len(c) == 64 for c in trained)
+    assert all(all(x == x and abs(x) != float("inf") for x in c)
+               for c in trained)
+
+    def distortion(cb):
+        d_sub = 64 // 8
+        col = None
+        for m in range(8):
+            darr = F.array(*[_pq_sub_dist("embedding", cb, m, j, d_sub)
+                             for j in range(16)])
+            term = F.array_min(darr)
+            col = term if col is None else col + term
+        return emb.select(F.avg(col).alias("d")).collect()[0]["d"]
+
+    d_sampled, d_trained = distortion(sampled), distortion(trained)
+    assert d_trained <= d_sampled * (1 + 1e-9), (d_trained, d_sampled)
+
+    qv = list(emb.filter("vec_id = 0").select("embedding")
+              .collect()[0][0])
+    exact = {r.vec_id
+             for r in _q("x3_cosine_topk")(spark, sf_dir).collect()}
+    idx = build_ivf_index(emb, "embedding", "vec_id", n_cells=16,
+                          iters=1, dim=64, persist=True)
+    try:
+        def recall(cb):
+            got = {r.vec_id for r in ivf_pq_topk(
+                emb, "embedding", "vec_id", qv, k=20, index=idx,
+                codebook=cb).collect()}
+            return len(got & exact)
+
+        assert recall(trained) >= recall(sampled)
+    finally:
+        idx.unpersist()
+
+
+def test_mixture_schedule_rejects_nonpositive_weights(spark, sf_dir):
+    """r13 ADVICE #3: zero/negative/non-finite weights would silently
+    emit infinite or negative vtime — must raise instead."""
+    import pytest
+
+    from data_warehouse_spark.operators.sampling import mixture_schedule
+
+    docs = load_table(spark, sf_dir, "documents")
+    for bad in (0.0, -1.0, float("nan"), float("inf")):
+        with pytest.raises(ValueError, match="finite and > 0"):
+            mixture_schedule(docs, "lang", "doc_id", {"en": bad}, 0.1)
+    with pytest.raises(ValueError, match="finite and > 0"):
+        mixture_schedule(docs, "lang", "doc_id", {"en": 0.5}, 0.0)
+
+
+def test_mm4_jvm_path_matches_arrow_seam(spark, sf_dir):
+    """mm4 (whole-stage-codegen features) and mm4b (the same features
+    behind the mapInPandas encoder seam) must return identical rows —
+    the pair is the measured attribution of the seam's Arrow serde
+    cost, so their semantics must be byte-identical."""
+    a = [(r.doc_id, r.cos_sim)
+         for r in _q("mm4_feature_ann")(spark, sf_dir).collect()]
+    b = [(r.doc_id, r.cos_sim)
+         for r in _q("mm4b_feature_ann_seam")(spark, sf_dir).collect()]
+    assert a == b
+    assert len(a) == 20

@@ -500,3 +500,15 @@ def test_x3e_ivfpq_probe_joins_are_broadcast_no_cartesian(spark):
     assert_no_cartesian(df)
     plan = executed_plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_mm4_default_path_is_pure_codegen(spark):
+    # r13 verdict ask #2: mm4's stub features are pure column math and
+    # must stay JVM-side (octet_length % k in whole-stage codegen);
+    # the Arrow encoder seam lives in mm4b, measured separately
+    df = q(spark, "mm4_feature_ann")
+    plan = executed_plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "PythonMapInArrow", "MapInArrow"):
+        assert marker not in plan, marker
+    assert uses_take_ordered(df)

@@ -6,44 +6,39 @@ from __future__ import annotations
 
 from data_warehouse_spark.queries.registry import DRIVER_WINDOW, load_all
 
-# Round-13 window (VERDICT.md round-12 ask #3): the 8 r9-dated rows
-# first, then every round-13 code change, then r10-cohort backfill.
-# Composition rationale (incl. the 12 displaced r10 queries and their
+# Round-14 window (VERDICT.md round-13 ask #3): the 16 r10-dated rows
+# first, then every round-14 code change, then r11-cohort backfill.
+# Composition rationale (incl. the 12 displaced r11 queries and their
 # compensating evidence) lives next to DRIVER_WINDOW in
 # queries/registry.py.
 MUST_BE_WINDOWED = {
-    # (a) the r9 stale set
-    "a1_q1_pricing_summary", "a11_cube", "p6_having", "u1_upsert",
-    "w5_sessionize", "x11_pii_redaction", "x13_decontaminate",
-    "x15_sequence_packing",
-    # (b) round-13 code changes (planted-cohort LocalRelation ->
-    # e-family; band-divisibility asserts -> x2/x2f/x2g; planted-copy
-    # id guard -> x2d/x17; new x17b; session-2 additions x20/x3d/x21/
-    # x3e per the standing new-query rule — each displaced one (c)
-    # entry: w4_running_agg, x14_token_budget_sample, u6_compaction,
-    # f5_cast (compensation documented at DRIVER_WINDOW))
-    "e1_trips", "e1b_bucketed_trips", "e1c_trips_localtime",
-    "e2_carbon_savings", "e2b_carbon_bucketed", "e3_enriched_trips",
-    "e4_daily_run",
-    "x2_minhash_lsh", "x2f_minhash_sparse", "x2g_incremental_minhash",
-    "x2d_cosine_lsh", "x17_semdedup", "x17b_semdedup_sparse",
-    "x20_chunk_overlap", "x3d_pq_adc", "x21_mixture_schedule",
-    "x3e_ivfpq_topk",
-    # (c) r10-cohort backfill
-    "a12_sketch_rollup", "a3_global_agg", "a8_approx_agg", "a9_pivot",
-    "f10_null_handling", "f11_arrays", "f2_epoch_diff", "f3_haversine",
-    "f8_strings", "f9_json",
-    "o1_global_sort", "o2_topk_per_group",
-    "p3_between_computed", "p5_or_inequality",
-    "s10_orc_roundtrip", "s2_rest_json_source", "s3_parallel_fetch",
-    "s4_csv_roundtrip", "s5_append_sink", "s6_ddl_table",
-    "s9_jsonl_roundtrip",
-    "set2_union_distinct", "set3_intersect", "set4_except",
-    "u5_delete_keys",
+    # (a) the 16 r10-dated rows
+    "a13_histogram", "dq1_validation_report", "f13_url_parse",
+    "f1_timezone", "f5_cast", "j11_fact_fact_join",
+    "j12_bucketed_fact_join", "j6_asof_join", "j9_spatial_join",
+    "o2_topk", "s8_partition_pruned_scan", "set1_union_all",
+    "u6_compaction", "w4_running_agg", "x14_token_budget_sample",
+    "x14b_token_budget_scalable",
+    # (b) round-14 code changes (pq sentinel hardening + index
+    # contract asserts -> x3d/x3e; mixture weight validation -> x21;
+    # mm4 JVM fast path; new mm4b seam-attribution twin)
+    "x3d_pq_adc", "x3e_ivfpq_topk", "x21_mixture_schedule",
+    "mm4_feature_ann", "mm4b_feature_ann_seam",
+    # (c) r11-cohort backfill
+    "a7_salted_agg", "dq1b_validation_sketch", "f12_case",
+    "f6_date_format", "f7_current_timestamp", "j10_star_join",
+    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
+    "u3_microbatch_write", "u9_time_travel", "u9b_snapshot_diff",
+    "udf3_grouped_pandas", "udf4_udtf_words", "x10_repetition_filter",
+    "x1_exact_dedup", "x2c_ngram_jaccard", "x2e_incremental_dedup",
+    "x3_cosine_topk", "x3b_ivf_topk", "x3c_multi_topk",
+    "x4_pairwise_sim", "x5_text_stats", "x5b_lang_id",
+    "x5c_quality_score", "x6_token_freq", "x7_tfidf",
+    "x8c_components_highdiam", "x9_stratified_split",
 }
 
 
-def test_driver_window_is_exactly_the_round13_set():
+def test_driver_window_is_exactly_the_round14_set():
     # DRIVER_WINDOW is the explicit first-50 contract; it must hold
     # every query that needs (re-)verification this round and fit the
     # driver's 50-entry budget.
