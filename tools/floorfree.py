@@ -101,7 +101,17 @@ DEFAULT_QUERIES = {
     # components' lanes (x3's scan-score kernel, x4's blocked pair
     # join, mm4's map-only Arrow class) carry the amplified evidence.
     "a11_cube": (16, 64),
-    "u7_incremental_rollup": (16, 64),
+    # u7 (incremental rollup) was REMOVED from this harness in r14
+    # (VERDICT r13 ask #1): amplifying history and delta TOGETHER
+    # contradicts the operator's design point (merge exists to beat
+    # the recompute when history >> delta), so its cells timed fixed
+    # merge machinery against a recompute this amplifier keeps
+    # trivially cheap — the lane, not the operator, was wrong. Its
+    # honest lane is .r14/u7_lane.py (the x2g probe-protocol
+    # template): 16x..1024x-amplified HISTORY state maintained by a
+    # FIXED 1x delta, merge-vs-rebuild on both engines,
+    # merge-equals-rebuild values checked cross-engine at every
+    # multiplier — results in SCALE.md ("u7 history>>delta lane").
     "x11_pii_redaction": (16, 64),
     # round-13: the two new map-only operators get honest lanes on
     # arrival — amplification is linear work on both engines (no pair
