@@ -396,52 +396,64 @@ def test_x2_oracle_validity_fixture_pairs_sit_above_banding_knee():
     Round-13 (ADVICE r12 item #1): x2g_incremental_minhash leans on
     the SAME invariant — its 32-hash/8-band probe has the identical
     r=4 knee, and its exact-Jaccard oracle equals the LSH probe only
-    while this bimodality holds. The fixture generator is driver-owned
-    (read-only testdata), so THIS test is the fail-fast: a regenerated
-    fixture that plants shadow-zone pairs fails here, in pytest, with
-    the invariant named — instead of surfacing as an x2/x2g parity
-    hash mismatch with no stated cause."""
-    import duckdb
+    while this bimodality holds.
 
-    pair_sql = """
-WITH toks AS (
-    SELECT doc_id AS id,
-           string_split_regex(lower(trim(text)), '\\s+') AS l
-    FROM read_parquet('{path}')
-), grams AS (
-    SELECT id, unnest(list_distinct(list_transform(
-        range(1, greatest(len(l) - 2, 0) + 1),
-        i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS g
-    FROM toks
-), sizes AS (
-    SELECT id, COUNT(*) AS n_g FROM grams GROUP BY id
-), inter AS (
-    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-    FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
-    GROUP BY a.id, b.id
-)
-SELECT n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter) AS j
-FROM inter i
-JOIN sizes sa ON i.id_a = sa.id
-JOIN sizes sb ON i.id_b = sb.id
-WHERE n_inter * 1.0 / (sa.n_g + sb.n_g - n_inter) >= 0.35
-"""
-    con = duckdb.connect()
+    Round-14 (VERDICT r13 ask #8): the invariant now lives in the
+    GENERATOR-CALLABLE gate tools/fixture_gate.py (function + CLI),
+    landed so a regeneration fails at the source; this test pins that
+    same function against the shipped fixtures every round, and
+    test_fixture_gate_trips_on_shadow_zone_corpus proves the gate
+    actually fires."""
+    from tools.fixture_gate import assert_minhash_oracle_bimodal
+
     for sf in ("sf0.001", "sf0.01"):
-        path = f"/root/testdata/{sf}/documents.parquet"
-        js = [r[0] for r in con.sql(pair_sql.format(path=path)).fetchall()]
-        assert js, f"{sf}: no planted near-dup pairs found at all"
-        shadow = [j for j in js if j < 0.5]
-        assert not shadow, (
-            f"{sf}: pairs in the [0.35, 0.5) shadow zone: {shadow} — "
-            "boundary pairs make the x2 oracle flip under drift")
-        miss_bound = sum((1 - j ** 4) ** 8 for j in js)
-        assert miss_bound < 0.01, (
-            f"{sf}: union-bound P(any LSH miss) = {miss_bound:.2e} "
-            f">= 1% (min pair j = {min(js):.4f}, {len(js)} pairs) — "
-            "the exact-Jaccard oracle is no longer safely equal to "
-            "the LSH output; re-derive the x2 oracle-validity "
-            "argument or demote x2 to rows-only")
+        rep = assert_minhash_oracle_bimodal(
+            parquet_path=f"/root/testdata/{sf}/documents.parquet")
+        assert rep["n_true_pairs"] > 0, sf
+
+
+def test_fixture_gate_trips_on_shadow_zone_corpus():
+    """The gate must FIRE on a violating corpus, not just pass on good
+    ones: a synthetic pair at 3-gram Jaccard ~0.41 (inside the
+    [0.35, 0.5) shadow zone) trips the shadow assert; the same corpus
+    with the pair lifted to j~0.87 passes. Tokens are md5-unique
+    across docs so no accidental cross-pair grams exist."""
+    import hashlib
+
+    import pytest
+
+    from tools.fixture_gate import assert_minhash_oracle_bimodal
+
+    def tok(tag, i):
+        return hashlib.md5(f"{tag}-{i}".encode()).hexdigest()
+
+    def doc(tag, n=60):
+        return " ".join(tok(tag, i) for i in range(n))
+
+    def pair(shared, tag_a, tag_b):
+        # two 60-token docs sharing the first `shared` tokens:
+        # j = (shared-2) / (116 - (shared-2)) for shared >= 3
+        a = [tok(tag_a, i) for i in range(60)]
+        b = [tok(tag_a, i) if i < shared else tok(tag_b, i)
+             for i in range(60)]
+        return " ".join(a), " ".join(b)
+
+    # shadow pair: shared=36 -> j = 34/82 ~ 0.415
+    a, b = pair(36, "p1", "p1x")
+    bad = [(1, a), (2, b), (3, doc("u3")), (4, doc("u4"))]
+    with pytest.raises(AssertionError, match="shadow zone"):
+        assert_minhash_oracle_bimodal(rows=bad)
+
+    # safe pair: shared=58 -> j = 56/60 ~ 0.93, no shadow, tight bound
+    a, b = pair(58, "q1", "q1x")
+    good = [(1, a), (2, b), (3, doc("u3")), (4, doc("u4"))]
+    rep = assert_minhash_oracle_bimodal(rows=good)
+    assert rep["n_true_pairs"] == 1 and not rep["shadow_pairs"]
+
+    # pairless corpus: vacuous for x2 parity -> must also trip
+    with pytest.raises(AssertionError, match="vacuous"):
+        assert_minhash_oracle_bimodal(rows=[(1, doc("u1")),
+                                            (2, doc("u2"))])
 
 
 def test_x3b_oracle_validity_ivf_margins_dwarf_float_noise():
