@@ -891,9 +891,23 @@ def pq_codebook_train(df: DataFrame, vec_col: str, id_col: str,
     partition order, so trained codewords can differ in final ulps
     across partitionings — the same caveat as build_ivf_centroids.
     That is why the ORACLE path stays the sampled codebook (exactly
-    replayable in SQL); the trained book is the production-quality
-    option, quantified against the sampled one by recall@k and ADC
-    reconstruction error in tests/SCALE.md."""
+    replayable in SQL).
+
+    What training buys — measured, not assumed (SCALE.md r14 lane,
+    .r14/pq_train_eval.py): distortion (reconstruction error) drops
+    ~37% over the seed and never increases (Lloyd monotonicity,
+    pytest-pinned), but RANKING quality (ADC error at a query,
+    recall@k) is corpus-dependent at 16 codewords: a centroid's
+    ||q - c(x)||^2 systematically underestimates ||q - x||^2 by the
+    per-cell quantization energy (the bias term Jégou et al. 2011
+    analyze), while a sampled data-point codeword measures a distance
+    to a real point (near-zero bias), so on clustered or
+    low-intrinsic-dimension corpora the SAMPLED book can rank better
+    despite worse distortion. Use this trainer where reconstruction
+    error is the objective; for trained-book ranking at production
+    quality, the standard remedies are the ADC bias-correction term
+    or residual-PQ with 256 codewords per subspace (beyond the
+    current scope, noted for the next step)."""
     codebook = pq_codebook_sample(df, vec_col, id_col, n_codes=n_codes,
                                   dim=dim)
     if not codebook:

@@ -228,7 +228,13 @@ DEFAULT_QUERIES = {
     # — both map-only over the blob tier, oracles replay the
     # deterministic arithmetic, so amplified cells are same-work
     "mm3_frame_sample": (16, 64, 256, 1024),
+    # r14 (VERDICT r13 ask #2): mm4 is now the whole-stage-codegen
+    # path (octet_length column math); mm4b is the SAME semantics
+    # behind the mapInPandas encoder seam, so the mm4b-minus-mm4 gap
+    # at each multiplier IS the measured Arrow serde + Python cost of
+    # the seam a real encoder would pay
     "mm4_feature_ann": (16, 64, 256, 1024),
+    "mm4b_feature_ann_seam": (16, 64, 256, 1024),
     # round-11 (VERDICT r10 ask #3): iterative connected components on
     # the PLANTED-DIAMETER chain lane — chain length ceil(log2(n))
     # grows the propagation round count with amplification (13 rounds

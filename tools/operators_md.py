@@ -228,6 +228,13 @@ SCALE_NOTES = {
     "similarity.pq_codebook_sample":
         "16-row md5-ordered parameter read — deterministic, "
         "engine-replayable codebook seeding (no training shuffle)",
+    "similarity.pq_codebook_train":
+        "Lloyd refinement as one distributed pass per iteration "
+        "(argmin codes + posexplode mean), n_codes*dim parameter-read "
+        "collect; -37% distortion vs the sampled seed, but ranking "
+        "(ADC/recall) is corpus-dependent at 16 codewords — measured "
+        "in SCALE.md's r14 lane, which is why the oracle keeps the "
+        "sampled book",
     "similarity.pq_encode":
         "map-only encode with the codebook as ~8 KB of literals: 32x "
         "index compression (8 code bytes vs 256 float bytes), ADC "
