@@ -1284,19 +1284,23 @@ LIMIT 20
     doc="MM4 [ext]: the full multimodal -> similarity pipeline in one "
         "plan: opaque binary payload -> feature extraction -> JVM-side "
         "cosine top-k (TakeOrderedAndProject) against a query vector. "
-        "The stub features here are pure column math "
-        "(octet_length(blob) % k), so the DEFAULT path keeps them in "
-        "whole-stage codegen end to end — payload bytes to top-k with "
-        "zero Python (the r13 verdict's mm4 ask: the old mapInPandas "
-        "stub paid 12.6x floor-free at 1024x for arithmetic built-ins "
-        "express). The Arrow encoder seam a REAL image/audio encoder "
-        "plugs into is demonstrated — and its serde cost measured — "
-        "by mm4b, byte-identical semantics over the same oracle.",
+        "The stub features AND the fixed-3-dim cosine are pure column "
+        "math, so the DEFAULT path is whole-stage codegen end to end — "
+        "payload bytes to top-k with zero Python and zero interpreted "
+        "lambdas (the r13 verdict's mm4 ask: the old mapInPandas stub "
+        "paid 12.6x floor-free at 1024x for arithmetic built-ins "
+        "express; a second measured tax was the higher-order array "
+        "functions themselves — zip_with/aggregate evaluate "
+        "INTERPRETED per row, +1.1 s at 1024x for the 3-dim cosine, "
+        "so the literal-dim stub unrolls it; dimension-generic array "
+        "cosine stays the vector family's job, x3*). The Arrow "
+        "encoder seam a REAL image/audio encoder plugs into is "
+        "demonstrated — and its serde cost measured — by mm4b, "
+        "byte-identical semantics over the same oracle.",
     tags=("ext", "multimodal", "vector"),
 )
 def mm4_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_warehouse_spark.operators.multimodal import attach_blob
-    from data_warehouse_spark.operators.similarity import cosine
 
     docs = load_table(spark, sf_dir, "documents")
     blobs = attach_blob(docs)
@@ -1304,16 +1308,13 @@ def mm4_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BYTES (octet_length) matching the seam's len(bytes) and the
     # oracle's strlen (DuckDB strlen = bytes)
     n = F.coalesce(F.octet_length("blob"), F.lit(0))
-    feats = blobs.select(
-        "doc_id",
-        F.array(*[(n % k).cast("double") for k in (7, 11, 13)])
-         .alias("features"))
-    q = F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0))
-    sim = cosine(F.col("features"), q)
-    nonzero = F.aggregate(F.transform("features", lambda x: x * x),
-                          F.lit(0.0), lambda a, x: a + x) > 0
-    return (feats.filter(nonzero)
-            .select("doc_id", F.round(sim, 6).alias("cos_sim"))
+    f0, f1, f2 = [(n % k).cast("double") for k in (7, 11, 13)]
+    sumsq = f0 * f0 + f1 * f1 + f2 * f2
+    sim = (f0 * 1.0 + f1 * 2.0 + f2 * 3.0) \
+        / (F.sqrt(sumsq) * F.sqrt(F.lit(14.0)))
+    return (blobs.select("doc_id", sim.alias("__s"), sumsq.alias("__ss"))
+            .filter(F.col("__ss") > 0)
+            .select("doc_id", F.round("__s", 6).alias("cos_sim"))
             .orderBy(F.col("cos_sim").desc(), "doc_id").limit(20))
 
 
