@@ -54,7 +54,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from data_warehouse_spark.operators.similarity import (  # noqa: E402
     _pq_sub_dist, build_ivf_index, cosine, ivf_pq_topk,
-    pq_codebook_sample, pq_codebook_train, pq_encode,
+    pq_codebook_sample, pq_codebook_train, pq_codeword_energy,
+    pq_encode,
 )
 from data_warehouse_spark.session import get_spark  # noqa: E402
 
@@ -101,9 +102,9 @@ def distortion(df, cb) -> float:
     return df.select(F.avg(col).alias("d")).collect()[0]["d"]
 
 
-def adc_error(df, cb, qv) -> float:
+def adc_error(df, cb, qv, energy=None) -> float:
     enc = pq_encode(df, "embedding", "vec_id", cb, n_sub=N_SUB,
-                    query_vec=qv)
+                    query_vec=qv, codeword_energy=energy)
     q = F.array(*[F.lit(float(x)) for x in qv])
     true_sq = F.aggregate(
         F.zip_with("embedding", q,
@@ -139,24 +140,32 @@ for n in SIZES:
                                 n_codes=N_CODES, n_sub=N_SUB,
                                 iters=2, dim=DIM)
     train_s = time.time() - t0
+    # the Jégou ADC bias-correction table for the trained book (one
+    # more distributed pass; the sampled book keeps raw ADC — it has
+    # no centroid bias to remove, and it is the oracle path)
+    energy = pq_codeword_energy(df, "embedding", "vec_id", trained,
+                                n_sub=N_SUB)
 
     idx = build_ivf_index(df, "embedding", "vec_id", n_cells=n_cells,
                           iters=1, dim=DIM, persist=True)
     row = {"corpus": n, "n_cells": n_cells, "n_queries": len(QUERY_IDS),
            "train_wall_s": round(train_s, 2)}
     try:
-        for tag, cb in (("sampled", sampled), ("trained", trained)):
-            row[f"{tag}_distortion"] = round(distortion(df, cb), 6)
+        for tag, cb, en in (("sampled", sampled, None),
+                            ("trained", trained, None),
+                            ("trained_corrected", trained, energy)):
+            if en is None:
+                row[f"{tag}_distortion"] = round(distortion(df, cb), 6)
             row[f"{tag}_adc_err"] = round(sum(
-                adc_error(df, cb, qvs[qid]) for qid in QUERY_IDS)
-                / len(QUERY_IDS), 6)
+                adc_error(df, cb, qvs[qid], energy=en)
+                for qid in QUERY_IDS) / len(QUERY_IDS), 6)
             for rr in (2, 25, 100):
                 hits = 0
                 for qid in QUERY_IDS:
                     got = {r.vec_id for r in ivf_pq_topk(
                         df, "embedding", "vec_id", qvs[qid], k=K,
                         nprobe=8, rerank=rr, index=idx,
-                        codebook=cb).collect()}
+                        codebook=cb, codeword_energy=en).collect()}
                     hits += len(got & exacts[qid])
                 row[f"{tag}_mean_recall_at_{K}_shortlist_{rr * K}"] = \
                     round(hits / (K * len(QUERY_IDS)), 3)

@@ -904,10 +904,14 @@ def pq_codebook_train(df: DataFrame, vec_col: str, id_col: str,
     to a real point (near-zero bias), so on clustered or
     low-intrinsic-dimension corpora the SAMPLED book can rank better
     despite worse distortion. Use this trainer where reconstruction
-    error is the objective; for trained-book ranking at production
-    quality, the standard remedies are the ADC bias-correction term
-    or residual-PQ with 256 codewords per subspace (beyond the
-    current scope, noted for the next step)."""
+    error is the objective. The ADC bias-correction term IS
+    implemented (pq_codeword_energy -> pq_encode's codeword_energy):
+    it makes the trained book the most accurate distance ESTIMATOR of
+    the measured variants (mean |ADC err| 3.5-3.7 vs the sampled
+    book's 4.9-5.1 on the r14 lane), but RANKING remains
+    variance-limited at 16 codewords — closing that needs 256
+    codewords/subspace (the API accepts any larger codebook list);
+    see SCALE.md's r14 addendum."""
     codebook = pq_codebook_sample(df, vec_col, id_col, n_codes=n_codes,
                                   dim=dim)
     if not codebook:
@@ -944,9 +948,57 @@ def pq_codebook_train(df: DataFrame, vec_col: str, id_col: str,
     return codebook
 
 
+def pq_codeword_energy(df: DataFrame, vec_col: str, id_col: str,
+                       codebook: list[list[float]],
+                       n_sub: int = 8) -> list[list[float]]:
+    """Per-(subspace, codeword) mean residual energy
+    E[||x_m - c_m||^2 | argmin = c] — the ADC bias-correction table
+    (Jégou et al. 2011 §III-C: for a centroid codebook,
+    ||q_m - c_m||^2 systematically UNDERESTIMATES ||q_m - x_m||^2 by
+    exactly this quantity in expectation, since Lloyd residuals are
+    centered and the cross term vanishes). Feed the result to
+    pq_encode(codeword_energy=...) to de-bias trained-book ADC — the
+    r14 lane measured the uncorrected bias flipping the
+    trained-vs-sampled ranking comparison (SCALE.md).
+
+    One distributed pass (the same argmin literal expressions as
+    pq_encode, so assignments agree bit-for-bit) + an n_sub*n_codes
+    parameter-read collect; rows failing pq_encode's validity gate
+    are excluded, matching the sentinel contract. Codewords that
+    attract no vectors get energy 0.0 (no correction)."""
+    if not codebook:
+        raise ValueError("empty codebook")
+    k = len(codebook)
+    dim = len(codebook[0])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+    ok = (F.col(vec_col).isNotNull()
+          & (F.size(vec_col) == dim)
+          & ~F.exists(vec_col, lambda x: x.isNull() | F.isnan(x)))
+    subs = []
+    for m in range(n_sub):
+        darr = F.array(*[_pq_sub_dist(vec_col, codebook, m, j, d_sub)
+                         for j in range(k)])
+        subs.append(F.struct(
+            F.lit(m).alias("m"),
+            F.array_position(darr, F.array_min(darr))
+             .cast("int").alias("code"),
+            F.array_min(darr).alias("d")))
+    rows = (df.where(ok)
+            .select(F.explode(F.array(*subs)).alias("s"))
+            .groupBy("s.m", "s.code")
+            .agg(F.avg("s.d").alias("e")).collect())
+    energy = [[0.0] * k for _ in range(n_sub)]
+    for r in rows:
+        energy[r["m"]][r["code"] - 1] = float(r["e"])
+    return energy
+
+
 def pq_encode(df: DataFrame, vec_col: str, id_col: str,
               codebook: list[list[float]], n_sub: int = 8,
-              query_vec: list[float] | None = None) -> DataFrame:
+              query_vec: list[float] | None = None,
+              codeword_energy: list[list[float]] | None = None) -> DataFrame:
     """Product quantization (Jégou et al. 2011): encode each vector as
     `n_sub` codeword ids — per subspace, the argmin-L2 codeword, ties
     to the smaller id — and, when `query_vec` is given, score the
@@ -955,6 +1007,12 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
 
     Output: id_col, pq_code ('c0-c1-...-c7', 0-based codeword ids),
     and approx_dist (round-6 ADC squared-L2) when query_vec is set.
+    With `codeword_energy` (pq_codeword_energy's n_sub x n_codes
+    table) each subspace LUT entry carries the Jégou bias correction
+    — the estimator for a Lloyd-trained codebook becomes unbiased in
+    expectation; leave it None for the oracle-replayed sampled-book
+    path (the correction bakes into the LUT literals, so the plan
+    stays map-only either way).
 
     100 TB design: the encode is MAP-ONLY — the codebook enters the
     plan as literals (K*dim doubles, ~8 KB), every distance is a
@@ -1020,6 +1078,10 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
                                   for m in range(n_sub)]))
          .alias("pq_code"),
     ]
+    if codeword_energy is not None and (
+            len(codeword_energy) != n_sub
+            or any(len(e) != k for e in codeword_energy)):
+        raise ValueError("codeword_energy must be n_sub x n_codes")
     if query_vec is not None:
         if len(query_vec) != dim:
             raise ValueError("query_vec dim mismatch")
@@ -1032,6 +1094,11 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
                     dlt = float(query_vec[m * d_sub + t]) \
                         - float(codebook[j][m * d_sub + t])
                     s += dlt * dlt
+                # ADC bias correction (pq_codeword_energy): add the
+                # codeword's mean residual energy so a trained-book
+                # estimate is unbiased instead of systematically low
+                if codeword_energy is not None:
+                    s += float(codeword_energy[m][j])
                 lut.append(s)
             term = F.element_at(F.array(*[F.lit(v) for v in lut]),
                                 F.col(f"__c{m}"))
@@ -1055,7 +1122,8 @@ def ivf_pq_topk(df: DataFrame, vec_col: str, id_col: str,
                 n_cells: int | None = None,
                 nprobe: int = 4, n_sub: int = 8, rerank: int = 2,
                 index: "IvfIndex | None" = None,
-                codebook: list[list[float]] | None = None) -> DataFrame:
+                codebook: list[list[float]] | None = None,
+                codeword_energy: list[list[float]] | None = None) -> DataFrame:
     """The production ANN probe shape — IVF-PQ (Jégou et al. 2011):
     IVF cells bound the candidate set (~nprobe/n_cells of the corpus),
     ADC over PQ codes ranks the candidates without touching raw
@@ -1119,7 +1187,8 @@ def ivf_pq_topk(df: DataFrame, vec_col: str, id_col: str,
     # nulls LAST: pq_encode's sentinel rows (null/ragged vectors) carry
     # approx_dist=NULL and must never displace real ADC candidates
     shortlist = (pq_encode(probed, vec_col, id_col, codebook,
-                           n_sub=n_sub, query_vec=query_vec)
+                           n_sub=n_sub, query_vec=query_vec,
+                           codeword_energy=codeword_energy)
                  .orderBy(F.col("approx_dist").asc_nulls_last(), id_col)
                  .limit(k * rerank)
                  .select(id_col))

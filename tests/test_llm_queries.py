@@ -1315,3 +1315,87 @@ def test_mm4_jvm_path_matches_arrow_seam(spark, sf_dir):
          for r in _q("mm4b_feature_ann_seam")(spark, sf_dir).collect()]
     assert a == b
     assert len(a) == 20
+
+
+def test_pq_adc_bias_correction_debiases_trained_book(spark):
+    """The r14 lane found centroid-ADC's systematic underestimation
+    bias (= per-cell quantization energy) makes a LOWER-distortion
+    trained book RANK worse than the sampled one. pq_codeword_energy
+    is the Jégou correction table; adding it must cut the trained
+    book's mean |ADC - true| substantially on clustered data, and the
+    corrected estimate must be exactly LUT + energy (plan stays
+    map-only: the correction bakes into the literals)."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from data_warehouse_spark.operators.similarity import (
+        pq_codebook_train, pq_codeword_energy, pq_encode,
+    )
+
+    dim, n_sub, n_codes, n_clusters, n = 16, 4, 8, 16, 4000
+
+    def h01(tag):
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) \
+            / 2 ** 32 * 2 - 1
+
+    centers = [[h01(f"c{k}-{j}") for j in range(dim)]
+               for k in range(n_clusters)]
+    centers_lit = F.array(*[F.array(*[F.lit(v) for v in row])
+                            for row in centers])
+    noise = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.conv(F.substring(F.md5(F.concat(
+            F.lit("n"), F.col("id").cast("string"), F.lit("-"),
+            j.cast("string"))), 1, 8), 16, 10).cast("double")
+            / F.lit(2.0 ** 32) * 2 - 1) * 0.25)
+    ctr = F.element_at(centers_lit,
+                       (F.col("id") % n_clusters).cast("int") + 1)
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.zip_with(ctr, noise, lambda c, x: (c + x).cast("float"))
+        .alias("embedding")).persist()
+    try:
+        qv = [float(x) for x in
+              df.filter("vec_id = 0").select("embedding")
+              .collect()[0][0]]
+        trained = pq_codebook_train(df, "embedding", "vec_id",
+                                    n_codes=n_codes, n_sub=n_sub,
+                                    iters=2, dim=dim)
+        energy = pq_codeword_energy(df, "embedding", "vec_id",
+                                    trained, n_sub=n_sub)
+        assert len(energy) == n_sub
+        assert all(len(e) == n_codes for e in energy)
+        assert all(v >= 0 for row in energy for v in row)
+        assert any(v > 0 for row in energy for v in row)
+
+        q = F.array(*[F.lit(x) for x in qv])
+        true_sq = F.aggregate(
+            F.zip_with("embedding", q,
+                       lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda a, x: a + x)
+
+        def err_stats(ce):
+            enc = pq_encode(df, "embedding", "vec_id", trained,
+                            n_sub=n_sub, query_vec=qv,
+                            codeword_energy=ce)
+            j = df.select("vec_id", true_sq.alias("t")).join(
+                enc.select("vec_id", "approx_dist"), on="vec_id")
+            r = j.select(
+                F.avg(F.col("approx_dist") - F.col("t")).alias("bias"),
+                F.avg(F.abs(F.col("approx_dist") - F.col("t")))
+                .alias("mae")).collect()[0]
+            return r["bias"], r["mae"]
+
+        raw_bias, raw_mae = err_stats(None)
+        cor_bias, cor_mae = err_stats(energy)
+        # the correction removes the BIAS (the uncorrected estimator
+        # underestimates by ~the quantization energy; corrected is
+        # unbiased in expectation) — residual |error| is variance,
+        # which the correction cannot and should not touch
+        assert raw_bias < 0, raw_bias
+        assert abs(cor_bias) < 0.2 * abs(raw_bias), (cor_bias, raw_bias)
+        assert cor_mae <= raw_mae, (cor_mae, raw_mae)
+    finally:
+        df.unpersist()

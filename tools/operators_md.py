@@ -235,6 +235,10 @@ SCALE_NOTES = {
         "(ADC/recall) is corpus-dependent at 16 codewords — measured "
         "in SCALE.md's r14 lane, which is why the oracle keeps the "
         "sampled book",
+    "similarity.pq_codeword_energy":
+        "ADC bias-correction table (Jégou): one distributed pass + "
+        "n_sub*n_codes parameter read; correction bakes into the LUT "
+        "literals so the probe plan stays map-only",
     "similarity.pq_encode":
         "map-only encode with the codebook as ~8 KB of literals: 32x "
         "index compression (8 code bytes vs 256 float bytes), ADC "
