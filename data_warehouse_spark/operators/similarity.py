@@ -1117,6 +1117,143 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
     return encoded.select(*sel)
 
 
+def pq_encode_arrow(df: DataFrame, vec_col: str, id_col: str,
+                    codebook: list[list[float]], n_sub: int = 8,
+                    query_vec: list[float] | None = None,
+                    codeword_energy: list[list[float]] | None = None) -> DataFrame:
+    """pq_encode's contract on an Arrow kernel — the LARGE-codebook
+    path. The expression form's plan grows as n_codes * n_sub * d_sub
+    literal terms: fine at 16 codewords (~1k nodes, whole-stage
+    codegen), hopeless at the production 256 (~16k nodes per argmin —
+    codegen blowup), so ivf_pq_topk AUTO-ROUTES through this kernel
+    when the codebook exceeds 32 codewords (the same auto-route
+    discipline as x2c's oversized blocks and x8d's router).
+
+    Same outputs (id_col, pq_code, approx_dist when query_vec), same
+    NULL sentinel for null/ragged/NaN vectors, same tie contract
+    (np.argmin's first-minimum = smallest codeword id, matching
+    array_position), and the ADC LUT (including codeword_energy) is
+    computed by the IDENTICAL Python fold as pq_encode, summed in the
+    same m order — so when codes agree, approx_dist agrees to the
+    rounding function. Residual caveat: subspace distances here are
+    numpy reductions, whose fold order differs from the expr form in
+    final ulps — a flip needs an EXACT distance tie at sub-ulp margin
+    (none on the fixtures; equivalence pinned in tests). The ORACLE
+    path stays the expression form.
+
+    100 TB shape: one mapInArrow pass, codebook broadcast as a task
+    literal (k * dim doubles), distances via the (x^2 + c^2 - 2xc)
+    expansion — per batch an (n x k) matrix per subspace, never
+    materializing n x k x d_sub."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if not codebook:
+        raise ValueError("empty codebook")
+    k = len(codebook)
+    dim = len(codebook[0])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+    if any(len(c) != dim for c in codebook):
+        raise ValueError("ragged codebook")
+    if codeword_energy is not None and (
+            len(codeword_energy) != n_sub
+            or any(len(e) != k for e in codeword_energy)):
+        raise ValueError("codeword_energy must be n_sub x n_codes")
+    CB = np.asarray(codebook, dtype=np.float64).reshape(k, n_sub, d_sub)
+    luts = None
+    if query_vec is not None:
+        if len(query_vec) != dim:
+            raise ValueError("query_vec dim mismatch")
+        # the same Python fold as pq_encode's LUT — identical values
+        luts = []
+        for m in range(n_sub):
+            lut = []
+            for j in range(k):
+                s = 0.0
+                for t in range(d_sub):
+                    dlt = float(query_vec[m * d_sub + t]) \
+                        - float(codebook[j][m * d_sub + t])
+                    s += dlt * dlt
+                if codeword_energy is not None:
+                    s += float(codeword_energy[m][j])
+                lut.append(s)
+            luts.append(np.asarray(lut, dtype=np.float64))
+
+    id_field = df.schema[id_col]
+    fields = [T.StructField(id_col, id_field.dataType),
+              T.StructField("pq_code", T.StringType())]
+    if query_vec is not None:
+        fields.append(T.StructField("approx_dist", T.DoubleType()))
+    out_schema = T.StructType(fields)
+    has_q = query_vec is not None
+
+    def _codes_for(M: "np.ndarray") -> "np.ndarray":
+        # M: (n, dim) float64, all finite. (x^2 + c^2 - 2 x.c) per
+        # subspace; argmin first-min = smallest codeword id
+        n = M.shape[0]
+        S = M.reshape(n, n_sub, d_sub)
+        out = np.empty((n, n_sub), dtype=np.int64)
+        for m in range(n_sub):
+            X = S[:, m, :]
+            C = CB[:, m, :]
+            d = (X * X).sum(axis=1)[:, None] \
+                + (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+            out[:, m] = np.argmin(d, axis=1)
+        return out
+
+    def encode_batches(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column(0)
+            emb = b.column(1)
+            n = b.num_rows
+            lens = np.diff(emb.offsets.to_numpy())
+            codes = np.zeros((n, n_sub), dtype=np.int64)
+            if emb.null_count == 0 and len(lens) and \
+                    (lens == lens[0]).all() and lens[0] == dim:
+                M = emb.flatten().to_numpy(zero_copy_only=False) \
+                    .reshape(n, dim).astype(np.float64)
+                ok = np.isfinite(M).all(axis=1)
+                if ok.any():
+                    codes[ok] = _codes_for(M[ok])
+            else:
+                ok = np.zeros(n, dtype=bool)
+                rows = emb.to_pylist()
+                good, idxs = [], []
+                for i, v in enumerate(rows):
+                    if v is not None and len(v) == dim:
+                        a = np.asarray(v, dtype=np.float64)
+                        if np.isfinite(a).all():
+                            ok[i] = True
+                            good.append(a)
+                            idxs.append(i)
+                if good:
+                    codes[np.asarray(idxs)] = _codes_for(
+                        np.stack(good))
+            pq_code = [("-".join(str(int(c)) for c in codes[i])
+                        if ok[i] else None) for i in range(n)]
+            arrays = [ids, pa.array(pq_code, type=pa.string())]
+            if has_q:
+                acc = np.zeros(n, dtype=np.float64)
+                for m in range(n_sub):  # same m fold order as the expr
+                    acc = acc + luts[m][codes[:, m]]
+                ad = np.round(acc, 6)
+                arrays.append(pa.array(
+                    [float(ad[i]) if ok[i] else None for i in range(n)],
+                    type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                arrays, schema=pa.schema(
+                    [(id_col, ids.type), ("pq_code", pa.string())]
+                    + ([("approx_dist", pa.float64())] if has_q else [])))
+
+    return df.select(id_col, vec_col).mapInArrow(encode_batches,
+                                                 out_schema)
+
+
 def ivf_pq_topk(df: DataFrame, vec_col: str, id_col: str,
                 query_vec: list[float], k: int = 20,
                 n_cells: int | None = None,
@@ -1185,10 +1322,16 @@ def ivf_pq_topk(df: DataFrame, vec_col: str, id_col: str,
         codebook = pq_codebook_sample(df, vec_col, id_col, n_codes=16,
                                       dim=len(query_vec))
     # nulls LAST: pq_encode's sentinel rows (null/ragged vectors) carry
-    # approx_dist=NULL and must never displace real ADC candidates
-    shortlist = (pq_encode(probed, vec_col, id_col, codebook,
-                           n_sub=n_sub, query_vec=query_vec,
-                           codeword_energy=codeword_energy)
+    # approx_dist=NULL and must never displace real ADC candidates.
+    # AUTO-ROUTE: beyond 32 codewords the literal-expression encode's
+    # plan explodes (n_codes * n_sub * d_sub terms per argmin), so the
+    # production 256-codeword book rides the Arrow kernel instead —
+    # same contract, pq_encode_arrow's docstring carries the ulp-tie
+    # caveat (oracle configurations stay at 16 codewords = expr path)
+    encode = pq_encode_arrow if len(codebook) > 32 else pq_encode
+    shortlist = (encode(probed, vec_col, id_col, codebook,
+                        n_sub=n_sub, query_vec=query_vec,
+                        codeword_energy=codeword_energy)
                  .orderBy(F.col("approx_dist").asc_nulls_last(), id_col)
                  .limit(k * rerank)
                  .select(id_col))

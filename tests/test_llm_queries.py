@@ -1399,3 +1399,118 @@ def test_pq_adc_bias_correction_debiases_trained_book(spark):
         assert cor_mae <= raw_mae, (cor_mae, raw_mae)
     finally:
         df.unpersist()
+
+
+def test_pq_encode_arrow_matches_expr_form(spark, sf_dir):
+    """The Arrow-kernel encode (the >32-codeword auto-route) must
+    reproduce the expression form exactly on the real fixture: same
+    codes, same ADC distances (the LUT is the identical Python fold),
+    and the same NULL sentinel for degenerate rows."""
+    from pyspark.sql import types as T
+
+    from data_warehouse_spark.operators.similarity import (
+        pq_codebook_sample, pq_encode, pq_encode_arrow,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook_sample(emb, "embedding", "vec_id",
+                            n_codes=16, dim=64)
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").select("embedding").collect()[0][0]]
+    a = {r.vec_id: (r.pq_code, r.approx_dist) for r in
+         pq_encode(emb, "embedding", "vec_id", cb, n_sub=8,
+                   query_vec=qv).collect()}
+    b = {r.vec_id: (r.pq_code, r.approx_dist) for r in
+         pq_encode_arrow(emb, "embedding", "vec_id", cb, n_sub=8,
+                         query_vec=qv).collect()}
+    assert set(a) == set(b) and a
+    for vid, (code, ad) in a.items():
+        bc, bad = b[vid]
+        assert bc == code, vid
+        assert abs(bad - ad) < 1e-9, vid
+
+    # sentinel parity on degenerate rows
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    corrupt = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, None), (3, [1.0, 2.0]),
+         (4, [float("nan")] + [0.5] * 63)], schema)
+    got = {r.vec_id: (r.pq_code, r.approx_dist) for r in
+           pq_encode_arrow(corrupt, "embedding", "vec_id", cb,
+                           n_sub=8, query_vec=qv).collect()}
+    assert got[1][0] is not None and got[1][1] is not None
+    for bad_id in (2, 3, 4):
+        assert got[bad_id] == (None, None), bad_id
+
+
+def test_ivf_pq_256_codebook_serving_path(spark):
+    """The production-size codebook end to end: a 256-codeword book
+    must AUTO-ROUTE through the Arrow encode (the expr plan is
+    hopeless at ~16k literal terms per argmin) and serve correct
+    results — full recall of the exact top-20 at a 500-row shortlist
+    on a clustered corpus, and >= 15/20 already at 200 (the
+    discriminating regime, where the 16-book's within-cluster ADC
+    ties degrade to an id-lottery once the shortlist is smaller than
+    the query's cluster — the size effect itself is quantified
+    multi-query at 1M in SCALE.md's r14 lane, not pinned single-query
+    here)."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from data_warehouse_spark.operators.similarity import (
+        build_ivf_index, cosine, ivf_pq_topk, pq_codebook_sample,
+    )
+
+    dim, n_clusters, n = 64, 64, 20000
+
+    def h01(tag):
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) \
+            / 2 ** 32 * 2 - 1
+
+    centers = [[h01(f"c{k}-{j}") for j in range(dim)]
+               for k in range(n_clusters)]
+    centers_lit = F.array(*[F.array(*[F.lit(v) for v in row])
+                            for row in centers])
+    noise = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.conv(F.substring(F.md5(F.concat(
+            F.lit("n"), F.col("id").cast("string"), F.lit("-"),
+            j.cast("string"))), 1, 8), 16, 10).cast("double")
+            / F.lit(2.0 ** 32) * 2 - 1) * 0.25)
+    ctr = F.element_at(centers_lit,
+                       (F.col("id") % n_clusters).cast("int") + 1)
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.zip_with(ctr, noise, lambda c, x: (c + x).cast("float"))
+        .alias("embedding")).persist()
+    try:
+        qv = [float(x) for x in
+              df.filter("vec_id = 0").select("embedding")
+              .collect()[0][0]]
+        qarr = F.array(*[F.lit(x) for x in qv])
+        exact = {r.vec_id for r in df.select(
+            "vec_id", F.round(cosine(F.col("embedding"), qarr, dim), 6)
+            .alias("c"))
+            .orderBy(F.col("c").desc(), "vec_id").limit(20).collect()}
+        idx = build_ivf_index(df, "embedding", "vec_id", n_cells=16,
+                              iters=1, dim=dim, persist=True)
+        try:
+            cb = pq_codebook_sample(df, "embedding", "vec_id",
+                                    n_codes=256, dim=dim)
+            assert len(cb) == 256
+
+            def recall(rr):
+                got = {r.vec_id for r in ivf_pq_topk(
+                    df, "embedding", "vec_id", qv, k=20, nprobe=8,
+                    rerank=rr, index=idx, codebook=cb).collect()}
+                return len(got & exact)
+
+            assert recall(25) == 20
+            assert recall(10) >= 15
+        finally:
+            idx.unpersist()
+    finally:
+        df.unpersist()

@@ -239,6 +239,11 @@ SCALE_NOTES = {
         "ADC bias-correction table (Jégou): one distributed pass + "
         "n_sub*n_codes parameter read; correction bakes into the LUT "
         "literals so the probe plan stays map-only",
+    "similarity.pq_encode_arrow":
+        "the >32-codeword auto-route and the corpus-scale encode path: "
+        "one mapInArrow pass, (n x k) per subspace via the x2+c2-2xc "
+        "expansion; 9.5x faster than the expr plan even at 16 codes "
+        "on a 1M-row encode (SCALE.md r14 addendum 2)",
     "similarity.pq_encode":
         "map-only encode with the codebook as ~8 KB of literals: 32x "
         "index compression (8 code bytes vs 256 float bytes), ADC "
