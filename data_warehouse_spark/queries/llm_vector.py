@@ -766,3 +766,55 @@ def x3e_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(emb, vec_col="embedding", id_col="vec_id",
                        query_vec=_query_vec(spark, sf_dir), k=20,
                        n_cells=16, nprobe=4, n_sub=8, rerank=2)
+
+
+# x3f: x3e's probe with the PRODUCTION-SIZE codebook (256 codewords).
+# The Spark side AUTO-ROUTES through pq_encode_arrow (the literal-
+# expression argmin is ~16k plan nodes at 256 codes); the SQL replay
+# has no such problem — the codebook is a TABLE (cb), so the identical
+# oracle machinery scales by changing one LIMIT. Cross-engine
+# exactness leans on the same two cut-absorption arguments x3e states:
+# the ADC value is rounded to 6 BEFORE the shortlist cut (absorbing
+# kernel fold-order ulps unless a true value sits within an ulp of a
+# rounding boundary — the x3e "re-associates the sum" clause, which is
+# exactly what the Arrow kernel's x^2+c^2-2xc expansion does), and the
+# final order is the round-6 exact cosine. Codes themselves do not
+# appear in the output; a sub-ulp argmin tie would have to flip
+# SHORTLIST membership at the 40-row boundary to matter (fixture
+# margins measured comfortably away; expr/arrow code equality is
+# additionally pinned in tests).
+_IVFPQ256_ORACLE = _IVFPQ_ORACLE.replace(
+    "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16) AS s",
+    "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256) AS s", 1)
+
+
+@register(
+    "x3f_ivfpq_arrow256",
+    oracle=_IVFPQ256_ORACLE,
+    doc="X3f [ext]: IVF-PQ top-k at the PRODUCTION codebook size — "
+        "x3e's probe with a 256-codeword (8-bit) sampled book, which "
+        "auto-routes the encode through the Arrow kernel "
+        "(operators/similarity.py:pq_encode_arrow; the expr plan is "
+        "~16k argmin nodes at this size). This is the configuration "
+        "the r14 codebook-size analysis showed the 4-bit book cannot "
+        "reach (1.6-2.4x the recall at 1M, SCALE.md r14 addendum 2), "
+        "and the gate cell makes the Arrow kernel itself "
+        "value-verified cross-engine, not just expr-equivalence-"
+        "tested. Oracle = x3e's replay with the codebook CTE at "
+        "LIMIT 256 (SQL has no literal blowup: the codebook is a "
+        "table); both cut boundaries round-6-absorbed as in x3e.",
+    tags=("ext", "vector"),
+)
+def x3f_ivfpq_arrow256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.similarity import (
+        ivf_pq_topk, pq_codebook_sample,
+    )
+
+    set_arrow_batch(spark, ARROW_BATCH_VECTOR)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cb = pq_codebook_sample(emb, vec_col="embedding", id_col="vec_id",
+                            n_codes=256, dim=len(qv))
+    return ivf_pq_topk(emb, vec_col="embedding", id_col="vec_id",
+                       query_vec=qv, k=20, nprobe=4, n_sub=8,
+                       rerank=2, codebook=cb)

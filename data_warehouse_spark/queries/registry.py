@@ -88,7 +88,10 @@ _QUERY_MODULES = [
 #     code-untouched since their r11 hash-green rows;
 #   udf1_row_scalar, udf2_pandas_scalar — trivial UDF batteries,
 #     pytest-covered (tests/test_operators.py), code untouched since
-#     their r11 hash-green rows.
+#     their r11 hash-green rows;
+#   f12_case — displaced by the mid-round x3f addition: trivial CASE
+#     battery, same expression class as the windowed f5/f10, code
+#     untouched since its r11 hash-green row, pytest-covered.
 # Their archive rows stay r11 — the same documented deviation class
 # as r13's 16 r10 rows, forced by the 50-slot budget; they lead the
 # r15 window per the standing rotation rule.
@@ -102,10 +105,10 @@ DRIVER_WINDOW = [
     "x14b_token_budget_scalable",
     # (b) round-14 code changes
     "x3d_pq_adc", "x3e_ivfpq_topk", "x21_mixture_schedule",
-    "mm4_feature_ann", "mm4b_feature_ann_seam",
+    "mm4_feature_ann", "mm4b_feature_ann_seam", "x3f_ivfpq_arrow256",
     # (c) r11-cohort backfill (42 minus mm4 in (b) minus the 12
     # displaced above)
-    "a7_salted_agg", "dq1b_validation_sketch", "f12_case",
+    "a7_salted_agg", "dq1b_validation_sketch",
     "f6_date_format", "f7_current_timestamp", "j10_star_join",
     "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
     "u3_microbatch_write", "u9_time_travel", "u9b_snapshot_diff",

@@ -8,7 +8,7 @@ from data_warehouse_spark.queries.registry import DRIVER_WINDOW, load_all
 
 # Round-14 window (VERDICT.md round-13 ask #3): the 16 r10-dated rows
 # first, then every round-14 code change, then r11-cohort backfill.
-# Composition rationale (incl. the 12 displaced r11 queries and their
+# Composition rationale (incl. the 13 displaced r11 queries and their
 # compensating evidence) lives next to DRIVER_WINDOW in
 # queries/registry.py.
 MUST_BE_WINDOWED = {
@@ -21,11 +21,12 @@ MUST_BE_WINDOWED = {
     "x14b_token_budget_scalable",
     # (b) round-14 code changes (pq sentinel hardening + index
     # contract asserts -> x3d/x3e; mixture weight validation -> x21;
-    # mm4 JVM fast path; new mm4b seam-attribution twin)
+    # mm4 JVM fast path; new mm4b seam-attribution twin; new x3f
+    # 256-codeword probe gate-verifying the Arrow encode kernel)
     "x3d_pq_adc", "x3e_ivfpq_topk", "x21_mixture_schedule",
-    "mm4_feature_ann", "mm4b_feature_ann_seam",
+    "mm4_feature_ann", "mm4b_feature_ann_seam", "x3f_ivfpq_arrow256",
     # (c) r11-cohort backfill
-    "a7_salted_agg", "dq1b_validation_sketch", "f12_case",
+    "a7_salted_agg", "dq1b_validation_sketch",
     "f6_date_format", "f7_current_timestamp", "j10_star_join",
     "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
     "u3_microbatch_write", "u9_time_travel", "u9b_snapshot_diff",
