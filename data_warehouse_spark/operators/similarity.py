@@ -68,6 +68,18 @@ def _elem(name: str, i: int) -> str:
     return f"CAST(`{name}`[{i}] AS DOUBLE)"
 
 
+def _bad_elem(x: Column) -> Column:
+    """Element predicate for the PQ validity gates: NULL, NaN, or
+    +/-Infinity. Finiteness is required (not just non-NaN) because an
+    inf element makes every subspace distance inf — argmin then yields
+    codeword 1 and the ADC LUT sum is a FINITE garbage score that can
+    enter the shortlist, where the exact-cosine rerank turns it into a
+    NaN that sorts largest under DESC (rank-1 displacement). Matching
+    np.isfinite in pq_encode_arrow keeps the expr and Arrow paths
+    byte-identical on the same corpus (r14 ADVICE #1)."""
+    return x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+
+
 def _dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Dot product of two array columns as zip_with+aggregate.
 
@@ -841,7 +853,7 @@ def pq_codebook_sample(df: DataFrame, vec_col: str, id_col: str,
     On a clean corpus the filter selects the identical rows, so the
     `ORDER BY md5, id LIMIT n` oracle replay is unchanged."""
     ok = (F.col(vec_col).isNotNull()
-          & ~F.exists(vec_col, lambda x: x.isNull() | F.isnan(x)))
+          & ~F.exists(vec_col, _bad_elem))
     if dim is not None:
         ok = ok & (F.size(vec_col) == dim)
     rows = (df.where(ok)
@@ -917,12 +929,24 @@ def pq_codebook_train(df: DataFrame, vec_col: str, id_col: str,
     if not codebook:
         raise ValueError("pq_codebook_train: empty corpus")
     dim = len(codebook[0])
+    if any(len(c) != dim for c in codebook):
+        # dim=None on a mixed-dimension corpus: the md5 cut sampled a
+        # ragged seed (pq_codebook_sample only size-filters when dim is
+        # given). Re-sample with dim pinned to the first valid row's
+        # dimension so the seed is rectangular — otherwise _pq_sub_dist
+        # indexes past a short codeword and raises a bare IndexError
+        # mid-build (r14 ADVICE #4).
+        codebook = pq_codebook_sample(df, vec_col, id_col,
+                                      n_codes=n_codes, dim=dim)
+        if not codebook:
+            raise ValueError("pq_codebook_train: empty corpus at "
+                             f"dim {dim}")
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     d_sub = dim // n_sub
     ok = (F.col(vec_col).isNotNull()
           & (F.size(vec_col) == dim)
-          & ~F.exists(vec_col, lambda x: x.isNull() | F.isnan(x)))
+          & ~F.exists(vec_col, _bad_elem))
     for _ in range(iters):
         subs = []
         for m in range(n_sub):
@@ -975,7 +999,7 @@ def pq_codeword_energy(df: DataFrame, vec_col: str, id_col: str,
     d_sub = dim // n_sub
     ok = (F.col(vec_col).isNotNull()
           & (F.size(vec_col) == dim)
-          & ~F.exists(vec_col, lambda x: x.isNull() | F.isnan(x)))
+          & ~F.exists(vec_col, _bad_elem))
     subs = []
     for m in range(n_sub):
         darr = F.array(*[_pq_sub_dist(vec_col, codebook, m, j, d_sub)
@@ -1054,7 +1078,7 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
     # is one codegen pass over the array, no exchange
     ok = (F.col(vec_col).isNotNull()
           & (F.size(vec_col) == dim)
-          & ~F.exists(vec_col, lambda x: x.isNull() | F.isnan(x)))
+          & ~F.exists(vec_col, _bad_elem))
 
     def sub_dist_expr(m: int, j: int) -> Column:
         return _pq_sub_dist(vec_col, codebook, m, j, d_sub)
@@ -1241,7 +1265,12 @@ def pq_encode_arrow(df: DataFrame, vec_col: str, id_col: str,
                 acc = np.zeros(n, dtype=np.float64)
                 for m in range(n_sub):  # same m fold order as the expr
                     acc = acc + luts[m][codes[:, m]]
-                ad = np.round(acc, 6)
+                # half-UP at 6dp (distances are non-negative), matching
+                # F.round in pq_encode and DuckDB ROUND — np.round is
+                # half-to-even, which disagrees on exact .5 ties at the
+                # 6th decimal and could flip the shortlist cut by 1e-6
+                # (r14 ADVICE #2)
+                ad = np.floor(acc * 1e6 + 0.5) / 1e6
                 arrays.append(pa.array(
                     [float(ad[i]) if ok[i] else None for i in range(n)],
                     type=pa.float64()))

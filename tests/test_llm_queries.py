@@ -1166,7 +1166,14 @@ def test_ivf_pq_topk_degenerate_rows_never_displace(spark):
              for i in range(n)]
     bad = ([(1000 + i, None) for i in range(12)]             # null vecs
            + [(2000, [1.0, 2.0, 3.0])]                       # ragged
-           + [(3000, [float("nan")] + [0.5] * (dim - 1))])   # NaN elem
+           + [(3000, [float("nan")] + [0.5] * (dim - 1))]    # NaN elem
+           # inf is the sneaky one (r14 ADVICE #1): every subspace
+           # distance is inf, argmin yields code 1, and the ADC LUT
+           # sum is a FINITE garbage score — without the finiteness
+           # gate it enters the shortlist and its exact-cosine NaN
+           # sorts first under DESC, displacing the true rank 1
+           + [(4000, [float("inf")] + [0.5] * (dim - 1))]
+           + [(4001, [float("-inf")] * dim)])
     schema = T.StructType([
         T.StructField("vec_id", T.LongType()),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
@@ -1186,7 +1193,7 @@ def test_ivf_pq_topk_degenerate_rows_never_displace(spark):
     enc = {r.vec_id: (r.pq_code, r.approx_dist)
            for r in pq_encode(corrupt, "embedding", "vec_id", cb,
                               n_sub=2, query_vec=qv).collect()}
-    for bad_id in (1000, 2000, 3000):
+    for bad_id in (1000, 2000, 3000, 4000, 4001):
         assert enc[bad_id] == (None, None), bad_id
     for good_id in range(5):
         code, ad = enc[good_id]
@@ -1436,13 +1443,56 @@ def test_pq_encode_arrow_matches_expr_form(spark, sf_dir):
     ])
     corrupt = spark.createDataFrame(
         [(1, [1.0] * 64), (2, None), (3, [1.0, 2.0]),
-         (4, [float("nan")] + [0.5] * 63)], schema)
+         (4, [float("nan")] + [0.5] * 63),
+         (5, [float("inf")] + [0.5] * 63)], schema)
     got = {r.vec_id: (r.pq_code, r.approx_dist) for r in
            pq_encode_arrow(corrupt, "embedding", "vec_id", cb,
                            n_sub=8, query_vec=qv).collect()}
+    exp = {r.vec_id: (r.pq_code, r.approx_dist) for r in
+           pq_encode(corrupt, "embedding", "vec_id", cb,
+                     n_sub=8, query_vec=qv).collect()}
     assert got[1][0] is not None and got[1][1] is not None
-    for bad_id in (2, 3, 4):
+    for bad_id in (2, 3, 4, 5):
         assert got[bad_id] == (None, None), bad_id
+        # expr path must sentinel the same rows (r14 ADVICE #1: the
+        # expr gate previously passed inf rows the Arrow kernel
+        # rejected, silently changing results across the auto-route)
+        assert exp[bad_id] == (None, None), bad_id
+
+
+def test_pq_codebook_train_ragged_corpus_dim_none(spark):
+    """r14 ADVICE #4: pq_codebook_train with dim=None on a corpus
+    containing wrong-dimension vectors must not seed from a ragged
+    sample (which made _pq_sub_dist raise a bare IndexError
+    mid-build). It infers dim from the md5-smallest valid row and
+    re-samples rectangular."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from data_warehouse_spark.operators.similarity import (
+        pq_codebook_train,
+    )
+
+    dim = 8
+    rows = [(i, [float(math.sin(i * dim + t)) for t in range(dim)])
+            for i in range(30)]
+    # wrong-dimension contaminants scattered through the md5 order
+    # (dim 4 so whichever dim the md5-smallest row pins, n_sub=2
+    # divides it — this test is about the ragged seed, not the
+    # divisibility check)
+    rows += [(100 + i, [1.0] * 4) for i in range(10)]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    cb = pq_codebook_train(df, "embedding", "vec_id", n_codes=4,
+                           n_sub=2, iters=1, dim=None)
+    d = len(cb[0])
+    assert d in (4, dim)  # whichever dim the md5-smallest row has
+    assert len(cb) == 4 and all(len(c) == d for c in cb)
+    assert all(math.isfinite(x) for c in cb for x in c)
 
 
 def test_ivf_pq_256_codebook_serving_path(spark):
