@@ -818,3 +818,198 @@ def x3f_ivfpq_arrow256(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(emb, vec_col="embedding", id_col="vec_id",
                        query_vec=qv, k=20, nprobe=4, n_sub=8,
                        rerank=2, codebook=cb)
+
+
+# x3g: x3e's probe with the LLOYD-TRAINED codebook and the ADC bias
+# correction (pq_codeword_energy) — the production trained-PQ path,
+# gate-verified instead of pytest-only (r14 verdict ask #3). The
+# oracle replays the ENTIRE pipeline in SQL:
+#   1. PQ seed = the 16 md5-smallest vectors (pq_codebook_sample's
+#      deterministic k-medoids seeding, exactly replayable);
+#   2. ONE Lloyd iteration: per-subspace argmin assignment against the
+#      seed (the same literal fold as pq_encode, bit-identical), then
+#      the per-(subspace, codeword, position) mean CAST TO FLOAT —
+#      the same float-absorption argument as x3b's IVF centroid
+#      replay (cross-engine AVG fold-order ulps are ~1e-16 relative;
+#      the float32 cast has 1e-7 resolution). The Spark wrapper
+#      quantizes the trained book to float32 to match. Codewords that
+#      attract no vectors keep their seed value (standard Lloyd;
+#      COALESCE in the oracle).
+#   3. Energy table (Jégou §III-C bias correction): re-assign the
+#      corpus against the TRAINED book, per-(subspace, codeword) mean
+#      residual, ROUNDED to 6 (half-up on both engines; the wrapper
+#      rounds Spark's table the same way) — absent codewords are 0.
+#   4. x3e's probe discipline unchanged: IVF nprobe=4/16 candidate
+#      cut, ADC LUT = query-to-codeword distance + energy, round-6
+#      ADC shortlist of 40 with vec_id ties, exact-cosine rerank,
+#      final (round-6 cosine DESC, vec_id) top 20.
+_PQ_SUBDIST_SQL = """
+           list_sum(list_transform(range(1, 9),
+               t -> (e.embedding[s.m * 8 + t]::DOUBLE
+                     - c.cvec[s.m * 8 + t]::DOUBLE)
+                  * (e.embedding[s.m * 8 + t]::DOUBLE
+                     - c.cvec[s.m * 8 + t]::DOUBLE)))"""
+
+_IVFPQ_TRAINED_ORACLE = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+           embedding AS cvec
+    FROM (SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT 16)
+),
+iv1 AS (
+    SELECT vec_id, embedding, cell
+    FROM (SELECT e.vec_id, e.embedding, s.cell,
+                 {_COS_SQL.format(a='e.embedding', b='s.cvec')} AS sim
+          FROM emb e CROSS JOIN seeds s)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+cavg AS (
+    SELECT cell, pos, CAST(AVG(x) AS FLOAT) AS cx
+    FROM (SELECT cell, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 unnest(range(1, 65)) AS pos
+          FROM iv1)
+    GROUP BY cell, pos
+),
+cent AS (
+    SELECT cell, list(cx ORDER BY pos) AS cvec FROM cavg GROUP BY cell
+),
+iv2 AS (
+    SELECT vec_id, embedding, cell
+    FROM (SELECT e.vec_id, e.embedding, c.cell,
+                 {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS sim
+          FROM emb e CROSS JOIN cent c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+q AS (SELECT embedding AS qv FROM emb WHERE vec_id = 0),
+probe_cells AS (
+    SELECT cell FROM cent CROSS JOIN q
+    ORDER BY {_COS_SQL.format(a='cvec', b='qv')} DESC, cell LIMIT 4
+),
+cand AS (
+    SELECT iv2.vec_id FROM iv2 JOIN probe_cells USING (cell)
+),
+scb AS (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS code,
+           embedding AS cvec
+    FROM (SELECT vec_id, embedding FROM emb
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16) AS s
+),
+subs AS (SELECT unnest(range(0, 8)) AS m),
+ts AS (SELECT unnest(range(1, 9)) AS t),
+d0 AS (
+    SELECT e.vec_id, s.m, c.code,
+{_PQ_SUBDIST_SQL} AS dist
+    FROM emb e CROSS JOIN subs s CROSS JOIN scb c
+),
+a0 AS (
+    SELECT vec_id, m, code FROM d0
+    QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                               ORDER BY dist, code) = 1
+),
+means AS (
+    SELECT a0.m, a0.code, ts.t,
+           CAST(AVG(e.embedding[a0.m * 8 + ts.t]::DOUBLE) AS FLOAT) AS cx
+    FROM a0 JOIN emb e USING (vec_id) CROSS JOIN ts
+    GROUP BY a0.m, a0.code, ts.t
+),
+pos AS (SELECT unnest(range(1, 65)) AS p),
+tvals AS (
+    SELECT s.code, pos.p, COALESCE(m.cx, s.cvec[pos.p]) AS v
+    FROM scb s CROSS JOIN pos
+    LEFT JOIN means m ON m.code = s.code AND m.m * 8 + m.t = pos.p
+),
+tcb AS (SELECT code, list(v ORDER BY p) AS cvec FROM tvals GROUP BY code),
+d1 AS (
+    SELECT e.vec_id, s.m, c.code,
+{_PQ_SUBDIST_SQL} AS dist
+    FROM emb e CROSS JOIN subs s CROSS JOIN tcb c
+),
+a1t AS (
+    SELECT vec_id, m, code, dist FROM d1
+    QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                               ORDER BY dist, code) = 1
+),
+energy AS (
+    SELECT m, code, ROUND(AVG(dist), 6) AS en FROM a1t GROUP BY m, code
+),
+ccodes AS (
+    SELECT a1t.vec_id, a1t.m, a1t.code FROM a1t JOIN cand USING (vec_id)
+),
+lut AS (
+    SELECT s.m, c.code,
+           list_sum(list_transform(range(1, 9),
+               t -> (q.qv[s.m * 8 + t]::DOUBLE
+                     - c.cvec[s.m * 8 + t]::DOUBLE)
+                  * (q.qv[s.m * 8 + t]::DOUBLE
+                     - c.cvec[s.m * 8 + t]::DOUBLE)))
+           + COALESCE(e2.en, 0.0) AS l
+    FROM subs s CROSS JOIN tcb c CROSS JOIN q
+    LEFT JOIN energy e2 ON e2.m = s.m AND e2.code = c.code
+),
+adc AS (
+    SELECT c.vec_id, ROUND(list_sum(list(l.l ORDER BY c.m)), 6) AS ad
+    FROM ccodes c JOIN lut l ON l.m = c.m AND l.code = c.code
+    GROUP BY c.vec_id
+),
+short AS (SELECT vec_id FROM adc ORDER BY ad, vec_id LIMIT 40)
+SELECT e.vec_id,
+       ROUND({_COS_SQL.format(a='e.embedding', b='qv')}, 6) AS cos_sim
+FROM emb e JOIN short USING (vec_id) CROSS JOIN q
+ORDER BY cos_sim DESC, vec_id LIMIT 20
+"""
+
+
+@register(
+    "x3g_ivfpq_trained",
+    oracle=_IVFPQ_TRAINED_ORACLE,
+    doc="X3g [ext]: IVF-PQ top-k with the LLOYD-TRAINED codebook and "
+        "the ADC bias correction — the configuration a production "
+        "ANN user actually runs (operators/similarity.py:"
+        "pq_codebook_train + pq_codeword_energy + ivf_pq_topk; Jégou "
+        "et al. 2011 §III). One Lloyd iteration refines the "
+        "md5-sampled seed (distortion drops monotonically, "
+        "pytest-pinned); the per-codeword mean residual energy "
+        "de-biases the ADC estimator (a centroid codeword "
+        "systematically underestimates true distance by exactly this "
+        "quantity in expectation — r14's lane measured the "
+        "uncorrected bias flipping the trained-vs-sampled ranking). "
+        "The trained book is float32-quantized and the energy table "
+        "round-6-quantized so the SQL oracle replays the whole "
+        "train->energy->probe pipeline exactly (the same "
+        "float-absorption argument as x3b's centroid replay). Probe "
+        "discipline is x3e's: IVF nprobe=4/16, ADC shortlist 40, "
+        "exact rerank top 20 — still zero corpus scans per probe "
+        "with a prebuilt index at 100 TB.",
+    tags=("ext", "vector"),
+)
+def x3g_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import numpy as np
+
+    from data_warehouse_spark.operators.similarity import (
+        ivf_pq_topk, pq_codebook_train, pq_codeword_energy,
+    )
+
+    set_arrow_batch(spark, ARROW_BATCH_VECTOR)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cb = pq_codebook_train(emb, vec_col="embedding", id_col="vec_id",
+                           n_codes=16, n_sub=8, iters=1, dim=len(qv))
+    # float32 quantization: absorbs cross-engine AVG fold-order ulps
+    # (~1e-16 relative) far below float32 resolution (~1e-7), the
+    # exact trick x3b's oracle uses for IVF centroids (CAST AS FLOAT)
+    cb = [[float(np.float32(v)) for v in c] for c in cb]
+    en = pq_codeword_energy(emb, vec_col="embedding", id_col="vec_id",
+                            codebook=cb, n_sub=8)
+    # round-6 half-up (energies are non-negative), matching the
+    # oracle's ROUND(AVG(dist), 6) — NOT Python round() (half-even)
+    en = [[math.floor(v * 1e6 + 0.5) / 1e6 for v in row] for row in en]
+    return ivf_pq_topk(emb, vec_col="embedding", id_col="vec_id",
+                       query_vec=qv, k=20, n_cells=16, nprobe=4,
+                       n_sub=8, rerank=2, codebook=cb,
+                       codeword_energy=en)

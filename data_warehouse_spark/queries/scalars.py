@@ -86,6 +86,45 @@ def f3_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f4_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross_price,
+       l_quantity / 60.0 AS qty_per_min,
+       l_quantity - l_quantity * l_discount AS kept_qty,
+       l_orderkey // 3 AS key_div3,
+       l_partkey % 7 AS part_mod7,
+       -l_discount AS neg_disc
+FROM lineitem WHERE l_orderkey < 5000
+""",
+    doc="F4: arithmetic / division column operators — the reference's "
+        "`/60.0`, `*`, `-` class (trips_lambda.py:118-119, the "
+        "duration_minutes math). Standalone gate row (r14 verdict ask "
+        "#5): previously exercised only inside f2/f3. Double `*`/`-`"
+        "/`/` with a pinned operand order is IEEE-exact cross-engine "
+        "(no ROUND needed); integer `div`/`%` pin the truncating "
+        "semantics both engines share on non-negative operands.",
+    tags=("scalar",),
+)
+def f4_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+        .alias("net_price"),
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+         * (F.lit(1) + F.col("l_tax"))).alias("gross_price"),
+        (F.col("l_quantity") / F.lit(60.0)).alias("qty_per_min"),
+        (F.col("l_quantity") - F.col("l_quantity") * F.col("l_discount"))
+        .alias("kept_qty"),
+        F.expr("l_orderkey div 3").alias("key_div3"),
+        (F.col("l_partkey") % 7).alias("part_mod7"),
+        (-F.col("l_discount")).alias("neg_disc"),
+    )
+
+
+@register(
     "f5_cast",
     oracle="""
 SELECT o_orderkey,
