@@ -56,73 +56,65 @@ _QUERY_MODULES = [
 # This list IS the round's window, in order; load_all() puts these names
 # first and everything else after, in registration order.
 #
-# Round-14 rotation (VERDICT.md round-13 ask #3): the 16 r10-dated
-# rows re-enter FIRST (no archive row older than r12 may remain; the
-# r13 judge hand-verified 8 of the 16 at sf0.01, but the gate should
-# own the evidence), then every query whose CODE changed in round 14,
-# then r11-cohort backfill.
-#   (a) the 16 r10-dated rows: a13, dq1, f13, f1, f5, j11, j12, j6,
-#       j9, o2, s8, set1, u6, w4, x14, x14b.
-#   (b) round-14 code changes (5): x3d (pq_encode null/ragged/NaN
-#       sentinel hardening + pq_codebook_sample degenerate-row filter,
-#       r13 ADVICE #1, plus the upstream Spark 4.1.2 element_at
-#       stale-buffer workaround documented at
-#       operators/similarity.py pq_encode), x3e (ivf_pq_topk
-#       NULLS-LAST shortlist cut + prebuilt-index consistency asserts,
-#       r13 ADVICE #1/#2), x21 (mixture_schedule weight validation,
-#       r13 ADVICE #3), mm4 (features moved from a mapInPandas stub to
-#       whole-stage codegen octet_length column math — r13 verdict
-#       ask #2; zero-Python plan-asserted), mm4b (NEW: mm4's exact
-#       semantics behind the Arrow encoder seam, so bench(mm4b) -
-#       bench(mm4) is the measured serde cost of the seam itself).
-#   (c) r11-cohort backfill: 29 of the 42 r11-dated queries (mm4 is
-#       r11-dated but re-enters via (b)).
-# 16 + 5 + 29 = 50. The 12 r11 queries displaced by the budget, each
-# with compensating evidence stronger than the sf0.01 gate row it
-# keeps waiting:
-#   st1-st6, st8-st11 — every ST query runs as REAL Structured
-#     Streaming (sources, watermarks, state stores, checkpoints) in
-#     tests/test_streaming.py each round, and st7's exactly-once
-#     contract is additionally SIGKILL+replay-tortured in
-#     test_stream_kill_replay.py; their batch-plan gate forms are
-#     code-untouched since their r11 hash-green rows;
-#   udf1_row_scalar, udf2_pandas_scalar — trivial UDF batteries,
-#     pytest-covered (tests/test_operators.py), code untouched since
-#     their r11 hash-green rows;
-#   f12_case — displaced by the mid-round x3f addition: trivial CASE
-#     battery, same expression class as the windowed f5/f10, code
-#     untouched since its r11 hash-green row, pytest-covered.
-# Their archive rows stay r11 — the same documented deviation class
-# as r13's 16 r10 rows, forced by the 50-slot budget; they lead the
-# r15 window per the standing rotation rule.
+# Round-15 rotation (standing stale-first rule + VERDICT.md round-14
+# ask #2): the 13 r11-dated rows re-enter FIRST, then every query
+# whose CODE changed in round 15, then r12-cohort backfill.
+#   (a) the 13 r11-dated rows (displaced by the r14 budget; their
+#       compensating evidence — real Structured Streaming runs +
+#       SIGKILL torture for the ST family, pytest batteries for
+#       udf1/udf2/f12 — is noted in the r14 comment history, but the
+#       gate now owns the evidence again): st1-st6, st8-st11,
+#       udf1_row_scalar, udf2_pandas_scalar, f12_case.
+#   (b) round-15 code changes (5): x3d/x3e/x3f (the PQ validity gates
+#       now require FINITE elements — r14 ADVICE #1: an inf element
+#       previously produced a finite garbage ADC score that could
+#       displace the true rank-1 after rerank; plus half-up ADC
+#       rounding in the Arrow kernel, r14 ADVICE #2), x3g (NEW: the
+#       Lloyd-trained codebook + ADC bias-correction probe, r14
+#       verdict ask #3 — the oracle replays train/energy/probe end to
+#       end), f4_arithmetic (NEW: the standalone arithmetic gate row,
+#       r14 verdict ask #5 — closes SURVEY §2 to 131/131 standalone).
+#   (c) r12-cohort backfill: 32 of the 41 r12-dated rows.
+# 13 + 5 + 32 = 50. The 9 r12 queries displaced by the budget (lead
+# the r16 window per the standing rule), chosen battery-first —
+# trivial expression/scan classes with per-round pytest coverage, plus
+# the two streaming forms whose REAL streaming execution (including
+# st7's SIGKILL+replay torture) runs in tests/test_streaming.py every
+# round: s1_scan_filter, s7_scan_full, p1_project,
+# p2_range_predicate, p4_null_predicate, a2_count_by_key,
+# j7_cross_join, st7_foreach_upsert, st12_stream_incremental_dedup.
+# tests/test_window_integrity.py machine-checks (b): any registry
+# query whose fingerprint changed since the last round boundary must
+# be in this list (r14 verdict ask #8).
 DRIVER_WINDOW = [
-    # (a) the 16 r10-dated rows — re-enter first per the standing rule
-    "a13_histogram", "dq1_validation_report", "f13_url_parse",
-    "f1_timezone", "f5_cast", "j11_fact_fact_join",
-    "j12_bucketed_fact_join", "j6_asof_join", "j9_spatial_join",
-    "o2_topk", "s8_partition_pruned_scan", "set1_union_all",
-    "u6_compaction", "w4_running_agg", "x14_token_budget_sample",
-    "x14b_token_budget_scalable",
-    # (b) round-14 code changes
-    "x3d_pq_adc", "x3e_ivfpq_topk", "x21_mixture_schedule",
-    "mm4_feature_ann", "mm4b_feature_ann_seam", "x3f_ivfpq_arrow256",
-    # (c) r11-cohort backfill (42 minus mm4 in (b) minus the 12
-    # displaced above)
-    "a7_salted_agg", "dq1b_validation_sketch",
-    "f6_date_format", "f7_current_timestamp", "j10_star_join",
-    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
-    "u3_microbatch_write", "u9_time_travel", "u9b_snapshot_diff",
-    "udf3_grouped_pandas", "udf4_udtf_words", "x10_repetition_filter",
-    "x1_exact_dedup", "x2c_ngram_jaccard", "x2e_incremental_dedup",
-    "x3_cosine_topk", "x3b_ivf_topk", "x3c_multi_topk",
-    "x4_pairwise_sim", "x5_text_stats", "x5b_lang_id",
-    "x5c_quality_score", "x6_token_freq", "x7_tfidf",
-    "x8c_components_highdiam", "x9_stratified_split",
+    # (a) the 13 r11-dated rows — re-enter first per the standing rule
+    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
+    "st4_session_window", "st5_watermark_late_drop",
+    "st6_stream_dedup", "st8_custom_stateful",
+    "st9_stream_stream_join", "st10_stream_static_join",
+    "st11_dedup_retries", "udf1_row_scalar", "udf2_pandas_scalar",
+    "f12_case",
+    # (b) round-15 code changes / additions
+    "x3d_pq_adc", "x3e_ivfpq_topk", "x3f_ivfpq_arrow256",
+    "x3g_ivfpq_trained", "f4_arithmetic",
+    # (c) r12-cohort backfill (41 minus the 9 displaced above)
+    "a10_unpivot", "a4_distinct", "a5_rollup", "a6_stats",
+    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
+    "j4_semi_join", "j4_anti_join", "j5_range_join",
+    "j8_two_source_merge", "s11_schema_evolution", "u2_dedup_latest",
+    "u4_scd2_dimension", "u7_incremental_rollup", "u8_zorder_scan",
+    "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
+    "x12_dedup_corpus", "x12b_dedup_corpus_sparse", "x16_span_dedup",
+    "x16b_span_removal", "x16c_span_dedup_sparse", "x18_corpus_prep",
+    "x19_quality_gate", "x2b_simhash", "x5d_fingerprint",
+    "x8_dup_components", "x8b_components_sparse",
+    "x8d_components_auto",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
-# Queries added or code-changed DURING round 14 must be appended to
+# Queries added or code-changed DURING round 15 must be appended to
 # (b) — displacing (c) backfill only past 50 — so the "every changed
-# query is windowed" claim stays true against the CORRECTNESS_r14 keys.
+# query is windowed" claim stays true against the CORRECTNESS_r15 keys
+# (now machine-checked by tests/test_window_integrity.py).
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

@@ -6,40 +6,42 @@ from __future__ import annotations
 
 from data_warehouse_spark.queries.registry import DRIVER_WINDOW, load_all
 
-# Round-14 window (VERDICT.md round-13 ask #3): the 16 r10-dated rows
-# first, then every round-14 code change, then r11-cohort backfill.
-# Composition rationale (incl. the 13 displaced r11 queries and their
-# compensating evidence) lives next to DRIVER_WINDOW in
-# queries/registry.py.
+# Round-15 window (standing stale-first rule + VERDICT.md round-14
+# ask #2): the 13 r11-dated rows first, then every round-15 code
+# change, then r12-cohort backfill. Composition rationale (incl. the
+# 9 displaced r12 queries and their compensating evidence) lives next
+# to DRIVER_WINDOW in queries/registry.py; the "every changed query
+# is windowed" half is machine-checked by
+# tests/test_window_integrity.py.
 MUST_BE_WINDOWED = {
-    # (a) the 16 r10-dated rows
-    "a13_histogram", "dq1_validation_report", "f13_url_parse",
-    "f1_timezone", "f5_cast", "j11_fact_fact_join",
-    "j12_bucketed_fact_join", "j6_asof_join", "j9_spatial_join",
-    "o2_topk", "s8_partition_pruned_scan", "set1_union_all",
-    "u6_compaction", "w4_running_agg", "x14_token_budget_sample",
-    "x14b_token_budget_scalable",
-    # (b) round-14 code changes (pq sentinel hardening + index
-    # contract asserts -> x3d/x3e; mixture weight validation -> x21;
-    # mm4 JVM fast path; new mm4b seam-attribution twin; new x3f
-    # 256-codeword probe gate-verifying the Arrow encode kernel)
-    "x3d_pq_adc", "x3e_ivfpq_topk", "x21_mixture_schedule",
-    "mm4_feature_ann", "mm4b_feature_ann_seam", "x3f_ivfpq_arrow256",
-    # (c) r11-cohort backfill
-    "a7_salted_agg", "dq1b_validation_sketch",
-    "f6_date_format", "f7_current_timestamp", "j10_star_join",
-    "mm1_multimodal_stub", "mm2_image_resize", "mm3_frame_sample",
-    "u3_microbatch_write", "u9_time_travel", "u9b_snapshot_diff",
-    "udf3_grouped_pandas", "udf4_udtf_words", "x10_repetition_filter",
-    "x1_exact_dedup", "x2c_ngram_jaccard", "x2e_incremental_dedup",
-    "x3_cosine_topk", "x3b_ivf_topk", "x3c_multi_topk",
-    "x4_pairwise_sim", "x5_text_stats", "x5b_lang_id",
-    "x5c_quality_score", "x6_token_freq", "x7_tfidf",
-    "x8c_components_highdiam", "x9_stratified_split",
+    # (a) the 13 r11-dated rows
+    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
+    "st4_session_window", "st5_watermark_late_drop",
+    "st6_stream_dedup", "st8_custom_stateful",
+    "st9_stream_stream_join", "st10_stream_static_join",
+    "st11_dedup_retries", "udf1_row_scalar", "udf2_pandas_scalar",
+    "f12_case",
+    # (b) round-15 code changes (PQ finiteness gates + half-up Arrow
+    # ADC rounding -> x3d/x3e/x3f; new x3g trained-book probe; new
+    # f4 standalone arithmetic row)
+    "x3d_pq_adc", "x3e_ivfpq_topk", "x3f_ivfpq_arrow256",
+    "x3g_ivfpq_trained", "f4_arithmetic",
+    # (c) r12-cohort backfill
+    "a10_unpivot", "a4_distinct", "a5_rollup", "a6_stats",
+    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
+    "j4_semi_join", "j4_anti_join", "j5_range_join",
+    "j8_two_source_merge", "s11_schema_evolution", "u2_dedup_latest",
+    "u4_scd2_dimension", "u7_incremental_rollup", "u8_zorder_scan",
+    "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
+    "x12_dedup_corpus", "x12b_dedup_corpus_sparse", "x16_span_dedup",
+    "x16b_span_removal", "x16c_span_dedup_sparse", "x18_corpus_prep",
+    "x19_quality_gate", "x2b_simhash", "x5d_fingerprint",
+    "x8_dup_components", "x8b_components_sparse",
+    "x8d_components_auto",
 }
 
 
-def test_driver_window_is_exactly_the_round14_set():
+def test_driver_window_is_exactly_the_round15_set():
     # DRIVER_WINDOW is the explicit first-50 contract; it must hold
     # every query that needs (re-)verification this round and fit the
     # driver's 50-entry budget.
