@@ -117,19 +117,32 @@ def main() -> None:
         except Exception:
             pass
 
-    # Best-of-N per query (N=3, override via SPARK_GRAFT_BENCH_RUNS):
-    # the box shares hardware and single-shot timings swing 2-4x with
-    # neighbor load; at the sf0.1 job floor, best-of-2 proved too
-    # noise-fragile to distinguish a real 1.5x regression from a noisy
-    # round. Runs interleave across queries so one load spike cannot
-    # poison every sample of a single query.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Best-of-N per query, ADAPTIVE N (r14 verdict ask #1): the box
+    # shares hardware and single-shot timings swing 2-4x with neighbor
+    # load; r12 and r14 both recorded load-inflated headline artifacts
+    # where every query slowed 20-50% in lockstep with the DuckDB
+    # anchor. A fixed best-of-3 samples ~30 s of wall-clock — too
+    # short to ride out a neighbor's burst — so after the minimum
+    # passes (SPARK_GRAFT_BENCH_RUNS, default 3) extra passes keep
+    # running while the best-total keeps improving >1% per pass, up to
+    # SPARK_GRAFT_BENCH_MAX_RUNS (default 8) or the wall budget
+    # (SPARK_GRAFT_BENCH_BUDGET_S, default 420 s). One loaded minute
+    # can then no longer set the round's number of record; a genuinely
+    # loaded whole-invocation still shows up in `ratio` (the
+    # interleaved anchor inflates with it). Runs interleave across
+    # queries so one spike cannot poison every sample of one query.
+    min_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "8"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
     con = _duck_anchor_con(sf_dir)
     for _, q in DUCK_ANCHOR.values():  # warm the page cache / plan cache
         con.sql(q).fetchall()
     timings: dict[str, float] = {}
     anchors: dict[str, float] = {}
-    for _ in range(runs):
+    bench_t0 = time.time()
+    passes = 0
+    prev_best = None
+    while passes < max_runs:
         for name in names:
             # driver-harness parity: reset the Arrow tier so a prior
             # query's blob/vector pin can't bias this measurement
@@ -147,6 +160,14 @@ def main() -> None:
                 con.sql(q).fetchall()
             dt = round(time.time() - t0, 3)
             anchors[aname] = min(anchors.get(aname, dt), dt)
+        passes += 1
+        best = sum(timings.values())
+        if passes >= min_runs:
+            if time.time() - bench_t0 > budget_s:
+                break
+            if prev_best is not None and best > prev_best * 0.99:
+                break  # converged: last pass improved < 1%
+        prev_best = best
     total = round(sum(timings.values()), 3)
     anchor_total = round(sum(anchors.values()), 3)
 
@@ -161,6 +182,7 @@ def main() -> None:
         "duckdb_anchor_s": anchor_total,
         "duckdb_anchor_queries": anchors,
         "ratio": round(total / anchor_total, 3) if anchor_total else None,
+        "passes": passes,
     }))
 
 

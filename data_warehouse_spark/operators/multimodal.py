@@ -44,8 +44,15 @@ def attach_blob(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Turn a text column into an opaque binary payload + typed metadata
     — the storage shape for any media column: (id, blob, media_type,
-    n_bytes). Real pipelines land here straight from ingestion."""
-    blob = F.encode(F.col(text_col), "UTF-8")
+    n_bytes). Real pipelines land here straight from ingestion.
+
+    The payload is CAST(text AS BINARY), not encode(text, 'UTF-8'):
+    Spark strings are UTF-8 bytes internally, so the cast yields the
+    identical payload (fixture-verified byte-equal, NULL-identical)
+    without the charset encoder's per-row copy — measured 0.25 s of
+    the 1.075 s mm4 pipeline at 1024x (.r15/mm4_decomp.py, SCALE.md
+    r15)."""
+    blob = F.col(text_col).cast("binary")
     return df.select(
         F.col(id_col),
         blob.alias("blob"),

@@ -65,7 +65,7 @@ _QUERY_MODULES = [
 #       udf1/udf2/f12 — is noted in the r14 comment history, but the
 #       gate now owns the evidence again): st1-st6, st8-st11,
 #       udf1_row_scalar, udf2_pandas_scalar, f12_case.
-#   (b) round-15 code changes (5): x3d/x3e/x3f (the PQ validity gates
+#   (b) round-15 code changes (8): x3d/x3e/x3f (the PQ validity gates
 #       now require FINITE elements — r14 ADVICE #1: an inf element
 #       previously produced a finite garbage ADC score that could
 #       displace the true rank-1 after rerank; plus half-up ADC
@@ -73,16 +73,21 @@ _QUERY_MODULES = [
 #       Lloyd-trained codebook + ADC bias-correction probe, r14
 #       verdict ask #3 — the oracle replays train/energy/probe end to
 #       end), f4_arithmetic (NEW: the standalone arithmetic gate row,
-#       r14 verdict ask #5 — closes SURVEY §2 to 131/131 standalone).
-#   (c) r12-cohort backfill: 32 of the 41 r12-dated rows.
-# 13 + 5 + 32 = 50. The 9 r12 queries displaced by the budget (lead
+#       r14 verdict ask #5 — closes SURVEY §2 to 131/131 standalone),
+#       mm3/mm4/mm4b (attach_blob's payload is now CAST(text AS
+#       BINARY) instead of encode(text,'UTF-8') — byte-identical,
+#       fixture-verified, 0.25 s cheaper at 1024x; r14 verdict ask #4
+#       decomposition, .r15/mm4_decomp.py).
+#   (c) r12-cohort backfill: 29 of the 41 r12-dated rows.
+# 13 + 8 + 29 = 50. The 12 r12 queries displaced by the budget (lead
 # the r16 window per the standing rule), chosen battery-first —
-# trivial expression/scan classes with per-round pytest coverage, plus
-# the two streaming forms whose REAL streaming execution (including
-# st7's SIGKILL+replay torture) runs in tests/test_streaming.py every
-# round: s1_scan_filter, s7_scan_full, p1_project,
-# p2_range_predicate, p4_null_predicate, a2_count_by_key,
-# j7_cross_join, st7_foreach_upsert, st12_stream_incremental_dedup.
+# trivial expression/scan/agg classes with per-round pytest coverage,
+# plus the two streaming forms whose REAL streaming execution
+# (including st7's SIGKILL+replay torture) runs in
+# tests/test_streaming.py every round: s1_scan_filter, s7_scan_full,
+# p1_project, p2_range_predicate, p4_null_predicate, a2_count_by_key,
+# a4_distinct, a5_rollup, a10_unpivot, j7_cross_join,
+# st7_foreach_upsert, st12_stream_incremental_dedup.
 # tests/test_window_integrity.py machine-checks (b): any registry
 # query whose fingerprint changed since the last round boundary must
 # be in this list (r14 verdict ask #8).
@@ -96,9 +101,10 @@ DRIVER_WINDOW = [
     "f12_case",
     # (b) round-15 code changes / additions
     "x3d_pq_adc", "x3e_ivfpq_topk", "x3f_ivfpq_arrow256",
-    "x3g_ivfpq_trained", "f4_arithmetic",
-    # (c) r12-cohort backfill (41 minus the 9 displaced above)
-    "a10_unpivot", "a4_distinct", "a5_rollup", "a6_stats",
+    "x3g_ivfpq_trained", "f4_arithmetic", "mm3_frame_sample",
+    "mm4_feature_ann", "mm4b_feature_ann_seam",
+    # (c) r12-cohort backfill (41 minus the 12 displaced above)
+    "a6_stats",
     "j1_inner_join", "j2_broadcast_join", "j3_left_join",
     "j4_semi_join", "j4_anti_join", "j5_range_join",
     "j8_two_source_merge", "s11_schema_evolution", "u2_dedup_latest",

@@ -23,11 +23,13 @@ MUST_BE_WINDOWED = {
     "f12_case",
     # (b) round-15 code changes (PQ finiteness gates + half-up Arrow
     # ADC rounding -> x3d/x3e/x3f; new x3g trained-book probe; new
-    # f4 standalone arithmetic row)
+    # f4 standalone arithmetic row; attach_blob cast-payload ->
+    # mm3/mm4/mm4b)
     "x3d_pq_adc", "x3e_ivfpq_topk", "x3f_ivfpq_arrow256",
-    "x3g_ivfpq_trained", "f4_arithmetic",
+    "x3g_ivfpq_trained", "f4_arithmetic", "mm3_frame_sample",
+    "mm4_feature_ann", "mm4b_feature_ann_seam",
     # (c) r12-cohort backfill
-    "a10_unpivot", "a4_distinct", "a5_rollup", "a6_stats",
+    "a6_stats",
     "j1_inner_join", "j2_broadcast_join", "j3_left_join",
     "j4_semi_join", "j4_anti_join", "j5_range_join",
     "j8_two_source_merge", "s11_schema_evolution", "u2_dedup_latest",
