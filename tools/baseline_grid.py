@@ -100,7 +100,7 @@ def render(rows: dict[str, dict[str, float]], sf_dir: str) -> str:
 
     lines = [
         f"## Measured baseline (sf0.1, local[32], regenerated {stamp}, "
-        f"round {os.environ.get('SPARK_GRAFT_ROUND', '10')})",
+        f"round {os.environ.get('SPARK_GRAFT_ROUND', '15')})",
         "",
         "Full-registry regeneration on the current fixtures via "
         "`tools/baseline_grid.py` (the round-3 grid predated "
