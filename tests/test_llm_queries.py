@@ -1564,3 +1564,33 @@ def test_ivf_pq_256_codebook_serving_path(spark):
             idx.unpersist()
     finally:
         df.unpersist()
+
+
+def test_pq_hof_dist_array_matches_codegen_form(spark, sf_dir):
+    """_pq_dist_array_hof (the plan-compile-cheap trainer form) must
+    be VALUE-identical to _pq_sub_dist's codegen form — same terms,
+    same left-to-right fold — on the real fixture: identical distance
+    doubles and identical argmin codes for every (row, subspace).
+    This is the bit-identity the x3g oracle replay leans on."""
+    import pyspark.sql.functions as F
+
+    from data_warehouse_spark.operators.similarity import (
+        _pq_dist_array_hof, _pq_sub_dist, pq_codebook_sample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook_sample(emb, "embedding", "vec_id",
+                            n_codes=8, dim=64)
+    d_sub = 64 // 8
+    cols = []
+    for m in range(8):
+        hof = _pq_dist_array_hof("embedding", cb, m, d_sub)
+        gen = F.array(*[_pq_sub_dist("embedding", cb, m, j, d_sub)
+                        for j in range(len(cb))])
+        cols.append((hof == gen).alias(f"eq{m}"))
+        cols.append((F.array_position(hof, F.array_min(hof))
+                     == F.array_position(gen, F.array_min(gen)))
+                    .alias(f"am{m}"))
+    bad = emb.select(*cols).filter(
+        ~F.expr(" AND ".join(f"eq{m} AND am{m}" for m in range(8))))
+    assert bad.count() == 0
