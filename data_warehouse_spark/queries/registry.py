@@ -77,17 +77,22 @@ _QUERY_MODULES = [
 #       mm3/mm4/mm4b (attach_blob's payload is now CAST(text AS
 #       BINARY) instead of encode(text,'UTF-8') — byte-identical,
 #       fixture-verified, 0.25 s cheaper at 1024x; r14 verdict ask #4
-#       decomposition, .r15/mm4_decomp.py).
-#   (c) r12-cohort backfill: 29 of the 41 r12-dated rows.
-# 13 + 8 + 29 = 50. The 12 r12 queries displaced by the budget (lead
+#       decomposition, .r15/mm4_decomp.py), s8b (NEW: dynamic
+#       partition pruning — the runtime-day-list backfill shape,
+#       plan-asserted dynamicpruningexpression) and s8 (its
+#       partitioned-copy cache refactored into the shared
+#       _s8_partitioned_events helper).
+#   (c) r12-cohort backfill: 27 of the 41 r12-dated rows.
+# 13 + 10 + 27 = 50. The 14 r12 queries displaced by the budget (lead
 # the r16 window per the standing rule), chosen battery-first —
 # trivial expression/scan/agg classes with per-round pytest coverage,
 # plus the two streaming forms whose REAL streaming execution
 # (including st7's SIGKILL+replay torture) runs in
 # tests/test_streaming.py every round: s1_scan_filter, s7_scan_full,
 # p1_project, p2_range_predicate, p4_null_predicate, a2_count_by_key,
-# a4_distinct, a5_rollup, a10_unpivot, j7_cross_join,
-# st7_foreach_upsert, st12_stream_incremental_dedup.
+# a4_distinct, a5_rollup, a6_stats, a10_unpivot, j7_cross_join,
+# j8_two_source_merge, st7_foreach_upsert,
+# st12_stream_incremental_dedup.
 # tests/test_window_integrity.py machine-checks (b): any registry
 # query whose fingerprint changed since the last round boundary must
 # be in this list (r14 verdict ask #8).
@@ -103,11 +108,11 @@ DRIVER_WINDOW = [
     "x3d_pq_adc", "x3e_ivfpq_topk", "x3f_ivfpq_arrow256",
     "x3g_ivfpq_trained", "f4_arithmetic", "mm3_frame_sample",
     "mm4_feature_ann", "mm4b_feature_ann_seam",
-    # (c) r12-cohort backfill (41 minus the 12 displaced above)
-    "a6_stats",
+    "s8_partition_pruned_scan", "s8b_dpp_scan",
+    # (c) r12-cohort backfill (41 minus the 14 displaced above)
     "j1_inner_join", "j2_broadcast_join", "j3_left_join",
     "j4_semi_join", "j4_anti_join", "j5_range_join",
-    "j8_two_source_merge", "s11_schema_evolution", "u2_dedup_latest",
+    "s11_schema_evolution", "u2_dedup_latest",
     "u4_scd2_dimension", "u7_incremental_rollup", "u8_zorder_scan",
     "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
     "x12_dedup_corpus", "x12b_dedup_corpus_sparse", "x16_span_dedup",

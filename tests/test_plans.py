@@ -121,6 +121,23 @@ def test_s8_scan_is_partition_pruned(spark):
         "PartitionFilters", 1)[1][:200]
 
 
+def test_s8b_scan_is_dynamically_pruned(spark):
+    """s8b's day list comes from a runtime aggregate (top-10 busiest
+    days), so no static dt filter exists — the fact scan must carry a
+    dynamicpruningexpression PartitionFilter (DPP: the broadcast dim
+    subquery executes first and prunes the fact's partition listing).
+    A deterministic function of dt would instead be pushed statically
+    through the join and never exercise DPP — this pins the dynamic
+    path specifically."""
+    plan = executed_plan(q(spark, "s8b_dpp_scan"))
+    fact_scans = [ln for ln in plan.splitlines()
+                  if "PartitionFilters" in ln and "event_type" in ln]
+    assert fact_scans, "no fact scan with PartitionFilters in plan"
+    assert any("dynamicpruning" in ln for ln in fact_scans), (
+        "fact scan lost its dynamicpruningexpression — DPP regressed:\n"
+        + fact_scans[0][:400])
+
+
 def test_x3_small_scan_kernel_stays_jvm_side(spark):
     """Below ARROW_MIN_PLAN_BYTES the auto kernel is the one-parse HOF
     expression: no Python evaluation node may appear in the scoring
