@@ -138,6 +138,61 @@ def test_s8b_scan_is_dynamically_pruned(spark):
         + fact_scans[0][:400])
 
 
+def test_runtime_bloom_filter_fires_on_fact_fact_join(spark):
+    """Runtime Bloom-filter join pruning — the non-partition-key
+    analogue of s8b's DPP: a selective dim-side filter materializes a
+    bloom filter that is pushed into the FACT scan as
+    might_contain(xxhash64(key)), skipping rows (and with parquet
+    row-group stats, whole row groups) that cannot join. At 100 TB the
+    defaults fire on their own (application side >= 10 GB, no
+    broadcastable side on a fact-fact join); at fixture scale both
+    thresholds and the broadcast fallback must be scoped down to
+    exercise the rule, so this is a plan-mechanism test rather than a
+    registry row — session confs are restored either way (a leaked
+    autoBroadcastJoinThreshold=-1 would rewrite every other query's
+    plan)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "65536",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "creationSideThreshold": "33554432",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    import pyspark.sql.functions as F
+
+    from data_warehouse_spark.io import load_table
+
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        orders = (load_table(spark, SF, "orders")
+                  .filter(F.col("o_orderpriority") == "1-URGENT"))
+        joined = (li.join(orders.select("o_orderkey"),
+                          li["l_orderkey"] == orders["o_orderkey"])
+                  .groupBy("l_returnflag")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        plan = executed_plan(joined)
+        assert "might_contain" in plan, (
+            "runtime bloom filter not injected — rule regressed or "
+            "thresholds changed upstream")
+        # exactness: the bloom prefilter is lossy-pass/exact-join —
+        # results must equal the unfiltered join's
+        expected = {(r.l_returnflag, r.n) for r in
+                    (li.join(orders.select("o_orderkey"),
+                             li["l_orderkey"] == orders["o_orderkey"],
+                             "left_semi").groupBy("l_returnflag")
+                     .agg(F.count(F.lit(1)).alias("n"))).collect()}
+        # left_semi differs when orders has dup keys; o_orderkey is
+        # unique in the fixture so inner == semi here
+        got = {(r.l_returnflag, r.n) for r in joined.collect()}
+        assert got == expected
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_x3_small_scan_kernel_stays_jvm_side(spark):
     """Below ARROW_MIN_PLAN_BYTES the auto kernel is the one-parse HOF
     expression: no Python evaluation node may appear in the scoring
