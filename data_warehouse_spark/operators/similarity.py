@@ -821,6 +821,46 @@ def build_ivf_index(df: DataFrame, vec_col: str, id_col: str,
     return IvfIndex(centroids, assigned, vec_col, id_col, dim)
 
 
+def extend_ivf_index(index: IvfIndex, batch: DataFrame,
+                     persist: bool = False) -> IvfIndex:
+    """Incremental IVF index maintenance — the ANN analogue of the
+    x2e/x2g incremental-dedup pair: assign a NEW batch of vectors to
+    the EXISTING centroids and append, so index growth costs
+    O(|batch| * n_cells) and the indexed corpus is NEVER re-scanned
+    (the same never-re-pair-the-corpus contract as
+    minhash_probe_index). Probes over the returned index span old and
+    new rows in one plan; the centroid table is unchanged, so probe
+    cell selection is identical before and after.
+
+    Drift caveat (the standard IVF maintenance contract, Jégou et al.
+    2011 §V): appending does not retrain — if the batch distribution
+    shifts, cells skew and recall degrades. The rebuild policy is the
+    operator consumer's: monitor per-cell counts on the assignment
+    table (a groupBy over the index — cheap) and rebuild via
+    build_ivf_index when max/mean cell size exceeds the deployment's
+    bound. At 100 TB the assignment table is a partitioned/bucketed
+    table and this append is one ingest write.
+
+    `persist` caches the appended batch assignment (the existing
+    index's caching is untouched either way)."""
+    if index.vec_col not in batch.columns or index.id_col not in batch.columns:
+        raise ValueError(
+            f"extend_ivf_index: batch must carry the indexed columns "
+            f"({index.vec_col!r}, {index.id_col!r})")
+    assigned_new = assign_cells(batch.select(index.id_col, index.vec_col),
+                                index.centroids, index.vec_col,
+                                index.id_col, dim=index.dim)
+    if persist:
+        assigned_new = assigned_new.persist()
+    # column order differs (assign_cells appends `cell`); unionByName
+    # aligns. The existing side keeps its own persistence.
+    merged = index.assigned.select(index.id_col, index.vec_col, "cell") \
+        .unionByName(assigned_new.select(index.id_col, index.vec_col,
+                                         "cell"))
+    return IvfIndex(index.centroids, merged, index.vec_col,
+                    index.id_col, index.dim)
+
+
 def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
              query_vec: list[float], k: int = 20, n_cells: int = 16,
              nprobe: int = 4) -> DataFrame:

@@ -1013,3 +1013,105 @@ def x3g_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                        query_vec=qv, k=20, n_cells=16, nprobe=4,
                        n_sub=8, rerank=2, codebook=cb,
                        codeword_energy=en)
+
+
+# x3h: incremental IVF index maintenance — the ANN analogue of the
+# x2e/x2g incremental-dedup pair. The corpus (vec_id % 5 != 0) builds
+# the index; the batch (vec_id % 5 == 0, which INCLUDES the fixture
+# query vector 0) is appended by assigning against the EXISTING
+# centroids only — O(|batch| * n_cells), the indexed corpus never
+# re-scanned. The probe then spans old and new rows in one plan; the
+# query's own vector arriving IN the batch and surfacing at rank 1
+# is the freshness property this row certifies. The oracle is x3b's
+# replay with centroids from the corpus subset and the batch assigned
+# against the trained centroids (same cosine + QUALIFY machinery, so
+# assignments agree by the same round-12-snap/ties argument).
+_IVF_INCR_ORACLE = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+corpus AS (SELECT * FROM emb WHERE vec_id % 5 <> 0),
+batch AS (SELECT * FROM emb WHERE vec_id % 5 = 0),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+           embedding AS cvec
+    FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 16)
+),
+a1 AS (
+    SELECT vec_id, embedding, cell
+    FROM (SELECT e.vec_id, e.embedding, s.cell,
+                 {_COS_SQL.format(a='e.embedding', b='s.cvec')} AS sim
+          FROM corpus e CROSS JOIN seeds s)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+cavg AS (
+    SELECT cell, pos, CAST(AVG(x) AS FLOAT) AS cx
+    FROM (SELECT cell, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 unnest(range(1, 65)) AS pos
+          FROM a1)
+    GROUP BY cell, pos
+),
+cent AS (
+    SELECT cell, list(cx ORDER BY pos) AS cvec FROM cavg GROUP BY cell
+),
+a2 AS (
+    SELECT vec_id, embedding, cell
+    FROM (SELECT e.vec_id, e.embedding, c.cell,
+                 {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS sim
+          FROM corpus e CROSS JOIN cent c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+b2 AS (
+    SELECT vec_id, embedding, cell
+    FROM (SELECT e.vec_id, e.embedding, c.cell,
+                 {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS sim
+          FROM batch e CROSS JOIN cent c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+all2 AS (SELECT * FROM a2 UNION ALL SELECT * FROM b2),
+q AS (SELECT embedding AS qv FROM emb WHERE vec_id = 0),
+probe_cells AS (
+    SELECT cell FROM cent CROSS JOIN q
+    ORDER BY {_COS_SQL.format(a='cvec', b='qv')} DESC, cell LIMIT 4
+)
+SELECT all2.vec_id,
+       ROUND({_COS_SQL.format(a='all2.embedding', b='qv')}, 6) AS cos_sim
+FROM all2 JOIN probe_cells USING (cell) CROSS JOIN q
+ORDER BY cos_sim DESC, vec_id LIMIT 20
+"""
+
+
+@register(
+    "x3h_ivf_incremental",
+    oracle=_IVF_INCR_ORACLE,
+    doc="X3h [ext]: incremental IVF index maintenance "
+        "(operators/similarity.py:extend_ivf_index) — the ANN "
+        "analogue of x2e/x2g incremental dedup: a new vector batch "
+        "(20% of the fixture, including the query vector itself) is "
+        "appended to an index built on the other 80% by assigning "
+        "against the EXISTING centroids — O(|batch| * n_cells), the "
+        "indexed corpus never re-scanned — and the probe spans old "
+        "and new rows in one plan (the fresh query vector surfaces at "
+        "rank 1: the freshness property a streaming-ingest ANN "
+        "serving path needs). Centroids unchanged by the append, so "
+        "probe cell selection is stable; drift/rebuild policy in the "
+        "operator docstring. Oracle = x3b's full SQL replay with "
+        "corpus-subset centroids plus the batch assignment.",
+    tags=("ext", "vector", "incremental"),
+)
+def x3h_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.similarity import (
+        build_ivf_index, extend_ivf_index,
+    )
+
+    set_arrow_batch(spark, ARROW_BATCH_VECTOR)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = build_ivf_index(corpus, vec_col="embedding", id_col="vec_id",
+                          n_cells=16, iters=1, dim=len(qv),
+                          persist=False)
+    extended = extend_ivf_index(idx, batch)
+    return extended.probe(qv, k=20, nprobe=4)

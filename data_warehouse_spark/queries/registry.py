@@ -81,9 +81,12 @@ _QUERY_MODULES = [
 #       partition pruning — the runtime-day-list backfill shape,
 #       plan-asserted dynamicpruningexpression) and s8 (its
 #       partitioned-copy cache refactored into the shared
-#       _s8_partitioned_events helper).
-#   (c) r12-cohort backfill: 27 of the 41 r12-dated rows.
-# 13 + 10 + 27 = 50. The 14 r12 queries displaced by the budget (lead
+#       _s8_partitioned_events helper), x3h (NEW: incremental IVF
+#       index maintenance — extend_ivf_index assigns a batch against
+#       the existing centroids, O(|batch| * n_cells), corpus never
+#       re-scanned; the x2e/x2g pattern applied to ANN).
+#   (c) r12-cohort backfill: 26 of the 41 r12-dated rows.
+# 13 + 11 + 26 = 50. The 15 r12 queries displaced by the budget (lead
 # the r16 window per the standing rule), chosen battery-first —
 # trivial expression/scan/agg classes with per-round pytest coverage,
 # plus the two streaming forms whose REAL streaming execution
@@ -91,7 +94,7 @@ _QUERY_MODULES = [
 # tests/test_streaming.py every round: s1_scan_filter, s7_scan_full,
 # p1_project, p2_range_predicate, p4_null_predicate, a2_count_by_key,
 # a4_distinct, a5_rollup, a6_stats, a10_unpivot, j7_cross_join,
-# j8_two_source_merge, st7_foreach_upsert,
+# j8_two_source_merge, w2_lead_first_last, st7_foreach_upsert,
 # st12_stream_incremental_dedup.
 # tests/test_window_integrity.py machine-checks (b): any registry
 # query whose fingerprint changed since the last round boundary must
@@ -109,12 +112,13 @@ DRIVER_WINDOW = [
     "x3g_ivfpq_trained", "f4_arithmetic", "mm3_frame_sample",
     "mm4_feature_ann", "mm4b_feature_ann_seam",
     "s8_partition_pruned_scan", "s8b_dpp_scan",
-    # (c) r12-cohort backfill (41 minus the 14 displaced above)
+    "x3h_ivf_incremental",
+    # (c) r12-cohort backfill (41 minus the 15 displaced above)
     "j1_inner_join", "j2_broadcast_join", "j3_left_join",
     "j4_semi_join", "j4_anti_join", "j5_range_join",
     "s11_schema_evolution", "u2_dedup_latest",
     "u4_scd2_dimension", "u7_incremental_rollup", "u8_zorder_scan",
-    "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
+    "w1_lag", "w3_ranking", "w6_distribution",
     "x12_dedup_corpus", "x12b_dedup_corpus_sparse", "x16_span_dedup",
     "x16b_span_removal", "x16c_span_dedup_sparse", "x18_corpus_prep",
     "x19_quality_gate", "x2b_simhash", "x5d_fingerprint",

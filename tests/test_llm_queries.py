@@ -1594,3 +1594,37 @@ def test_pq_hof_dist_array_matches_codegen_form(spark, sf_dir):
     bad = emb.select(*cols).filter(
         ~F.expr(" AND ".join(f"eq{m} AND am{m}" for m in range(8))))
     assert bad.count() == 0
+
+
+def test_extend_ivf_index_freshness_and_isolation(spark, sf_dir):
+    """x3h's contract: (1) a batch appended via extend_ivf_index is
+    immediately probe-visible — the query's own vector arrives IN the
+    batch and must surface at rank 1; (2) the merged assignment holds
+    exactly corpus+batch rows; (3) extending with an empty batch is
+    an identity on probe results; (4) a batch missing the indexed
+    columns is rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.operators.similarity import (
+        build_ivf_index, extend_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").select("embedding").collect()[0][0]]
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    idx = build_ivf_index(corpus, "embedding", "vec_id", n_cells=16,
+                          iters=1, dim=64, persist=False)
+    ext = extend_ivf_index(idx, batch)
+    got = ext.probe(qv, k=20, nprobe=4).collect()
+    assert got[0].vec_id == 0 and got[0].cos_sim == 1.0
+    assert ext.assigned.count() == emb.count()
+    # empty batch: identity
+    same = extend_ivf_index(idx, batch.limit(0)).probe(qv, k=20, nprobe=4)
+    base = idx.probe(qv, k=20, nprobe=4)
+    assert [(r.vec_id, r.cos_sim) for r in same.collect()] == \
+           [(r.vec_id, r.cos_sim) for r in base.collect()]
+    with pytest.raises(ValueError, match="indexed columns"):
+        extend_ivf_index(idx, batch.select(F.col("vec_id").alias("id")))

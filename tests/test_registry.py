@@ -24,17 +24,19 @@ MUST_BE_WINDOWED = {
     # (b) round-15 code changes (PQ finiteness gates + half-up Arrow
     # ADC rounding -> x3d/x3e/x3f; new x3g trained-book probe; new
     # f4 standalone arithmetic row; attach_blob cast-payload ->
-    # mm3/mm4/mm4b; new s8b DPP row + the s8 helper refactor)
+    # mm3/mm4/mm4b; new s8b DPP row + the s8 helper refactor; new
+    # x3h incremental-IVF row)
     "x3d_pq_adc", "x3e_ivfpq_topk", "x3f_ivfpq_arrow256",
     "x3g_ivfpq_trained", "f4_arithmetic", "mm3_frame_sample",
     "mm4_feature_ann", "mm4b_feature_ann_seam",
     "s8_partition_pruned_scan", "s8b_dpp_scan",
+    "x3h_ivf_incremental",
     # (c) r12-cohort backfill
     "j1_inner_join", "j2_broadcast_join", "j3_left_join",
     "j4_semi_join", "j4_anti_join", "j5_range_join",
     "s11_schema_evolution", "u2_dedup_latest",
     "u4_scd2_dimension", "u7_incremental_rollup", "u8_zorder_scan",
-    "w1_lag", "w2_lead_first_last", "w3_ranking", "w6_distribution",
+    "w1_lag", "w3_ranking", "w6_distribution",
     "x12_dedup_corpus", "x12b_dedup_corpus_sparse", "x16_span_dedup",
     "x16b_span_removal", "x16c_span_dedup_sparse", "x18_corpus_prep",
     "x19_quality_gate", "x2b_simhash", "x5d_fingerprint",

@@ -222,6 +222,10 @@ SCALE_NOTES = {
     "similarity.build_ivf_index":
         "the one corpus-sized computation, paid once; probes touch "
         "nprobe cells only",
+    "similarity.extend_ivf_index":
+        "index growth is O(|batch| * n_cells) against existing "
+        "centroids — the indexed corpus is never re-scanned; rebuild "
+        "on cell-size skew",
     "similarity.ivf_topk":
         "one-shot build+probe convenience; repeated queries use the "
         "persisted index (x3b/x3c)",
