@@ -349,16 +349,29 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
 
 def read_snapshot(spark: SparkSession, table_dir: str,
                   version: int | None = None) -> DataFrame:
-    """Time-travel read: the table AS OF `version` (default: latest)."""
+    """Time-travel read: the table AS OF `version` (default: latest).
+
+    An EXPIRED version (see :func:`expire_versions`) raises ValueError
+    here — its manifest is gone, so it is absent from `versions()` —
+    never a partial read. The schema is applied from the manifest, not
+    re-inferred from footers, so a version whose data dir holds zero
+    row files (an all-rows-erased rewrite by
+    :func:`erase_keys_all_versions`) still reads back as a valid empty
+    DataFrame with the committed schema instead of failing inference.
+    """
+    from pyspark.sql.types import StructType
+
     vs = versions(table_dir)
     if not vs:
         raise FileNotFoundError(f"no committed versions under {table_dir}")
     v = vs[-1] if version is None else version
     if v not in vs:
-        raise ValueError(f"version {v} not committed (have {vs})")
+        raise ValueError(
+            f"version {v} not committed or expired (have {vs})")
     with open(os.path.join(_versions_dir(table_dir), f"v{v:06d}.json")) as fh:
         manifest = json.load(fh)
-    return spark.read.parquet(manifest["data"])
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    return spark.read.schema(schema).parquet(manifest["data"])
 
 
 def snapshot_changes(spark: SparkSession, table_dir: str,
@@ -411,3 +424,238 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
                     *[F.col(c).alias(f"new_{c}") for c in value_cols],
                     *[F.col(f"__o_{c}").alias(f"old_{c}")
                       for c in value_cols]))
+
+
+# ---------------------------------------------------------------------------
+# Retention / GC / erasure — the lifecycle half of snapshot versioning.
+# write_snapshot accretes immutable version dirs forever; a daily load
+# (the reference's cadence, trips_lambda.py:218-246) makes that
+# unbounded storage within a quarter. Delta/Iceberg pair time travel
+# with VACUUM/expire_snapshots + orphan-file GC; these are the plain-
+# parquet equivalents, with the same commit discipline as
+# write_snapshot: the MANIFEST rename is the only visibility switch,
+# data files move strictly after it.
+
+
+def expire_versions(table_dir: str, keep_last: int | None = None,
+                    before_version: int | None = None) -> list[int]:
+    """Drop expired versions (manifest + data), returning the version
+    numbers removed. Retention is `keep_last=N` (keep the N newest) or
+    `before_version=v` (drop everything < v), or both (union of the
+    two doom sets minus the survivors of keep_last). The CURRENT
+    (latest) version is never dropped, whatever the arguments say.
+
+    Commit protocol per doomed version (concurrent-reader-safe):
+
+      1. acquire the per-version lock (blocks a concurrent
+         erase_keys_all_versions rewrite of the same version; a LIVE
+         holder makes the expiry fail loudly rather than pull data out
+         from under a rewrite);
+      2. os.rename() the manifest to a dot-hidden tombstone — atomic:
+         from this instant the version is absent from versions() and
+         read_snapshot(v) raises ValueError. No reader can BEGIN a
+         read of the version past this point;
+      3. rmtree the data dir, unlink the tombstone.
+
+    A reader that resolved the manifest BEFORE step 2 and is mid-scan
+    during step 3 fails LOUDLY (Spark's scan throws on missing input
+    files with default ignoreMissingFiles=false) — never a silent
+    partial result; pytest pins that contract
+    (tests/test_snapshot_concurrency.py). That is the same contract
+    Delta's VACUUM documents for readers older than the retention
+    window. At 100 TB this is a metadata decision plus O(expired
+    bytes) of deletes — nothing scans surviving data.
+    """
+    import shutil
+
+    if keep_last is None and before_version is None:
+        raise ValueError("expire_versions: give keep_last and/or "
+                         "before_version (refusing to guess retention)")
+    if keep_last is not None and keep_last < 1:
+        raise ValueError("expire_versions: keep_last must be >= 1 "
+                         "(the current version is never expired)")
+    vs = versions(table_dir)
+    if not vs:
+        return []
+    doomed: set[int] = set()
+    if keep_last is not None:
+        doomed |= set(vs[:-keep_last])
+    if before_version is not None:
+        doomed |= {v for v in vs if v < before_version}
+    doomed.discard(vs[-1])  # the current version is untouchable
+    removed = []
+    for v in sorted(doomed):
+        lock, token = _acquire_version_lock(table_dir, v)
+        try:
+            manifest = os.path.join(_versions_dir(table_dir),
+                                    f"v{v:06d}.json")
+            try:
+                with open(manifest) as fh:
+                    data_path = json.load(fh).get("data")
+            except OSError:
+                continue  # already expired by a concurrent call
+            tomb = (f"{manifest}.expired."
+                    f"{os.getpid()}.{__import__('time').monotonic_ns()}")
+            try:
+                os.rename(manifest, tomb)  # the atomic expiry point
+            except FileNotFoundError:
+                continue  # lost the race to a concurrent expiry
+            if data_path and os.path.isdir(data_path):
+                shutil.rmtree(data_path, ignore_errors=True)
+            try:
+                os.unlink(tomb)
+            except OSError:
+                pass
+            removed.append(v)
+        finally:
+            _release_version_lock(lock, token)
+    return removed
+
+
+def gc_orphans(table_dir: str, grace_s: float = LOCK_GRACE_S) -> list[str]:
+    """Remove crashed-writer debris older than `grace_s`: data dirs
+    with no committed manifest (the manifest rename never happened, so
+    no reader ever saw them) and staged `.json.tmp.*` manifests.
+    Returns the paths removed.
+
+    The grace period is what makes this safe against a LIVE writer:
+    write_snapshot lands data files first and commits the manifest
+    after, so a young manifest-less dir may be an in-flight commit —
+    only dirs whose newest mtime predates the grace window are
+    reclaimed, and a dir whose version lock has a live holder is
+    skipped outright. Mirrors Iceberg's remove_orphan_files
+    `older_than` contract. O(debris), never touches committed data.
+    """
+    import shutil
+    import time
+
+    removed: list[str] = []
+    now = time.time()
+    committed = {f"v{v:06d}" for v in versions(table_dir)}
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for name in sorted(os.listdir(data_root)):
+            if name.split(".")[0] in committed:
+                continue  # committed (or an erased-rewrite dir of one)
+            path = os.path.join(data_root, name)
+            if not os.path.isdir(path):
+                continue
+            lock = os.path.join(_versions_dir(table_dir),
+                                f".{name.split('.')[0]}.lock")
+            if os.path.exists(lock) and _lock_holder_alive(lock):
+                continue  # in-flight commit holds the version lock
+            try:
+                newest = max((os.path.getmtime(os.path.join(dp, f))
+                              for dp, _, fs in os.walk(path) for f in fs),
+                             default=os.path.getmtime(path))
+            except OSError:
+                continue
+            if now - newest < grace_s:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    vdir = _versions_dir(table_dir)
+    if os.path.isdir(vdir):
+        for name in sorted(os.listdir(vdir)):
+            if ".json.tmp." not in name and ".expired." not in name:
+                continue
+            path = os.path.join(vdir, name)
+            try:
+                if now - os.path.getmtime(path) < grace_s:
+                    continue
+                os.unlink(path)
+                removed.append(path)
+            except OSError:
+                pass
+    return removed
+
+
+def erase_keys_all_versions(spark: SparkSession, table_dir: str,
+                            delete_keys: DataFrame,
+                            keys: list[str]) -> list[int]:
+    """GDPR-style erasure that COMPOSES with time travel: rewrite every
+    retained version to exclude the key list, so no readable version —
+    current or historical — serves an erased key. Returns the versions
+    actually rewritten.
+
+    delete_by_keys (operators/maintenance.py) erases the LIVE table;
+    on a versioned table that is not erasure at all — every old
+    snapshot still serves the keys via read_snapshot. Per version:
+
+      1. acquire the version lock (serializes against a concurrent
+         expire_versions / second erasure of the same version);
+      2. probe: null-safe LEFT SEMI join of the version against the
+         key list, LIMIT 1 — a version holding no doomed row is
+         skipped untouched (no rewrite amplification; the probe is a
+         column-pruned scan of the key columns only);
+      3. rewrite survivors into a fresh immutable dir
+         `data/vNNNNNN.erased.<nonce>` (null-safe LEFT ANTI join —
+         NULL key values are erasable, the delete_by_keys contract);
+      4. stage a manifest pointing at the new dir (+ an `erased`
+         audit field), fsync, os.rename() OVER the old manifest —
+         atomic replace: a reader sees the old content or the new,
+         never a mix — then rmtree the old data dir.
+
+    Version NUMBERS and count are preserved: u9 time travel still
+    resolves every version, minus the erased keys. A reader mid-scan
+    of the old data dir when step 4's rmtree lands fails loudly (the
+    expire_versions contract). Cost is O(sum of versions holding the
+    keys), never O(history) for untouched versions; each rewrite is
+    one anti-join — at 100 TB with dt-partitioned version data the
+    same touched-partition discipline as delete_by_keys would apply
+    inside each version.
+    """
+    import shutil
+    import time
+
+    dk = delete_keys.select(*keys).distinct()
+    rewritten: list[int] = []
+    for v in versions(table_dir):
+        lock, token = _acquire_version_lock(table_dir, v)
+        try:
+            manifest_path = os.path.join(_versions_dir(table_dir),
+                                         f"v{v:06d}.json")
+            try:
+                with open(manifest_path) as fh:
+                    manifest = json.load(fh)
+            except OSError:
+                continue  # expired under us — nothing left to erase
+            cur = read_snapshot(spark, table_dir, v)
+            missing = [k for k in keys if k not in cur.columns]
+            if missing:
+                raise ValueError(
+                    f"erase_keys_all_versions: version {v} lacks key "
+                    f"column(s) {missing} — erasure would silently "
+                    "no-op on this version")
+            semi = [cur[k].eqNullSafe(dk[k]) for k in keys]
+            if not (cur.select(*keys).join(dk, on=semi, how="left_semi")
+                    .limit(1).take(1)):
+                continue  # version holds no doomed key: leave immutable
+            anti = [cur[k].eqNullSafe(dk[k]) for k in keys]
+            kept = cur.join(dk, on=anti, how="left_anti")
+            old_data = manifest["data"]
+            new_data = os.path.abspath(os.path.join(
+                table_dir, "data",
+                f"v{v:06d}.erased.{os.getpid()}.{time.monotonic_ns()}"))
+            kept.write.mode("errorifexists").parquet(new_data)
+            manifest = dict(manifest, data=new_data,
+                            erased=manifest.get("erased", 0) + 1)
+            staged = os.path.join(_versions_dir(table_dir),
+                                  f".v{v:06d}.json.tmp.{os.getpid()}")
+            with open(staged, "w") as fh:
+                json.dump(manifest, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.rename(staged, manifest_path)  # atomic content swap
+            try:
+                dfd = os.open(_versions_dir(table_dir), os.O_RDONLY)
+                os.fsync(dfd)
+                os.close(dfd)
+            except OSError:
+                pass
+            if old_data != new_data and os.path.isdir(old_data):
+                shutil.rmtree(old_data, ignore_errors=True)
+            rewritten.append(v)
+        finally:
+            _release_version_lock(lock, token)
+    return rewritten

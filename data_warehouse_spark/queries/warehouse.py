@@ -998,3 +998,180 @@ def u6_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         money_sum("value").alias("sum_value"))
+
+
+@register(
+    "u9c_version_expiry",
+    oracle="""
+WITH v3 AS (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+), v4 AS (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-01-01'
+), tagged AS (
+    SELECT 3 AS version, * FROM v3
+    UNION ALL
+    SELECT 4 AS version, * FROM v4
+)
+SELECT version, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS sum_price,
+       MIN(o_orderkey) AS min_key
+FROM tagged GROUP BY version
+""",
+    doc="U9c [ext]: snapshot retention + orphan-file GC "
+        "(operators/snapshots.py:expire_versions / gc_orphans) — the "
+        "lifecycle half of U9's time travel: write_snapshot accretes "
+        "immutable version dirs forever, and at the reference's daily "
+        "load cadence (trips_lambda.py:218-246) that is unbounded "
+        "storage within a quarter; Delta/Iceberg pair time travel "
+        "with VACUUM/expire_snapshots for exactly this reason. Query: "
+        "commit four cumulative order snapshots (as-of 1995..1998), "
+        "expire with keep_last=2, prove the survivors are bit-intact "
+        "(per-version aggregates = the oracle's v3/v4 definitions), "
+        "that expired versions fail LOUDLY (read_snapshot(1) must "
+        "raise — asserted in-code), and that gc_orphans reclaims a "
+        "planted crashed-writer data dir + staged manifest while "
+        "leaving every committed version untouched. Expiry's commit "
+        "point is an atomic manifest rename, so a concurrent reader "
+        "either resolves a version fully or not at all "
+        "(tests/test_snapshot_concurrency.py pins the mid-read case).",
+    tags=("warehouse", "maintenance", "ext"),
+)
+def u9c_version_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import time as _time
+
+    from data_warehouse_spark.operators.snapshots import (
+        expire_versions, gc_orphans, read_snapshot, versions,
+        write_snapshot,
+    )
+    from data_warehouse_spark.queries.util import money_sum
+
+    table_dir = scratch_dir("u9c_expiry")
+    orders = load_table(spark, sf_dir, "orders")
+    for year in (1995, 1996, 1997, 1998):
+        snap = orders.filter(
+            F.col("o_orderdate") < F.lit(f"{year}-01-01").cast("timestamp")
+        ).select("o_orderkey", "o_totalprice")
+        write_snapshot(snap, table_dir)
+
+    # plant crashed-writer debris, backdated past the GC grace window:
+    # a manifest-less data dir (the commit rename never happened) and
+    # a staged .json.tmp manifest
+    orphan_dir = os.path.join(table_dir, "data", "v000099")
+    os.makedirs(orphan_dir, exist_ok=True)
+    orphan_file = os.path.join(orphan_dir, "part-00000.parquet")
+    staged = os.path.join(table_dir, "_versions", ".v000099.json.tmp.0")
+    for p in (orphan_file, staged):
+        with open(p, "w") as fh:
+            fh.write("debris")
+    old = _time.time() - 7200
+    for p in (orphan_dir, orphan_file, staged):
+        os.utime(p, (old, old))
+
+    removed = expire_versions(table_dir, keep_last=2)
+    if removed != [1, 2]:
+        raise AssertionError(f"expected versions [1, 2] expired, got {removed}")
+    gone = gc_orphans(table_dir, grace_s=3600)
+    if not any(p.endswith("v000099") for p in gone):
+        raise AssertionError(f"orphan data dir survived GC: {gone}")
+    if versions(table_dir) != [3, 4]:
+        raise AssertionError(f"retention broke the version list: "
+                             f"{versions(table_dir)}")
+    try:
+        read_snapshot(spark, table_dir, 1)
+    except ValueError:
+        pass  # the loud-failure contract for expired versions
+    else:
+        raise AssertionError("read of an expired version did not raise")
+
+    tagged = None
+    for v in versions(table_dir):
+        part = read_snapshot(spark, table_dir, v) \
+            .withColumn("version", F.lit(v))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    return (tagged.groupBy("version")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 money_sum("o_totalprice").alias("sum_price"),
+                 F.min("o_orderkey").alias("min_key")))
+
+
+@register(
+    "u5b_erase_versions",
+    oracle="""
+WITH v1 AS (
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_id % 3 = 0 AND user_id % 7 <> 0
+), v2 AS (
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_id % 3 <= 1
+), v3 AS (
+    SELECT event_id, user_id, event_type, value FROM events
+), tagged AS (
+    SELECT 1 AS version, * FROM v1 WHERE user_id % 7 <> 0
+    UNION ALL
+    SELECT 2 AS version, * FROM v2 WHERE user_id % 7 <> 0
+    UNION ALL
+    SELECT 3 AS version, * FROM v3 WHERE user_id % 7 <> 0
+)
+SELECT version, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_doomed,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_value
+FROM tagged GROUP BY version
+""",
+    doc="U5b [ext]: erasure that COMPOSES with time travel (U5 x U9 — "
+        "operators/snapshots.py:erase_keys_all_versions). "
+        "delete_by_keys erases the LIVE table only; on a versioned "
+        "table every OLD snapshot still serves the deleted keys via "
+        "u9_time_travel, so GDPR-style erasure ([cap] U5's purpose) "
+        "was void exactly on the tables that keep history. The "
+        "operator rewrites each retained version that holds a doomed "
+        "key (null-safe anti-join; probe-then-rewrite so untouched "
+        "versions stay byte-immutable — asserted in-code: v1 is built "
+        "key-free and must NOT be rewritten) and swaps the manifest "
+        "atomically, preserving version numbers. Query: three "
+        "versions, erase user_id % 7 = 0, read back EVERY readable "
+        "version; the oracle states the erased per-version state and "
+        "n_doomed = 0 certifies the keys are gone from all of "
+        "history, not just the head.",
+    tags=("warehouse", "maintenance", "ext"),
+)
+def u5b_erase_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.snapshots import (
+        erase_keys_all_versions, read_snapshot, versions, write_snapshot,
+    )
+    from data_warehouse_spark.queries.util import money_sum
+
+    table_dir = scratch_dir("u5b_erase")
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "user_id", "event_type", "value")
+    write_snapshot(ev.filter((F.col("event_id") % 3 == 0)
+                             & (F.col("user_id") % 7 != 0)), table_dir)
+    write_snapshot(ev.filter(F.col("event_id") % 3 <= 1), table_dir)
+    write_snapshot(ev, table_dir)
+
+    doomed = ev.filter(F.col("user_id") % 7 == 0).select("user_id")
+    rewritten = erase_keys_all_versions(spark, table_dir, doomed,
+                                        keys=["user_id"])
+    if 1 in rewritten:
+        raise AssertionError(
+            "version 1 holds no doomed key but was rewritten — the "
+            "probe-then-rewrite discipline broke")
+    if sorted(rewritten) != [2, 3]:
+        raise AssertionError(f"expected versions [2, 3] rewritten, "
+                             f"got {rewritten}")
+
+    tagged = None
+    for v in versions(table_dir):
+        part = read_snapshot(spark, table_dir, v) \
+            .withColumn("version", F.lit(v))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    return (tagged.groupBy("version")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("user_id") % 7 == 0, 1)
+                       .otherwise(0)).alias("n_doomed"),
+                 money_sum("value").alias("sum_value")))
