@@ -822,7 +822,8 @@ def build_ivf_index(df: DataFrame, vec_col: str, id_col: str,
 
 
 def extend_ivf_index(index: IvfIndex, batch: DataFrame,
-                     persist: bool = False) -> IvfIndex:
+                     persist: bool = False,
+                     check_ids: bool = False) -> IvfIndex:
     """Incremental IVF index maintenance — the ANN analogue of the
     x2e/x2g incremental-dedup pair: assign a NEW batch of vectors to
     the EXISTING centroids and append, so index growth costs
@@ -834,12 +835,25 @@ def extend_ivf_index(index: IvfIndex, batch: DataFrame,
 
     Drift caveat (the standard IVF maintenance contract, Jégou et al.
     2011 §V): appending does not retrain — if the batch distribution
-    shifts, cells skew and recall degrades. The rebuild policy is the
-    operator consumer's: monitor per-cell counts on the assignment
-    table (a groupBy over the index — cheap) and rebuild via
-    build_ivf_index when max/mean cell size exceeds the deployment's
-    bound. At 100 TB the assignment table is a partitioned/bucketed
-    table and this append is one ingest write.
+    shifts, cells skew and recall degrades. The rebuild DECISION is
+    code, not prose (r15 verdict ask #5): :func:`ivf_cell_stats`
+    computes the per-cell population skew (max/mean over the trained
+    cells) and a rebuild flag against a threshold; run it after each
+    append epoch and rebuild via build_ivf_index when it trips. At
+    100 TB the assignment table is a partitioned/bucketed table and
+    this append is one ingest write; the stats query is one
+    map-side-combined groupBy to n_cells rows.
+
+    Id-disjointness precondition (r15 ADVICE #2): the batch's ids must
+    be DISJOINT from the already-indexed ids — this operator appends,
+    it does not upsert, so re-ingesting a batch under at-least-once
+    delivery would duplicate rows in the assignment and a probe could
+    return the same id twice. `check_ids=True` enforces it with one
+    semi-join probe against the existing assignment (O(|batch|),
+    id-column-pruned — cheap next to the assignment itself) and raises
+    on overlap; the default leaves the exactly-once contract to the
+    ingest pipeline (the x2e/x2g incremental-dedup convention, where
+    the upstream batch boundary already guarantees it).
 
     `persist` caches the appended batch assignment (the existing
     index's caching is untouched either way)."""
@@ -847,6 +861,18 @@ def extend_ivf_index(index: IvfIndex, batch: DataFrame,
         raise ValueError(
             f"extend_ivf_index: batch must carry the indexed columns "
             f"({index.vec_col!r}, {index.id_col!r})")
+    if check_ids:
+        dup = (batch.select(index.id_col)
+               .join(index.assigned.select(index.id_col),
+                     on=index.id_col, how="left_semi")
+               .limit(1).take(1))
+        if dup:
+            raise ValueError(
+                "extend_ivf_index: batch id overlaps the indexed "
+                f"corpus (e.g. {index.id_col}="
+                f"{dup[0][index.id_col]!r}) — appends must be "
+                "id-disjoint (exactly-once ingest); dedup the batch "
+                "against the index first")
     assigned_new = assign_cells(batch.select(index.id_col, index.vec_col),
                                 index.centroids, index.vec_col,
                                 index.id_col, dim=index.dim)
@@ -859,6 +885,51 @@ def extend_ivf_index(index: IvfIndex, batch: DataFrame,
                                          "cell"))
     return IvfIndex(index.centroids, merged, index.vec_col,
                     index.id_col, index.dim)
+
+
+def ivf_cell_stats(index: IvfIndex, rebuild_skew: float = 2.0) -> DataFrame:
+    """IVF index health / drift monitor (r15 verdict ask #5): one row
+    of per-cell population statistics plus a rebuild decision —
+    the code form of extend_ivf_index's drift caveat.
+
+      n_cells   trained cells (from the centroid table, so EMPTY
+                cells count — a drifted index both overfills hot
+                cells and starves the rest)
+      n_rows    indexed vectors
+      max_cell  hottest cell's population
+      n_empty   cells with zero vectors
+      skew      max_cell / mean cell population
+                (= max_cell * n_cells / n_rows); 1.0 is perfectly
+                balanced, n_cells is total collapse into one cell
+      rebuild   skew > rebuild_skew — when true, probe cost and
+                recall have degraded enough that build_ivf_index
+                should retrain (probing a cell costs O(cell size):
+                a skew of s makes worst-case probes ~s times the
+                balanced cost, and a starved cell's vectors hide in
+                neighbours the prober doesn't visit)
+
+    Cost: one map-side-combined groupBy of the assignment to n_cells
+    rows, broadcast-left-joined onto the centroid list, one final
+    1-row aggregate — safe at any index size, no collect.
+    """
+    counts = index.assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("cell_n"))
+    per_cell = (index.centroids.select("cell")
+                .join(counts, on="cell", how="left")
+                .select(F.coalesce(F.col("cell_n"),
+                                   F.lit(0).cast("long")).alias("cell_n")))
+    return per_cell.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("cell_n").alias("n_rows"),
+        F.max("cell_n").alias("max_cell"),
+        F.sum(F.when(F.col("cell_n") == 0, 1).otherwise(0))
+         .alias("n_empty"),
+    ).select(
+        "n_cells", "n_rows", "max_cell", "n_empty",
+        F.round((F.col("max_cell") * F.col("n_cells")).cast("double")
+                / F.col("n_rows"), 6).alias("skew"),
+        ((F.col("max_cell") * F.col("n_cells")).cast("double")
+         / F.col("n_rows") > F.lit(float(rebuild_skew))).alias("rebuild"))
 
 
 def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
@@ -1343,7 +1414,17 @@ def pq_encode_arrow(df: DataFrame, vec_col: str, id_col: str,
                 # F.round in pq_encode and DuckDB ROUND — np.round is
                 # half-to-even, which disagrees on exact .5 ties at the
                 # 6th decimal and could flip the shortlist cut by 1e-6
-                # (r14 ADVICE #2)
+                # (r14 ADVICE #2). Residual ulp edge (r15 ADVICE #3):
+                # F.round is BigDecimal HALF_UP on the exact decimal
+                # expansion of the double, while acc*1e6 here is one
+                # float multiply — when that product itself rounds
+                # across the .5 boundary the two can still differ by
+                # 1e-6, so expr/Arrow byte-identity is NEAR-exact, not
+                # guaranteed. Accepted: a per-element Decimal pass
+                # would serialize the hot loop; the auto-route treats
+                # the two lanes as equivalent only under the shared
+                # round(6) contract, and the parity gate pins the
+                # fixture-observable cases.
                 ad = np.floor(acc * 1e6 + 0.5) / 1e6
                 arrays.append(pa.array(
                     [float(ad[i]) if ok[i] else None for i in range(n)],

@@ -1115,3 +1115,125 @@ def x3h_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                           persist=False)
     extended = extend_ivf_index(idx, batch)
     return extended.probe(qv, k=20, nprobe=4)
+
+
+# x3i: IVF drift monitor — the rebuild policy of extend_ivf_index's
+# drift caveat as CODE (r15 verdict ask #5). The corpus (vec_id % 5
+# <> 0) trains the index; the appended batch (vec_id % 5 = 0) is
+# adversarially DRIFTED — every batch vector is replaced by the
+# fixture query vector 0 — so the whole batch collapses into one
+# cell. ivf_cell_stats then reads the skew (max/mean cell population
+# over the TRAINED cells, empty cells included) off the assignment
+# with one map-side-combined groupBy and flags rebuild. The oracle
+# replays x3b's deterministic quantizer on the corpus subset, assigns
+# the drifted batch against the trained centroids, and re-derives the
+# same five statistics in SQL.
+_IVF_DRIFT_ORACLE = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+corpus AS (SELECT * FROM emb WHERE vec_id % 5 <> 0),
+q AS (SELECT embedding AS qv FROM emb WHERE vec_id = 0),
+batch AS (
+    SELECT e.vec_id, q.qv AS embedding
+    FROM emb e CROSS JOIN q WHERE e.vec_id % 5 = 0
+),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+           embedding AS cvec
+    FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 16)
+),
+a1 AS (
+    SELECT vec_id, embedding, cell
+    FROM (SELECT e.vec_id, e.embedding, s.cell,
+                 {_COS_SQL.format(a='e.embedding', b='s.cvec')} AS sim
+          FROM corpus e CROSS JOIN seeds s)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+cavg AS (
+    SELECT cell, pos, CAST(AVG(x) AS FLOAT) AS cx
+    FROM (SELECT cell, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 unnest(range(1, 65)) AS pos
+          FROM a1)
+    GROUP BY cell, pos
+),
+cent AS (
+    SELECT cell, list(cx ORDER BY pos) AS cvec FROM cavg GROUP BY cell
+),
+a2 AS (
+    SELECT vec_id, cell
+    FROM (SELECT e.vec_id, c.cell,
+                 {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS sim
+          FROM corpus e CROSS JOIN cent c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+b2 AS (
+    SELECT vec_id, cell
+    FROM (SELECT e.vec_id, c.cell,
+                 {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS sim
+          FROM batch e CROSS JOIN cent c)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, cell) = 1
+),
+allc AS (SELECT cell FROM a2 UNION ALL SELECT cell FROM b2),
+counts AS (
+    SELECT c.cell, CAST(COUNT(a.cell) AS BIGINT) AS cell_n
+    FROM cent c LEFT JOIN allc a ON a.cell = c.cell
+    GROUP BY c.cell
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(cell_n) AS BIGINT) AS n_rows,
+       CAST(MAX(cell_n) AS BIGINT) AS max_cell,
+       CAST(SUM(CASE WHEN cell_n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty,
+       ROUND(CAST(MAX(cell_n) * COUNT(*) AS DOUBLE) / SUM(cell_n), 6)
+         AS skew,
+       CAST(MAX(cell_n) * COUNT(*) AS DOUBLE) / SUM(cell_n) > 2.0
+         AS rebuild
+FROM counts
+"""
+
+
+@register(
+    "x3i_ivf_drift",
+    oracle=_IVF_DRIFT_ORACLE,
+    doc="X3i [ext]: IVF index drift monitor "
+        "(operators/similarity.py:ivf_cell_stats) — the lifecycle "
+        "companion to x3h's incremental append: appending assigns "
+        "against FROZEN centroids, so a shifted ingest distribution "
+        "skews cells (hot cells make probes O(skew) slower; starved "
+        "cells hide their vectors from the prober) and the rebuild "
+        "decision must be a queryable metric, not prose. Query: train "
+        "on the 80% corpus, append the 20% batch with every vector "
+        "adversarially replaced by the fixture query vector (total "
+        "collapse into one cell; the append exercises the new "
+        "check_ids id-disjointness guard), then read n_cells / "
+        "n_rows / max_cell / n_empty / skew / rebuild off the "
+        "assignment in one map-side-combined groupBy + 1-row "
+        "aggregate — no collect, safe at any index size. "
+        "tests/test_llm_queries.py property-tests the monotone drift "
+        "response and the balanced-index negative case.",
+    tags=("ext", "vector", "incremental"),
+)
+def x3i_ivf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.similarity import (
+        build_ivf_index, extend_ivf_index, ivf_cell_stats,
+    )
+
+    set_arrow_batch(spark, ARROW_BATCH_VECTOR)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    # the drifted batch: original batch ids, every embedding replaced
+    # by the query vector (broadcast 1-row cross join keeps the
+    # float32 column type bit-identical to the fixture)
+    qrow = emb.filter(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("qemb"))
+    batch = (emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+             .crossJoin(F.broadcast(qrow))
+             .select("vec_id", F.col("qemb").alias("embedding")))
+    idx = build_ivf_index(corpus, vec_col="embedding", id_col="vec_id",
+                          n_cells=16, iters=1, dim=len(qv),
+                          persist=False)
+    extended = extend_ivf_index(idx, batch, check_ids=True)
+    return ivf_cell_stats(extended, rebuild_skew=2.0)

@@ -1628,3 +1628,64 @@ def test_extend_ivf_index_freshness_and_isolation(spark, sf_dir):
            [(r.vec_id, r.cos_sim) for r in base.collect()]
     with pytest.raises(ValueError, match="indexed columns"):
         extend_ivf_index(idx, batch.select(F.col("vec_id").alias("id")))
+
+
+def test_x3i_drift_monitor_monotone_and_balanced_negative(spark, sf_dir):
+    """The drift metric must (a) stay quiet on a balanced index,
+    (b) trip after a collapsed append, and (c) respond MONOTONICALLY:
+    each further drifted epoch raises the skew (the property the
+    rebuild policy relies on — r15 verdict ask #5)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.operators.similarity import (
+        build_ivf_index, extend_ivf_index, ivf_cell_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    idx = build_ivf_index(corpus, vec_col="embedding", id_col="vec_id",
+                          n_cells=16, iters=1, dim=64, persist=False)
+    base = ivf_cell_stats(idx, rebuild_skew=8.0).collect()[0]
+    assert base.n_cells == 16
+    assert not base.rebuild, (
+        f"balanced fixture index flagged for rebuild (skew={base.skew})")
+
+    qrow = emb.filter(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("qemb"))
+    skews = [base.skew]
+    for epoch in range(1, 3):
+        batch = (emb.filter(F.col("vec_id") % 5 == 0)
+                 .select((F.col("vec_id") + 1_000_000 * epoch)
+                         .alias("vec_id"))
+                 .crossJoin(F.broadcast(qrow))
+                 .select("vec_id", F.col("qemb").alias("embedding")))
+        idx = extend_ivf_index(idx, batch, check_ids=True)
+        row = ivf_cell_stats(idx, rebuild_skew=2.0).collect()[0]
+        assert row.n_cells == 16, "append must never grow the cell set"
+        skews.append(row.skew)
+    assert skews[1] > skews[0] and skews[2] > skews[1], \
+        f"drift metric not monotone under repeated collapse: {skews}"
+    assert row.rebuild, f"two collapsed epochs must trip rebuild: {row}"
+    # row conservation: stats see every appended vector exactly once
+    n_corpus = corpus.count()
+    n_batch = emb.filter(F.col("vec_id") % 5 == 0).count()
+    assert row.n_rows == n_corpus + 2 * n_batch
+
+
+def test_extend_ivf_index_check_ids_rejects_overlap(spark, sf_dir):
+    """check_ids=True turns an at-least-once re-delivery (id overlap)
+    into a loud failure instead of silent assignment duplicates."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.operators.similarity import (
+        build_ivf_index, extend_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    idx = build_ivf_index(corpus, vec_col="embedding", id_col="vec_id",
+                          n_cells=16, iters=1, dim=64, persist=False)
+    replay = emb.filter(F.col("vec_id") % 5 == 1)  # already indexed
+    with pytest.raises(ValueError, match="id-disjoint"):
+        extend_ivf_index(idx, replay, check_ids=True)
