@@ -126,11 +126,16 @@ def main() -> None:
     # passes (SPARK_GRAFT_BENCH_RUNS, default 3) extra passes keep
     # running while the best-total keeps improving >1% per pass, up to
     # SPARK_GRAFT_BENCH_MAX_RUNS (default 8) or the wall budget
-    # (SPARK_GRAFT_BENCH_BUDGET_S, default 420 s). One loaded minute
-    # can then no longer set the round's number of record; a genuinely
-    # loaded whole-invocation still shows up in `ratio` (the
-    # interleaved anchor inflates with it). Runs interleave across
-    # queries so one spike cannot poison every sample of one query.
+    # (SPARK_GRAFT_BENCH_BUDGET_S, default 420 s). Convergence needs
+    # TWO consecutive flat (<1%-improvement) passes (r15 ADVICE #1):
+    # with a single one, one flat pass right after min_runs would end
+    # sampling even if the box had been loaded for every prior pass —
+    # the stated goal only held when improvements were consecutive.
+    # One loaded minute can then no longer set the round's number of
+    # record; a genuinely loaded whole-invocation still shows up in
+    # `ratio` (the interleaved anchor inflates with it). Runs
+    # interleave across queries so one spike cannot poison every
+    # sample of one query.
     min_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "8"))
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
@@ -142,6 +147,7 @@ def main() -> None:
     bench_t0 = time.time()
     passes = 0
     prev_best = None
+    flat_streak = 0
     while passes < max_runs:
         for name in names:
             # driver-harness parity: reset the Arrow tier so a prior
@@ -162,11 +168,15 @@ def main() -> None:
             anchors[aname] = min(anchors.get(aname, dt), dt)
         passes += 1
         best = sum(timings.values())
+        if prev_best is not None and best > prev_best * 0.99:
+            flat_streak += 1
+        else:
+            flat_streak = 0
         if passes >= min_runs:
             if time.time() - bench_t0 > budget_s:
                 break
-            if prev_best is not None and best > prev_best * 0.99:
-                break  # converged: last pass improved < 1%
+            if flat_streak >= 2:
+                break  # converged: two consecutive <1% passes
         prev_best = best
     total = round(sum(timings.values()), 3)
     anchor_total = round(sum(anchors.values()), 3)

@@ -56,80 +56,61 @@ _QUERY_MODULES = [
 # This list IS the round's window, in order; load_all() puts these names
 # first and everything else after, in registration order.
 #
-# Round-15 rotation (standing stale-first rule + VERDICT.md round-14
-# ask #2): the 13 r11-dated rows re-enter FIRST, then every query
-# whose CODE changed in round 15, then r12-cohort backfill.
-#   (a) the 13 r11-dated rows (displaced by the r14 budget; their
-#       compensating evidence — real Structured Streaming runs +
-#       SIGKILL torture for the ST family, pytest batteries for
-#       udf1/udf2/f12 — is noted in the r14 comment history, but the
-#       gate now owns the evidence again): st1-st6, st8-st11,
-#       udf1_row_scalar, udf2_pandas_scalar, f12_case.
-#   (b) round-15 code changes (8): x3d/x3e/x3f (the PQ validity gates
-#       now require FINITE elements — r14 ADVICE #1: an inf element
-#       previously produced a finite garbage ADC score that could
-#       displace the true rank-1 after rerank; plus half-up ADC
-#       rounding in the Arrow kernel, r14 ADVICE #2), x3g (NEW: the
-#       Lloyd-trained codebook + ADC bias-correction probe, r14
-#       verdict ask #3 — the oracle replays train/energy/probe end to
-#       end), f4_arithmetic (NEW: the standalone arithmetic gate row,
-#       r14 verdict ask #5 — closes SURVEY §2 to 131/131 standalone),
-#       mm3/mm4/mm4b (attach_blob's payload is now CAST(text AS
-#       BINARY) instead of encode(text,'UTF-8') — byte-identical,
-#       fixture-verified, 0.25 s cheaper at 1024x; r14 verdict ask #4
-#       decomposition, .r15/mm4_decomp.py), s8b (NEW: dynamic
-#       partition pruning — the runtime-day-list backfill shape,
-#       plan-asserted dynamicpruningexpression) and s8 (its
-#       partitioned-copy cache refactored into the shared
-#       _s8_partitioned_events helper), x3h (NEW: incremental IVF
-#       index maintenance — extend_ivf_index assigns a batch against
-#       the existing centroids, O(|batch| * n_cells), corpus never
-#       re-scanned; the x2e/x2g pattern applied to ANN).
-#   (c) r12-cohort backfill: 26 of the 41 r12-dated rows.
-# 13 + 11 + 26 = 50. The 15 r12 queries displaced by the budget (lead
-# the r16 window per the standing rule), chosen battery-first —
-# trivial expression/scan/agg classes with per-round pytest coverage,
-# plus the two streaming forms whose REAL streaming execution
-# (including st7's SIGKILL+replay torture) runs in
-# tests/test_streaming.py every round: s1_scan_filter, s7_scan_full,
-# p1_project, p2_range_predicate, p4_null_predicate, a2_count_by_key,
-# a4_distinct, a5_rollup, a6_stats, a10_unpivot, j7_cross_join,
-# j8_two_source_merge, w2_lead_first_last, st7_foreach_upsert,
-# st12_stream_incremental_dedup.
-# tests/test_window_integrity.py machine-checks (b): any registry
-# query whose fingerprint changed since the last round boundary must
-# be in this list (r14 verdict ask #8).
+# Round-16 rotation (standing stale-first rule + VERDICT.md round-15
+# ask #3). The cohort lists are now GENERATED, not hand-written:
+# `python tools/rotation.py` derives each query's last-green round
+# from the CORRECTNESS_r*.json archive and prints the stale-first
+# order plus the displaced list (the r15 hand-written displaced list
+# missed w2_lead_first_last — r15 "what's wrong" #1).
+#   (a) the 15 r12-dated rows displaced by the r15 budget re-enter
+#       FIRST (incl. w2_lead_first_last): after this round no archive
+#       row is older than r13.
+#   (b) round-16 code changes / additions, per the fingerprint
+#       machine-check (tests/test_window_integrity.py): u9c (NEW:
+#       snapshot retention expire_versions + gc_orphans, r15 ask #1),
+#       u5b (NEW: erase_keys_all_versions — erasure composed with
+#       time travel, r15 ask #2), x3i (NEW: IVF drift monitor
+#       ivf_cell_stats, r15 ask #5), u9/u9b/e4 (read_snapshot now
+#       applies the manifest schema so an all-rows-erased version
+#       reads back as a typed empty frame; e4's composition touches
+#       the snapshot closure), x3h (extend_ivf_index gained the
+#       check_ids id-disjointness guard, r15 ADVICE #2).
+#   (c) r13-cohort backfill, stale-first per tools/rotation.py: 28 of
+#       the 47 r13-dated rows.
+# 15 + 7 + 28 = 50. The 19 r13 rows displaced by the budget (lead the
+# r17 window per the standing rule) are expression/agg/set battery
+# classes with per-round pytest coverage: p5, p6, a1, a3, a8, a9,
+# a11, o1, o2_topk, o2_topk_per_group, set1-set4, f2, f3, f8, f9,
+# f10, f11 — regenerate the authoritative list with tools/rotation.py
+# after the round lands.
 DRIVER_WINDOW = [
-    # (a) the 13 r11-dated rows — re-enter first per the standing rule
-    "st1_stream_source", "st2_tumbling_window", "st3_sliding_window",
-    "st4_session_window", "st5_watermark_late_drop",
-    "st6_stream_dedup", "st8_custom_stateful",
-    "st9_stream_stream_join", "st10_stream_static_join",
-    "st11_dedup_retries", "udf1_row_scalar", "udf2_pandas_scalar",
-    "f12_case",
-    # (b) round-15 code changes / additions
-    "x3d_pq_adc", "x3e_ivfpq_topk", "x3f_ivfpq_arrow256",
-    "x3g_ivfpq_trained", "f4_arithmetic", "mm3_frame_sample",
-    "mm4_feature_ann", "mm4b_feature_ann_seam",
-    "s8_partition_pruned_scan", "s8b_dpp_scan",
+    # (a) the 15 r12-dated rows — re-enter first per the standing rule
+    "s1_scan_filter", "s7_scan_full", "p1_project",
+    "p2_range_predicate", "p4_null_predicate", "a2_count_by_key",
+    "a4_distinct", "a5_rollup", "a6_stats", "a10_unpivot",
+    "j7_cross_join", "j8_two_source_merge", "w2_lead_first_last",
+    "st7_foreach_upsert", "st12_stream_incremental_dedup",
+    # (b) round-16 code changes / additions
+    "u9c_version_expiry", "u5b_erase_versions", "x3i_ivf_drift",
+    "u9_time_travel", "u9b_snapshot_diff", "e4_daily_run",
     "x3h_ivf_incremental",
-    # (c) r12-cohort backfill (41 minus the 15 displaced above)
-    "j1_inner_join", "j2_broadcast_join", "j3_left_join",
-    "j4_semi_join", "j4_anti_join", "j5_range_join",
-    "s11_schema_evolution", "u2_dedup_latest",
-    "u4_scd2_dimension", "u7_incremental_rollup", "u8_zorder_scan",
-    "w1_lag", "w3_ranking", "w6_distribution",
-    "x12_dedup_corpus", "x12b_dedup_corpus_sparse", "x16_span_dedup",
-    "x16b_span_removal", "x16c_span_dedup_sparse", "x18_corpus_prep",
-    "x19_quality_gate", "x2b_simhash", "x5d_fingerprint",
-    "x8_dup_components", "x8b_components_sparse",
-    "x8d_components_auto",
+    # (c) r13-cohort backfill (stale-first; 28 of 47)
+    "u1_upsert", "s2_rest_json_source", "s3_parallel_fetch",
+    "s4_csv_roundtrip", "s5_append_sink", "a12_sketch_rollup",
+    "s9_jsonl_roundtrip", "s10_orc_roundtrip", "s6_ddl_table",
+    "u5_delete_keys", "x2_minhash_lsh", "x2g_incremental_minhash",
+    "x13_decontaminate", "x15_sequence_packing", "x2f_minhash_sparse",
+    "x11_pii_redaction", "x20_chunk_overlap", "x2d_cosine_lsh",
+    "x17_semdedup", "x17b_semdedup_sparse", "w5_sessionize",
+    "e1_trips", "e1c_trips_localtime", "e1b_bucketed_trips",
+    "e3_enriched_trips", "e2_carbon_savings", "e2b_carbon_bucketed",
+    "p3_between_computed",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
-# Queries added or code-changed DURING round 15 must be appended to
+# Queries added or code-changed DURING round 16 must be appended to
 # (b) — displacing (c) backfill only past 50 — so the "every changed
-# query is windowed" claim stays true against the CORRECTNESS_r15 keys
-# (now machine-checked by tests/test_window_integrity.py).
+# query is windowed" claim stays true against the CORRECTNESS_r16 keys
+# (machine-checked by tests/test_window_integrity.py).
 
 
 def register(name: str, oracle: str | None = None, doc: str = "",

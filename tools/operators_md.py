@@ -275,8 +275,23 @@ SCALE_NOTES = {
     "skew.salted_agg":
         "two-phase agg: salted partials then final — hot keys spread "
         "across salt_buckets tasks (a7)",
+    "similarity.ivf_cell_stats":
+        "drift monitor: one map-side-combined groupBy to n_cells "
+        "rows + 1-row aggregate — rebuild decision with no collect "
+        "at any index size (x3i)",
     "snapshots.versions":
         "directory listing of manifests — metadata only",
+    "snapshots.expire_versions":
+        "retention: atomic manifest-rename expiry per doomed version "
+        "— metadata decision + O(expired bytes) deletes, surviving "
+        "data never scanned (u9c)",
+    "snapshots.gc_orphans":
+        "crashed-writer GC: O(debris) listing with grace + live-lock "
+        "safety — committed data never touched (u9c)",
+    "snapshots.erase_keys_all_versions":
+        "erasure x time travel: per-version semi-probe then anti-join "
+        "rewrite + atomic manifest swap — O(versions holding the "
+        "keys), never O(history) (u5b)",
     "snapshots.write_snapshot":
         "manifest rename is the commit point; single-writer lock per "
         "version; raced + SIGKILLed in tests",
