@@ -1,0 +1,171 @@
+"""x2_minhash_lsh stage decomposition at amplified scale (round-16,
+VERDICT r15 ask #6): x2 is 26% of the headline total (2.105 s at
+sf0.1) with no ledger/attribution entry, and the in-code
+checkpoint-vs-recompute note (operators/dedup.py:173-177) was measured
+at sf0.1 only.
+
+Why a CUSTOM amplifier: the shared floorfree amplifier copies text
+verbatim per copy, planting M-copy near-dup cliques whose candidate
+volume grows quadratically in the multiplier on BOTH engines (the
+documented x2g/x17 copy-clique artifact — FLOORFREE DEFAULT_QUERIES
+comment). Here each copy's text instead passes through a per-copy
+character PERMUTATION (translate over the 10 most frequent letters,
+a distinct permutation per copy), which makes cross-copy shingle sets
+disjoint while preserving every WITHIN-copy near-dup pair exactly —
+so candidates, verify work, and output all scale linearly in M and
+the lane measures pipeline throughput, not the clique artifact.
+(The oracle side stays out: DuckDB's brute-force gram self-join is
+quadratic regardless; this is a Spark-side stage split, the mm4/o2
+decomposition protocol.)
+
+Stages (cumulative prefixes of the x2 pipeline, dedup.py:145-260):
+  sigs   minhash_signatures only — the corpus-wide shingle explode +
+         32 multiply-add-mod mins (runs on BOTH sides of the banding
+         self-join in the shipped plan)
+  cand   + band explode + (band,bucket) self-join + distinct
+         candidate pairs (localCheckpoint as shipped)
+  full   + the exact-Jaccard verify (= the registered x2 plan)
+  ckpt   full, but with the SIGNATURE table localCheckpointed before
+         banding — the materialize-once alternative the in-code note
+         rejected at sf0.1; re-measured here at scale
+
+Usage:  python .r16/x2_decomp.py build <mult>
+        python .r16/x2_decomp.py spark <variant> <mult>
+(one process per timed run; never timed concurrently.)
+"""
+from __future__ import annotations
+
+import itertools
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/x2amp"
+
+cmd, arg1 = sys.argv[1], sys.argv[2]
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_warehouse_spark.io import load_table  # noqa: E402
+from data_warehouse_spark.session import get_spark  # noqa: E402
+
+ALPHA = "etaoinshrd"
+
+
+def perms(m: int) -> list[str]:
+    out = []
+    for p in itertools.permutations(ALPHA):
+        out.append("".join(p))
+        if len(out) == m:
+            return out
+    raise ValueError(m)
+
+
+if cmd == "build":
+    mult = int(arg1)
+    spark = get_spark("x2amp")
+    docs = load_table(spark, SRC, "documents").select("doc_id", "text")
+    parts = [
+        docs.select(
+            (F.col("doc_id") + 10_000_000 * c).alias("doc_id"),
+            F.translate("text", ALPHA, p).alias("text"))
+        for c, p in enumerate(perms(mult))
+    ]
+    amp = parts[0]
+    for p in parts[1:]:
+        amp = amp.unionByName(p)
+    dest = f"{OUT}/amp{mult}/documents.parquet"
+    amp.repartition(32).write.mode("overwrite").parquet(dest)
+    n = spark.read.parquet(dest).count()
+    print(f"built {dest}: {n} docs")
+    sys.exit(0)
+
+variant, mult = arg1, int(sys.argv[3])
+AMP = f"{OUT}/amp{mult}"
+
+from data_warehouse_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs, minhash_signatures, shingles, spread_for_compute,
+)
+
+spark = get_spark("x2decomp")
+
+
+def plan():
+    docs = load_table(spark, AMP, "documents")
+    if variant == "sigs":
+        return minhash_signatures(spread_for_compute(docs), "text",
+                                  "doc_id", 32, 3)
+    if variant == "full":
+        return minhash_lsh_pairs(docs, text_col="text", id_col="doc_id",
+                                 num_hashes=32, bands=8,
+                                 jaccard_threshold=0.5)
+    # cand / ckpt: replicate dedup.py:177-220's banding stage so the
+    # self-join input (sigs subtree vs checkpointed sigs) is the knob
+    df = spread_for_compute(docs)
+    sigs = minhash_signatures(df, "text", "doc_id", 32, 3)
+    if variant == "ckpt":
+        sigs = sigs.localCheckpoint(eager=False)
+    rows_per_band = 32 // 8
+    banded = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.element_at("signature",
+                                          b * rows_per_band + r + 1)
+                             for r in range(rows_per_band)])
+                 .alias("bucket"))
+            for b in range(8)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = banded.withColumnRenamed("doc_id", "id_a")
+    right = banded.withColumnRenamed("doc_id", "id_b")
+    candidates = (left.join(right, on=["band", "bucket"])
+                  .filter(F.col("id_a") < F.col("id_b"))
+                  .select("id_a", "id_b").distinct()
+                  .localCheckpoint(eager=False))
+    if variant == "cand":
+        return candidates
+    # ckpt continues into the shipped verify (dedup.py:224-255)
+    cand_ids = (candidates.select(F.col("id_a").alias("doc_id"))
+                .unionByName(candidates.select(F.col("id_b")
+                                               .alias("doc_id")))
+                .distinct())
+    in_pairs = df.join(cand_ids, on="doc_id", how="left_semi")
+    sh = (in_pairs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(shingles("text", 3))).alias("shingle")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (candidates
+             .join(sh.withColumnRenamed("id", "id_a"), on="id_a")
+             .join(sh.withColumnRenamed("id", "id_b"),
+                   on=["id_b", "shingle"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (inter
+            .join(sizes.withColumnRenamed("id", "id_a")
+                  .withColumnRenamed("n_sh", "n_a"), on="id_a")
+            .join(sizes.withColumnRenamed("id", "id_b")
+                  .withColumnRenamed("n_sh", "n_b"), on="id_b")
+            .withColumn("jaccard", F.col("n_inter")
+                        / (F.col("n_a") + F.col("n_b")
+                           - F.col("n_inter")))
+            .filter(F.col("jaccard") >= 0.5)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+# warm (JIT/codegen/page cache), then best-of-2 timed runs on FRESH
+# plan objects (shuffle-file reuse on the same object looks near-free)
+plan().write.format("noop").mode("overwrite").save()
+best = None
+for _ in range(2):
+    t0 = time.time()
+    plan().write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+n_rows = plan().count()
+print(f"RESULT {variant} mult={mult} best_s={best:.3f} rows={n_rows}")

@@ -507,6 +507,42 @@ def build_amplified(spark, src: str, out: str, n: int,
     return amp_dir
 
 
+def _teardown_jvm(spark) -> None:
+    """Fully stop the resident Spark JVM (not just the session) so the
+    --duck-subproc DuckDB leg is timed on a QUIET box. A stopped
+    SparkSession still leaves the gateway JVM alive with its committed
+    heap; with the 48g driver heap resident, the identical dq1@4096x
+    oracle measured 39.5 s vs 14.5 s after JVM exit (r16) — the
+    asymmetry was the harness, not the engine. The module-level py4j
+    state is reset so get_spark() relaunches a fresh JVM (~6 s)."""
+    import time as _t
+
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    gateway = spark.sparkContext._gateway
+    proc = getattr(gateway, "proc", None)
+    spark.stop()
+    try:
+        gateway.shutdown()
+    except Exception:
+        pass
+    if proc is not None:
+        try:
+            proc.wait(timeout=30)
+        except Exception:
+            try:
+                proc.kill()
+            except Exception:
+                pass
+    else:
+        _t.sleep(3)  # async JVM exit; give it a beat
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+
+
 def duck_con(amp_dir: str) -> duckdb.DuckDBPyConnection:
     # shared with tools/parity.py — one view-registration helper, the
     # glob suffix is the only difference between the two layouts;
@@ -528,6 +564,12 @@ def main() -> int:
                     help="comma list: amplify only these tables (disk "
                          "lever for very large mults; queries touching "
                          "unbuilt tables fail loudly)")
+    ap.add_argument("--duck-subproc", action="store_true",
+                    help="time the DuckDB leg in a fresh process "
+                         "(tools/duck_time.py) so it is not measured "
+                         "against this process's resident Spark JVM — "
+                         "use for cells whose Spark side spills "
+                         "heavily (the r16 dq1@4096x asymmetry)")
     ap.add_argument("--values-only", action="store_true",
                     help="verify values for EXISTING cells without "
                          "re-timing them: one untimed execution per "
@@ -714,16 +756,49 @@ def main() -> int:
                 cell["spark_s"] = min(cell["spark_s"] or dt, dt)
             duck_pd = None
             try:
-                for _ in range(args.runs):
-                    t0 = time.time()
-                    # .df() is DuckDB's native columnar materialization
-                    # (comparable cost to fetchall, and it IS the form
-                    # the value check needs — no untimed re-execution
-                    # of a 5-minute oracle just to verify values)
-                    duck_pd = cons[m].execute(spec.oracle).df()
-                    dt = time.time() - t0
-                    cell["duckdb_s"] = min(cell["duckdb_s"] or dt, dt)
-                cell["duckdb_rows"] = len(duck_pd)
+                if args.duck_subproc:
+                    # Engine-symmetric ("full machine each") timing,
+                    # r16: Spark is timed with DuckDB idle, so DuckDB
+                    # must be timed with the JVM GONE — a fresh
+                    # subprocess alone is NOT enough (the resident 48g
+                    # JVM still inflated the identical dq1@4096x
+                    # oracle 39.5 s vs 14.5 s after JVM exit). Tear
+                    # the JVM down, time DuckDB in a clean process,
+                    # relaunch (~6 s) for the value check / next cell.
+                    import subprocess
+                    _teardown_jvm(spark)
+                    out = subprocess.run(
+                        [sys.executable, str(REPO / "tools/duck_time.py"),
+                         amp_dirs[m], q, str(args.runs)],
+                        capture_output=True, text=True, timeout=7200)
+                    if out.returncode != 0:
+                        raise RuntimeError(
+                            f"duck_time subprocess failed for {q}@{m}x: "
+                            + out.stderr[-1000:])
+                    sub = json.loads(out.stdout.strip().splitlines()[-1])
+                    spark = get_spark("floorfree")
+                    cons[m] = duck_con(amp_dirs[m])
+                    if "duckdb_refusal" in sub:
+                        cell["duckdb_refusal"] = sub["duckdb_refusal"]
+                    else:
+                        cell["duckdb_s"] = sub["duckdb_s"]
+                        cell["duckdb_rows"] = sub["duckdb_rows"]
+                        cell["duck_subproc"] = True
+                        # untimed in-process execution for the value
+                        # check (same frame the in-process path yields)
+                        duck_pd = cons[m].execute(spec.oracle).df()
+                else:
+                    for _ in range(args.runs):
+                        t0 = time.time()
+                        # .df() is DuckDB's native columnar
+                        # materialization (comparable cost to
+                        # fetchall, and it IS the form the value check
+                        # needs — no untimed re-execution of a
+                        # 5-minute oracle just to verify values)
+                        duck_pd = cons[m].execute(spec.oracle).df()
+                        dt = time.time() - t0
+                        cell["duckdb_s"] = min(cell["duckdb_s"] or dt, dt)
+                    cell["duckdb_rows"] = len(duck_pd)
             except (duckdb.OutOfMemoryException, duckdb.IOException,
                     OSError, MemoryError) as e:
                 # an oracle refusal (ENOSPC spill, OOM) is a RESULT,
