@@ -130,6 +130,33 @@ def plan():
                   .localCheckpoint(eager=False))
     if variant == "cand":
         return candidates
+    if variant == "arrv":
+        # candidate verify WITHOUT the per-shingle row explosion: each
+        # doc's distinct shingle set rides as ONE array row through
+        # the two pair joins, and the intersection is a JVM
+        # array_intersect per pair — |pairs| rows instead of
+        # |pairs| x |shingles| rows through the join+agg
+        cand_ids = (candidates.select(F.col("id_a").alias("doc_id"))
+                    .unionByName(candidates.select(F.col("id_b")
+                                                   .alias("doc_id")))
+                    .distinct())
+        docsh = (df.join(cand_ids, on="doc_id", how="left_semi")
+                 .select(F.col("doc_id"),
+                         F.array_distinct(shingles("text", 3))
+                         .alias("shset")))
+        a = docsh.select(F.col("doc_id").alias("id_a"),
+                         F.col("shset").alias("sh_a"))
+        b = docsh.select(F.col("doc_id").alias("id_b"),
+                         F.col("shset").alias("sh_b"))
+        paired = candidates.join(a, on="id_a").join(b, on="id_b")
+        n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        n_a, n_b = F.size("sh_a"), F.size("sh_b")
+        jac = n_inter / (n_a + n_b - n_inter)
+        return (paired
+                .select("id_a", "id_b", jac.alias("jaccard"))
+                .filter(F.col("jaccard") >= 0.5)
+                .select("id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard")))
     # ckpt continues into the shipped verify (dedup.py:224-255)
     cand_ids = (candidates.select(F.col("id_a").alias("doc_id"))
                 .unionByName(candidates.select(F.col("id_b")

@@ -147,14 +147,39 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       shingle_n: int = 3,
                       jaccard_threshold: float = 0.5,
                       block_col: str | None = None,
-                      hash_family: str = "xxhash64") -> DataFrame:
+                      hash_family: str = "xxhash64",
+                      verify: str = "array") -> DataFrame:
     """X2: near-dup candidate pairs via LSH banding, verified by exact
     shingle Jaccard.
 
     Pipeline: signatures -> explode into `bands` band-hashes ->
     self-join on (band, band_hash) -> distinct candidate pairs ->
-    exact-Jaccard verify via shingle explode + pair aggregation.
-    Shuffles on band buckets and shingles only; never a cross join.
+    exact-Jaccard verify. Shuffles on band buckets and doc/shingle
+    keys only; never a cross join.
+
+    ``verify`` picks the exact-verify physical shape (r16, from the
+    .r16/x2_decomp.py stage split — verify was 62% of x2's wall at
+    256x, and x2 is 26% of the headline):
+
+      "array" (default): each candidate doc's DISTINCT shingle set
+        rides as ONE array row through the two pair joins and the
+        intersection is a JVM ``array_intersect`` per pair — |pairs|
+        rows through join+filter instead of |pairs| x |shingles| rows
+        through join+groupBy. Measured -18% on the whole x2 plan at
+        256x (-26% at 64x), identical output. Row width is bounded by
+        the largest doc's distinct-shingle count (~20 B/shingle):
+        fine for any chunked/length-capped corpus (x15/x18/x20
+        pipelines bound docs by construction).
+      "explode": the per-shingle row form — one (id, shingle) row per
+        doc-shingle, intersection via (id_b, shingle) join +
+        pair groupBy. Same values; prefer it only for corpora with
+        UNBOUNDED single-doc lengths (multi-MB docs would make
+        "array" rows multi-MB wide; exploded rows stay skinny and
+        spread across tasks).
+
+    Both paths verify ONLY docs that appear in some candidate pair
+    (left-semi prefilter) and are value-identical (property-tested,
+    tests/test_operators.py).
 
     With `block_col`, candidates are restricted to pairs sharing the
     blocking key (the key joins into the bucket equi-join, so
@@ -162,6 +187,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     `block` column — this is the scale path `ngram_jaccard_pairs`
     routes oversized blocks through.
     """
+    if verify not in ("array", "explode"):
+        raise ValueError(f"verify must be 'array' or 'explode', "
+                         f"got {verify!r}")
     if num_hashes % bands:
         raise ValueError(
             f"num_hashes={num_hashes} not divisible by bands={bands}: "
@@ -228,6 +256,23 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                 .unionByName(candidates.select(F.col("id_b").alias(id_col)))
                 .distinct())
     in_pairs = df.join(cand_ids, on=id_col, how="left_semi")
+    if verify == "array":
+        docsh = in_pairs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(text_col, shingle_n)).alias("shset"))
+        a = docsh.select(F.col("id").alias("id_a"),
+                         F.col("shset").alias("sh_a"))
+        b = docsh.select(F.col("id").alias("id_b"),
+                         F.col("shset").alias("sh_b"))
+        paired = candidates.join(a, on="id_a").join(b, on="id_b")
+        n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        jac = n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
+        return (paired.withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= jaccard_threshold)
+                .select(*([F.col("block")["v"].alias("block")]
+                          if block_col is not None else []),
+                        "id_a", "id_b",
+                        F.round("jaccard", 6).alias("jaccard")))
     sh = (in_pairs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, shingle_n)))

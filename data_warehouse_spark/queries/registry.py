@@ -74,15 +74,21 @@ _QUERY_MODULES = [
 #       applies the manifest schema so an all-rows-erased version
 #       reads back as a typed empty frame; e4's composition touches
 #       the snapshot closure), x3h (extend_ivf_index gained the
-#       check_ids id-disjointness guard, r15 ADVICE #2).
-#   (c) r13-cohort backfill, stale-first per tools/rotation.py: 28 of
+#       check_ids id-disjointness guard, r15 ADVICE #2), and
+#       x2c/x8/x12 (minhash_lsh_pairs' exact verify gained the
+#       "array" path — array_intersect per candidate pair instead of
+#       the per-shingle row explosion through join+groupBy; -18% on
+#       the whole x2 plan at 256x, .r16/x2_decomp.py — and these
+#       three route through it transitively; x2/x2f, also flagged,
+#       were already in (c)).
+#   (c) r13-cohort backfill, stale-first per tools/rotation.py: 25 of
 #       the 47 r13-dated rows.
-# 15 + 7 + 28 = 50. The 19 r13 rows displaced by the budget (lead the
-# r17 window per the standing rule) are expression/agg/set battery
-# classes with per-round pytest coverage: p5, p6, a1, a3, a8, a9,
-# a11, o1, o2_topk, o2_topk_per_group, set1-set4, f2, f3, f8, f9,
-# f10, f11 — regenerate the authoritative list with tools/rotation.py
-# after the round lands.
+# 15 + 10 + 25 = 50. The 22 r13 rows displaced by the budget (lead
+# the r17 window per the standing rule) are expression/agg/set
+# battery classes with per-round pytest coverage (p5, p6, a1, a3,
+# a8, a9, a11, o1, o2_topk, o2_topk_per_group, set1-set4, f2, f3,
+# f8, f9, f10, f11) plus e2/e2b/p3 — regenerate the authoritative
+# list with tools/rotation.py after the round lands.
 DRIVER_WINDOW = [
     # (a) the 15 r12-dated rows — re-enter first per the standing rule
     "s1_scan_filter", "s7_scan_full", "p1_project",
@@ -93,7 +99,8 @@ DRIVER_WINDOW = [
     # (b) round-16 code changes / additions
     "u9c_version_expiry", "u5b_erase_versions", "x3i_ivf_drift",
     "u9_time_travel", "u9b_snapshot_diff", "e4_daily_run",
-    "x3h_ivf_incremental",
+    "x3h_ivf_incremental", "x2c_ngram_jaccard", "x8_dup_components",
+    "x12_dedup_corpus",
     # (c) r13-cohort backfill (stale-first; 28 of 47)
     "u1_upsert", "s2_rest_json_source", "s3_parallel_fetch",
     "s4_csv_roundtrip", "s5_append_sink", "a12_sketch_rollup",
@@ -103,8 +110,7 @@ DRIVER_WINDOW = [
     "x11_pii_redaction", "x20_chunk_overlap", "x2d_cosine_lsh",
     "x17_semdedup", "x17b_semdedup_sparse", "w5_sessionize",
     "e1_trips", "e1c_trips_localtime", "e1b_bucketed_trips",
-    "e3_enriched_trips", "e2_carbon_savings", "e2b_carbon_bucketed",
-    "p3_between_computed",
+    "e3_enriched_trips",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
 # Queries added or code-changed DURING round 16 must be appended to

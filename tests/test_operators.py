@@ -1219,3 +1219,58 @@ def test_shared_spans_npasses_honors_caller_pass_dir(spark, tmp_path):
     assert sorted(os.listdir(base)) == ["pass0", "pass1", "pass2"]
     assert sorted(map(tuple, multi.collect())) \
         == sorted(map(tuple, single.collect()))
+
+
+def test_minhash_verify_paths_identical(spark, sf_dir):
+    """The r16 "array" exact-verify path must be VALUE-IDENTICAL to
+    the original "explode" path — on the live fixture corpus, on the
+    blocked (block_col) form, and on a synthetic corpus with one very
+    long document (the regime the docstring routes to "explode")."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    arr = minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32,
+                            bands=8, jaccard_threshold=0.5,
+                            verify="array")
+    exp = minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32,
+                            bands=8, jaccard_threshold=0.5,
+                            verify="explode")
+    got = rows(arr)
+    assert got and got == rows(exp)
+
+    blocked = docs.withColumn("lang_block",
+                              (F.col("doc_id") % 3).cast("string"))
+    arr_b = minhash_lsh_pairs(blocked, "text", "doc_id", num_hashes=32,
+                              bands=8, jaccard_threshold=0.5,
+                              block_col="lang_block", verify="array")
+    exp_b = minhash_lsh_pairs(blocked, "text", "doc_id", num_hashes=32,
+                              bands=8, jaccard_threshold=0.5,
+                              block_col="lang_block", verify="explode")
+    assert rows(arr_b) == rows(exp_b)
+
+    # long-doc case: two near-identical ~12k-word docs plus a decoy
+    base = " ".join(f"w{i % 997} t{i}" for i in range(6000))
+    long_docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail tokens here"),
+         (3, "a completely different short text entirely")],
+        "doc_id long, text string")
+    arr_l = rows(minhash_lsh_pairs(long_docs, "text", "doc_id",
+                                   num_hashes=32, bands=8,
+                                   jaccard_threshold=0.5,
+                                   verify="array"))
+    exp_l = rows(minhash_lsh_pairs(long_docs, "text", "doc_id",
+                                   num_hashes=32, bands=8,
+                                   jaccard_threshold=0.5,
+                                   verify="explode"))
+    assert arr_l == exp_l
+    assert [(a, b) for a, b, _ in arr_l] == [(1, 2)]
+
+    import pytest
+    with pytest.raises(ValueError, match="verify"):
+        minhash_lsh_pairs(docs, "text", "doc_id", verify="bogus")
