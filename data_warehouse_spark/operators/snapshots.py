@@ -438,12 +438,17 @@ def snapshot_changes(spark: SparkSession, table_dir: str,
 
 
 def expire_versions(table_dir: str, keep_last: int | None = None,
-                    before_version: int | None = None) -> list[int]:
+                    before_version: int | None = None,
+                    older_than_s: float | None = None) -> list[int]:
     """Drop expired versions (manifest + data), returning the version
-    numbers removed. Retention is `keep_last=N` (keep the N newest) or
-    `before_version=v` (drop everything < v), or both (union of the
-    two doom sets minus the survivors of keep_last). The CURRENT
-    (latest) version is never dropped, whatever the arguments say.
+    numbers removed. Retention is `keep_last=N` (keep the N newest),
+    `before_version=v` (drop everything < v), and/or `older_than_s`
+    (drop versions COMMITTED more than that many seconds ago — the
+    Delta VACUUM / Iceberg expire_snapshots retention convention;
+    commit time is the manifest's mtime, which the atomic rename
+    stamps at the commit point). Given several, the doom set is the
+    union. The CURRENT (latest) version is never dropped, whatever
+    the arguments say.
 
     Commit protocol per doomed version (concurrent-reader-safe):
 
@@ -468,9 +473,11 @@ def expire_versions(table_dir: str, keep_last: int | None = None,
     """
     import shutil
 
-    if keep_last is None and before_version is None:
-        raise ValueError("expire_versions: give keep_last and/or "
-                         "before_version (refusing to guess retention)")
+    if keep_last is None and before_version is None \
+            and older_than_s is None:
+        raise ValueError("expire_versions: give keep_last, "
+                         "before_version and/or older_than_s "
+                         "(refusing to guess retention)")
     if keep_last is not None and keep_last < 1:
         raise ValueError("expire_versions: keep_last must be >= 1 "
                          "(the current version is never expired)")
@@ -482,6 +489,18 @@ def expire_versions(table_dir: str, keep_last: int | None = None,
         doomed |= set(vs[:-keep_last])
     if before_version is not None:
         doomed |= {v for v in vs if v < before_version}
+    if older_than_s is not None:
+        import time as _t
+
+        cutoff = _t.time() - older_than_s
+        for v in vs:
+            try:
+                mt = os.path.getmtime(os.path.join(
+                    _versions_dir(table_dir), f"v{v:06d}.json"))
+            except OSError:
+                continue  # expired concurrently
+            if mt < cutoff:
+                doomed.add(v)
     doomed.discard(vs[-1])  # the current version is untouchable
     removed = []
     for v in sorted(doomed):

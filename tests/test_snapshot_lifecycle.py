@@ -145,3 +145,23 @@ def test_gc_orphans_respects_grace_and_live_locks(tmp_path, spark):
     assert versions(table_dir) == [1], "GC touched committed state"
     assert read_snapshot(spark, table_dir, 1).count() == 4
     os.unlink(lock)
+
+
+def test_expire_by_age_uses_commit_time(tmp_path, spark):
+    """older_than_s retention (the Delta VACUUM convention): commit
+    time is the manifest mtime stamped by the atomic rename. Backdate
+    v1/v2's manifests; an age cut must expire exactly those — and
+    still never the current version even when IT is old too."""
+    table_dir = str(tmp_path / "tbl")
+    _mk_versions(spark, table_dir, (5, 10, 15))
+    old = time.time() - 7200
+    for v in (1, 2):
+        m = os.path.join(_versions_dir(table_dir), f"v{v:06d}.json")
+        os.utime(m, (old, old))
+    assert expire_versions(table_dir, older_than_s=3600) == [1, 2]
+    assert versions(table_dir) == [3]
+    # current version immune to the age cut
+    m = os.path.join(_versions_dir(table_dir), "v000003.json")
+    os.utime(m, (old, old))
+    assert expire_versions(table_dir, older_than_s=3600) == []
+    assert read_snapshot(spark, table_dir, 3).count() == 15
