@@ -98,9 +98,21 @@ def render(rows: dict[str, dict[str, float]], sf_dir: str) -> str:
         cell = f"{r:.1f}x"
         return f"**{r:.2f}x — Spark ahead**" if r < 1 else cell
 
+    def _current_round() -> str:
+        # the driver stamps the round into PROGRESS.jsonl; env wins
+        env = os.environ.get("SPARK_GRAFT_ROUND")
+        if env:
+            return env
+        try:
+            last = (REPO / "PROGRESS.jsonl").read_text().strip() \
+                .splitlines()[-1]
+            return str(json.loads(last)["round"])
+        except Exception:
+            return "?"
+
     lines = [
         f"## Measured baseline (sf0.1, local[32], regenerated {stamp}, "
-        f"round {os.environ.get('SPARK_GRAFT_ROUND', '15')})",
+        f"round {_current_round()})",
         "",
         "Full-registry regeneration on the current fixtures via "
         "`tools/baseline_grid.py` (the round-3 grid predated "
