@@ -932,6 +932,39 @@ def ivf_cell_stats(index: IvfIndex, rebuild_skew: float = 2.0) -> DataFrame:
          / F.col("n_rows") > F.lit(float(rebuild_skew))).alias("rebuild"))
 
 
+def rebuild_index_if_drifted(index: IvfIndex, rebuild_skew: float = 2.0,
+                             n_cells: int | None = None,
+                             iters: int = 1) -> tuple[IvfIndex, bool]:
+    """The monitor-then-rebuild loop closed as one call: read
+    :func:`ivf_cell_stats`, and when the skew threshold trips, retrain
+    via :func:`build_ivf_index` over the index's CURRENT contents
+    (original corpus plus every appended batch — the assignment table
+    is the authoritative id+vector store). Returns (index, rebuilt).
+
+    The stats read is a bounded 1-row collect (the n_cells/centroid
+    parameter-read convention). A rebuild costs the same one
+    corpus-sized pass as the original build; between rebuilds, appends
+    stay O(|batch| * n_cells) — so the amortized maintenance schedule
+    is the operator consumer's rebuild_skew choice, with the default
+    (2.0: worst probe ~2x the balanced cost) matching x3i's gate row.
+
+    Caveat inherited from k-means itself: EXACT duplicate vectors
+    always share an argmax, so a pileup of identical vectors cannot be
+    split by retraining and keeps the skew floor at ~dup_mass *
+    n_cells / n_rows; near-duplicate drift (the realistic ingest
+    shift) does redistribute. Run exact/near dedup (x1/x2/x17)
+    upstream if identical-vector mass is expected."""
+    row = ivf_cell_stats(index, rebuild_skew).collect()[0]
+    if not row.rebuild:
+        return index, False
+    corpus = index.assigned.select(index.id_col, index.vec_col)
+    rebuilt = build_ivf_index(
+        corpus, vec_col=index.vec_col, id_col=index.id_col,
+        n_cells=n_cells or row.n_cells, iters=iters, dim=index.dim,
+        persist=False)
+    return rebuilt, True
+
+
 def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
              query_vec: list[float], k: int = 20, n_cells: int = 16,
              nprobe: int = 4) -> DataFrame:

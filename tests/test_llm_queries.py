@@ -1689,3 +1689,49 @@ def test_extend_ivf_index_check_ids_rejects_overlap(spark, sf_dir):
     replay = emb.filter(F.col("vec_id") % 5 == 1)  # already indexed
     with pytest.raises(ValueError, match="id-disjoint"):
         extend_ivf_index(idx, replay, check_ids=True)
+
+
+def test_rebuild_if_drifted_closes_the_loop(spark, sf_dir):
+    """monitor -> rebuild: near-duplicate drift (batch vectors pulled
+    90% toward the query vector — realistic ingest shift, NOT exact
+    copies) trips the skew flag under frozen centroids; retraining
+    over the index's current contents redistributes the drifted mass
+    and the skew drops. Also: a balanced index is returned unchanged."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.operators.similarity import (
+        build_ivf_index, extend_ivf_index, ivf_cell_stats,
+        rebuild_index_if_drifted,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    idx = build_ivf_index(corpus, vec_col="embedding", id_col="vec_id",
+                          n_cells=16, iters=1, dim=64, persist=False)
+    same, rebuilt = rebuild_index_if_drifted(idx, rebuild_skew=8.0)
+    assert not rebuilt and same is idx
+
+    qrow = emb.filter(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("qemb"))
+    # two drifted epochs: v' = 0.9*q + 0.1*v (distinct per vector, so
+    # retraining CAN split the mass — see the operator's exact-dup
+    # caveat)
+    for epoch in (1, 2):
+        batch = (emb.filter(F.col("vec_id") % 5 == 0)
+                 .select((F.col("vec_id") + 1_000_000 * epoch)
+                         .alias("vec_id"), "embedding")
+                 .crossJoin(F.broadcast(qrow))
+                 .select("vec_id",
+                         F.zip_with("embedding", "qemb",
+                                    lambda v, q: (q * F.lit(0.9)
+                                                  + v * F.lit(0.1))
+                                    .cast("float")).alias("embedding")))
+        idx = extend_ivf_index(idx, batch, check_ids=True)
+    before = ivf_cell_stats(idx).collect()[0]
+    assert before.rebuild, f"drifted append did not trip the flag: {before}"
+    idx2, rebuilt = rebuild_index_if_drifted(idx, rebuild_skew=2.0)
+    assert rebuilt
+    after = ivf_cell_stats(idx2).collect()[0]
+    assert after.n_rows == before.n_rows, "rebuild must not drop rows"
+    assert after.skew < before.skew, (
+        f"rebuild did not reduce skew: {before.skew} -> {after.skew}")

@@ -165,3 +165,37 @@ def test_expire_by_age_uses_commit_time(tmp_path, spark):
     os.utime(m, (old, old))
     assert expire_versions(table_dir, older_than_s=3600) == []
     assert read_snapshot(spark, table_dir, 3).count() == 15
+
+
+def test_daily_cadence_composes_with_retention_and_erasure(tmp_path, spark):
+    """The operational composition a 100 TB deployment actually runs
+    (the reference's daily load cadence, trips_lambda.py:218-246):
+    N daily upserted snapshots -> retention (keep_last) -> GDPR
+    erasure across the retained history -> time travel still serves
+    every retained version, minus the erased keys, and orphan GC
+    stays a no-op on the healthy table."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.operators.merge import upsert
+
+    table_dir = str(tmp_path / "daily")
+    # day d upserts rows [0, 10+2d) with value = d for keys it touches
+    state = None
+    for d in range(1, 6):
+        day = spark.range(10 + 2 * d).select(
+            F.col("id").alias("k"), F.lit(d).alias("day"))
+        state = day if state is None else upsert(state, day, keys=["k"])
+        assert write_snapshot(state, table_dir) == d
+
+    assert expire_versions(table_dir, keep_last=2) == [1, 2, 3]
+    doomed = spark.createDataFrame([(1,), (7,)], "k long")
+    assert erase_keys_all_versions(spark, table_dir, doomed,
+                                   keys=["k"]) == [4, 5]
+    assert versions(table_dir) == [4, 5]
+    for v, day_rows in ((4, 18), (5, 20)):
+        got = read_snapshot(spark, table_dir, v)
+        assert got.count() == day_rows - 2
+        assert got.filter("k IN (1, 7)").count() == 0
+        assert got.agg({"day": "max"}).collect()[0][0] == v
+    assert gc_orphans(table_dir, grace_s=0) == [], \
+        "GC found debris on a healthy table"

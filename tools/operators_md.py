@@ -275,6 +275,10 @@ SCALE_NOTES = {
     "skew.salted_agg":
         "two-phase agg: salted partials then final — hot keys spread "
         "across salt_buckets tasks (a7)",
+    "similarity.rebuild_index_if_drifted":
+        "monitor-then-retrain in one call: 1-row stats read, rebuild "
+        "only past the skew threshold — appends stay O(batch) "
+        "between rebuilds",
     "similarity.ivf_cell_stats":
         "drift monitor: one map-side-combined groupBy to n_cells "
         "rows + 1-row aggregate — rebuild decision with no collect "
