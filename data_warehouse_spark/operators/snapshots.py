@@ -282,9 +282,20 @@ def _acquire_version_lock(table_dir: str, v: int) -> tuple[str, str]:
     raise RuntimeError(f"could not acquire version lock for v{v:06d}")
 
 
-def write_snapshot(df: DataFrame, table_dir: str) -> int:
+def write_snapshot(df: DataFrame, table_dir: str,
+                   partition_by: list[str] | None = None) -> int:
     """Commit `df` as the table's next immutable version; returns the
     version number. The manifest rename is the commit point.
+
+    `partition_by` (r16) lays the version's data out hive-partitioned
+    on the given columns and records the layout in the manifest:
+    time-travel reads then get PARTITION PRUNING on those columns (a
+    dt-filtered audit read of one version touches one day's files,
+    not the version — plan-asserted in tests/test_snapshot_lifecycle),
+    and erase_keys_all_versions preserves the layout across rewrites.
+    At 100 TB this is the difference between a version being an
+    opaque blob and being a real table: the reference's daily cadence
+    makes dt the natural key, exactly like io.write_partitioned.
 
     Concurrency contract: one writer per VERSION, enforced by an
     O_CREAT|O_EXCL lock file — two concurrent writers both computing
@@ -319,9 +330,19 @@ def write_snapshot(df: DataFrame, table_dir: str) -> int:
             # reclaim it instead of wedging every future write on
             # errorifexists
             shutil.rmtree(data_path)
-        df.write.mode("errorifexists").parquet(data_path)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            missing = [c for c in partition_by if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"write_snapshot: partition_by column(s) {missing} "
+                    "not in the DataFrame")
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_path)
         manifest = {"version": v, "data": data_path,
                     "schema": df.schema.json()}
+        if partition_by:
+            manifest["partition_by"] = list(partition_by)
         staged = os.path.join(_versions_dir(table_dir),
                               f".v{v:06d}.json.tmp.{os.getpid()}")
         final = os.path.join(_versions_dir(table_dir), f"v{v:06d}.json")
@@ -371,7 +392,11 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     with open(os.path.join(_versions_dir(table_dir), f"v{v:06d}.json")) as fh:
         manifest = json.load(fh)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    return spark.read.schema(schema).parquet(manifest["data"])
+    out = spark.read.schema(schema).parquet(manifest["data"])
+    # partitioned versions: Spark appends partition columns after the
+    # data columns even under a user schema; project back to the
+    # committed order so readers see the schema they wrote
+    return out.select(*schema.fieldNames())
 
 
 def snapshot_changes(spark: SparkSession, table_dir: str,
@@ -656,7 +681,12 @@ def erase_keys_all_versions(spark: SparkSession, table_dir: str,
             new_data = os.path.abspath(os.path.join(
                 table_dir, "data",
                 f"v{v:06d}.erased.{os.getpid()}.{time.monotonic_ns()}"))
-            kept.write.mode("errorifexists").parquet(new_data)
+            writer = kept.write.mode("errorifexists")
+            if manifest.get("partition_by"):
+                # the rewrite preserves the version's committed layout,
+                # so post-erasure readers keep partition pruning
+                writer = writer.partitionBy(*manifest["partition_by"])
+            writer.parquet(new_data)
             manifest = dict(manifest, data=new_data,
                             erased=manifest.get("erased", 0) + 1)
             staged = os.path.join(_versions_dir(table_dir),

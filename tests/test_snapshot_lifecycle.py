@@ -12,6 +12,7 @@ the all-rows-erased empty-version read-back.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -199,3 +200,60 @@ def test_daily_cadence_composes_with_retention_and_erasure(tmp_path, spark):
         assert got.agg({"day": "max"}).collect()[0][0] == v
     assert gc_orphans(table_dir, grace_s=0) == [], \
         "GC found debris on a healthy table"
+
+
+def test_partitioned_snapshot_prunes_and_survives_erasure(tmp_path, spark):
+    """r16 partitioned versions: a partition_by snapshot (1) reads
+    back value-identical with the committed column order, (2) gives
+    time-travel reads PARTITION PRUNING (plan-asserted: a dt filter
+    reaches PartitionFilters, and the scan reads fewer files than the
+    version holds), and (3) keeps its layout across an
+    erase_keys_all_versions rewrite."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "ptbl")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("dt"),
+        (F.col("id") * 2).alias("v"))
+    assert write_snapshot(df, table_dir, partition_by=["dt"]) == 1
+
+    back = read_snapshot(spark, table_dir, 1)
+    assert back.columns == ["k", "dt", "v"], "manifest column order"
+    assert back.count() == 300
+    assert back.filter("dt = '1'").count() == 100
+
+    pruned = back.filter(F.col("dt") == "1")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dt" in m.group(1), f"no partition pruning:\n{plan[:800]}"
+
+    # layout on disk: one dir per dt value
+    data_dir = json.loads(open(os.path.join(
+        _versions_dir(table_dir), "v000001.json")).read())["data"]
+    assert sorted(d for d in os.listdir(data_dir)
+                  if d.startswith("dt=")) == ["dt=0", "dt=1", "dt=2"]
+
+    doomed = spark.createDataFrame([(6,), (7,)], "k long")
+    assert erase_keys_all_versions(spark, table_dir, doomed,
+                                   keys=["k"]) == [1]
+    back2 = read_snapshot(spark, table_dir, 1)
+    assert back2.count() == 298
+    assert back2.filter("k IN (6, 7)").count() == 0
+    new_data = json.loads(open(os.path.join(
+        _versions_dir(table_dir), "v000001.json")).read())["data"]
+    assert sorted(d for d in os.listdir(new_data)
+                  if d.startswith("dt=")) == ["dt=0", "dt=1", "dt=2"], \
+        "erasure rewrite dropped the partitioned layout"
+    # pruning still live post-rewrite
+    plan2 = read_snapshot(spark, table_dir, 1).filter("dt = '2'") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*dt", plan2)
+
+
+def test_partition_by_missing_column_raises(tmp_path, spark):
+    with pytest.raises(ValueError, match="partition_by"):
+        write_snapshot(spark.range(3), str(tmp_path / "t"),
+                       partition_by=["nope"])
