@@ -557,10 +557,11 @@ def expire_versions(table_dir: str, keep_last: int | None = None,
 
 
 def gc_orphans(table_dir: str, grace_s: float = LOCK_GRACE_S) -> list[str]:
-    """Remove crashed-writer debris older than `grace_s`: data dirs
-    with no committed manifest (the manifest rename never happened, so
-    no reader ever saw them) and staged `.json.tmp.*` manifests.
-    Returns the paths removed.
+    """Remove unreferenced debris older than `grace_s`: data dirs no
+    manifest points at — crashed writers (the commit rename never
+    happened) and SUPERSEDED erase rewrites (the manifest swap landed
+    but the old dir's rmtree failed/crashed) — plus staged
+    `.json.tmp.*` manifests. Returns the paths removed.
 
     The grace period is what makes this safe against a LIVE writer:
     write_snapshot lands data files first and commits the manifest
@@ -576,11 +577,23 @@ def gc_orphans(table_dir: str, grace_s: float = LOCK_GRACE_S) -> list[str]:
     removed: list[str] = []
     now = time.time()
     committed = {f"v{v:06d}" for v in versions(table_dir)}
+    # each committed version's CURRENT data dir (manifest-referenced):
+    # any other dir sharing its version prefix is a SUPERSEDED erase
+    # rewrite whose post-swap rmtree failed/crashed — reclaimable like
+    # any orphan (it is unreferenced and no reader can resolve it)
+    live_dirs = set()
+    for prefix in committed:
+        try:
+            with open(os.path.join(_versions_dir(table_dir),
+                                   f"{prefix}.json")) as fh:
+                live_dirs.add(os.path.basename(json.load(fh)["data"]))
+        except (OSError, ValueError, KeyError):
+            live_dirs.add(prefix)  # unreadable: be conservative
     data_root = os.path.join(table_dir, "data")
     if os.path.isdir(data_root):
         for name in sorted(os.listdir(data_root)):
-            if name.split(".")[0] in committed:
-                continue  # committed (or an erased-rewrite dir of one)
+            if name in live_dirs:
+                continue  # a committed version's current data
             path = os.path.join(data_root, name)
             if not os.path.isdir(path):
                 continue

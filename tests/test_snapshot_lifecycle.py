@@ -135,14 +135,17 @@ def test_gc_orphans_respects_grace_and_live_locks(tmp_path, spark):
     fresh = plant("v000050", backdate=False)   # may be in-flight: keep
     stale = plant("v000051", backdate=True)    # crashed writer: reclaim
     locked = plant("v000052", backdate=True)   # live lock: keep
+    # a superseded erase rewrite of the COMMITTED v1 (manifest points
+    # elsewhere; the post-swap rmtree "failed"): reclaimable
+    superseded = plant("v000001.erased.999.1", backdate=True)
     lock = os.path.join(_versions_dir(table_dir), ".v000052.lock")
     with open(lock, "w") as fh:
         fh.write(str(os.getpid()))  # our own live pid
 
     removed = gc_orphans(table_dir, grace_s=3600)
-    assert stale in removed
+    assert stale in removed and superseded in removed
     assert os.path.isdir(fresh) and os.path.isdir(locked)
-    assert not os.path.isdir(stale)
+    assert not os.path.isdir(stale) and not os.path.isdir(superseded)
     assert versions(table_dir) == [1], "GC touched committed state"
     assert read_snapshot(spark, table_dir, 1).count() == 4
     os.unlink(lock)
