@@ -898,3 +898,31 @@ def test_chunk_overlapping_properties_random_params(spark):
                 (doc_id, chunk_size, stride)
             assert covered == set(range(n)), (doc_id, chunk_size, stride)
             assert all(c[3] >= 1 for c in want)
+
+
+def test_cents_exact_on_random_two_decimal_values(spark):
+    """util.cents backs every money oracle: for ANY 2-decimal value
+    stored as its nearest double — positive, negative, boundary .x5,
+    account-balance magnitudes — cents(v) must equal the exact scaled
+    integer, and money_sum must equal the exact Decimal sum. A single
+    half-offset mistake (e.g. sign-blind +0.5) fails this on the
+    negative half."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_spark.queries.util import cents, money_sum
+
+    rng = random.Random(4242)
+    ks = [rng.randrange(-10**11, 10**11) for _ in range(4000)]
+    ks += [5, -5, 15, -15, 105, -105, 0,          # .x5 boundaries
+           99999999995, -99999999995]             # big .x5
+    rows = [(i, k / 100) for i, (k) in enumerate(ks)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    got = {r.i: r.c for r in
+           df.select("i", cents("v").alias("c")).collect()}
+    for i, k in enumerate(ks):
+        assert got[i] == k, f"cents({k/100!r}) = {got[i]}, want {k}"
+    s = df.agg(money_sum("v").alias("s")).collect()[0].s
+    want = float(sum(Decimal(k) for k in ks) / 100)
+    assert s == want, (s, want)
