@@ -251,12 +251,33 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # Banding already exploded the whole corpus once; re-exploding it
     # all for the verify would double the corpus-sized work, while the
     # candidate set is the tiny near-dup tail by construction.
+    #
+    # cand_ids is BROADCAST (r16, guide §3.2): it derives from the
+    # checkpointed candidate tail (an ExistingRDD with no size stats),
+    # so the planner defaulted to a sort-merge semi-join that
+    # EXCHANGED the whole corpus — text payload included — on id just
+    # to keep the tail's docs (plans/r16/x2_minhash_lsh_before.txt,
+    # Exchange(4)+Sort(5) over the documents scan, twice). The hint
+    # turns it into a broadcast semi right above the scan: zero
+    # corpus shuffle. Size bound: cand_ids <= 2 x |candidate pairs|
+    # ids — the same tail-smallness the localCheckpoint above already
+    # relies on, and strictly fewer bytes than the (id, shingle-set)
+    # sides the verify join below has ALWAYS broadcast.
     extra = ["block"] if block_col is not None else []
     cand_ids = (candidates.select(F.col("id_a").alias(id_col))
                 .unionByName(candidates.select(F.col("id_b").alias(id_col)))
                 .distinct())
-    in_pairs = df.join(cand_ids, on=id_col, how="left_semi")
+    in_pairs = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
     if verify == "array":
+        # NOT checkpointed: the shingle-set subtree does run once per
+        # pair side (self-join dedup re-aliases the branch; no
+        # exchange reuse even at runtime — .r16/x2_verify_shape.py),
+        # but with the broadcast semi above each run is a map-only
+        # scan+filter that pipelines across cores, and a measured
+        # localCheckpoint barrier here cost ~2x on the whole query
+        # (5.61 vs 2.69 s best-of-5 at sf0.1) — the same
+        # recompute-beats-materialize verdict as the signature
+        # subtree (SCALE.md round-16 x2 decomposition).
         docsh = in_pairs.select(
             F.col(id_col).alias("id"),
             F.array_distinct(shingles(text_col, shingle_n)).alias("shset"))
@@ -382,8 +403,13 @@ def minhash_lsh_incremental(corpus: DataFrame, batch: DataFrame,
 
     def side_shingles(src: DataFrame, ids: DataFrame,
                       out_id: str) -> DataFrame:
+        # broadcast the candidate-id set (r16, guide §3.2): it derives
+        # from the checkpointed tail (ExistingRDD, no stats), so the
+        # planner otherwise exchanges the whole src side — corpus text
+        # included — just to keep the tail's docs. Same tail-smallness
+        # bound the checkpoint above already relies on.
         in_pairs = src.join(
-            ids.withColumnRenamed(out_id, id_col).distinct(),
+            F.broadcast(ids.withColumnRenamed(out_id, id_col).distinct()),
             on=id_col, how="left_semi")
         return in_pairs.select(
             F.col(id_col).alias(out_id),
@@ -503,8 +529,11 @@ def minhash_probe_index(index: DataFrame, batch: DataFrame,
         F.col(id_col).alias("__cid"),
         F.explode(F.array_distinct(shingles(text_col, shingle_n)))
         .alias("shingle"))
-    bsh = (batch.join(candidates.select("__bid")
-                      .withColumnRenamed("__bid", id_col).distinct(),
+    # broadcast the candidate-id tail so the batch side is filtered
+    # above its scan instead of exchanged (guide §3.2; same bound as
+    # the checkpoint above)
+    bsh = (batch.join(F.broadcast(candidates.select("__bid")
+                      .withColumnRenamed("__bid", id_col).distinct()),
                       on=id_col, how="left_semi")
            .select(F.col(id_col).alias("__bid"),
                    F.explode(F.array_distinct(shingles(text_col, shingle_n)))

@@ -32,7 +32,8 @@ from data_warehouse_spark.functions.colref import qcol as _qcol
 
 
 def upsert(old: DataFrame, new: DataFrame, keys: list[str],
-           order_col: str | None = None) -> DataFrame:
+           order_col: str | None = None,
+           new_unique: bool = False) -> DataFrame:
     """INSERT ... ON CONFLICT(keys) DO UPDATE equivalent: one row per
     key of `new`, plus rows of `old` whose key is absent from `new`.
 
@@ -42,12 +43,23 @@ def upsert(old: DataFrame, new: DataFrame, keys: list[str],
     highest value wins (deterministic); otherwise an arbitrary single
     row survives (dropDuplicates), matching dedup_by_key semantics.
 
+    ``new_unique=True`` asserts the batch is ALREADY key-unique (e.g.
+    it derives from a PK-constrained source) and skips the dedup. The
+    dedup is not free: dropDuplicates over rows carrying any string
+    column plans as partial+final SortAggregate (First(string) has an
+    immutable agg buffer, so HashAggregate is ineligible) — a full
+    sort of the batch on both sides of its exchange (guide §2.4:
+    remove the shuffle outright when the data already satisfies the
+    invariant). The caller owns the uniqueness claim; a duplicated key
+    under new_unique=True produces two surviving rows, exactly like
+    violating the same precondition on a SQL MERGE.
+
     Columns must match. Idempotent: upsert(upsert(o, n), n) ==
     upsert(o, n).
     """
     if order_col is not None:
         new = dedup_latest(new, keys, order_col)
-    else:
+    elif not new_unique:
         new = new.dropDuplicates(keys)
     # null-safe anti join: a NULL key is one key value under the PK
     # contract (dropDuplicates above already treats it so); a plain
@@ -57,8 +69,13 @@ def upsert(old: DataFrame, new: DataFrame, keys: list[str],
     # one scan), and unqualified old[k]/nk[k] would lean on the
     # analyzer's self-join plan-id disambiguation (correct, but it
     # logs "trivially true equals predicate" on every run).
-    nk = new.select(*[_qcol(k) for k in keys]).distinct() \
-            .alias("__upsert_new")
+    nk = new.select(*[_qcol(k) for k in keys])
+    if not new_unique:
+        # reduce the anti-join's build side to one row per key; under
+        # new_unique the distinct is an identity and only costs its
+        # exchange + two aggregates, so skip it
+        nk = nk.distinct()
+    nk = nk.alias("__upsert_new")
     old_a = old.alias("__upsert_old")
     cond = [_qcol(k, "__upsert_old").eqNullSafe(_qcol(k, "__upsert_new"))
             for k in keys]

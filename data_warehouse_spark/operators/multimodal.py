@@ -167,13 +167,31 @@ def decode_images(df: DataFrame, codec: str = "stub") -> DataFrame:
     reference's per-city try/except pattern weather_lambda.py:147-149).
 
     codec: "png" (REAL header decode via the vendored pure-stdlib PNG
-    codec, functions/png.py — O(1) per payload, never inflates pixels),
-    "pil" (real decode via Pillow, imported inside the executor task;
-    raises at plan time if Pillow is absent), "stub" (deterministic
-    arithmetic from payload size — for non-image stand-in blobs), or
-    "auto" (pil when importable, else png). Whichever kernel runs, the
-    plan is identical — schema, batching, partitioning don't move when
-    the codec is swapped in.
+    codec semantics, functions/png.py — O(1) per payload, never
+    inflates pixels), "pil" (real decode via Pillow, imported inside
+    the executor task; raises at plan time if Pillow is absent),
+    "stub" (deterministic arithmetic from payload size — for non-image
+    stand-in blobs), or "auto" (pil when importable, else png). Output
+    schema, batching and partitioning are identical across codecs;
+    what differs (r16) is how many bytes cross the Python boundary:
+
+      "png":  read_header only ever inspects bytes [0, 33) of the
+              payload (signature + IHDR length/tag/fields; CRCs are
+              NOT verified — functions/png.py scope), so the blob is
+              projected to substring(blob, 1, 33) JVM-SIDE and the
+              kernel is a vectorized mapInArrow parse over fixed
+              offsets — 33 B/row cross the boundary instead of whole
+              payloads, and no per-row Python bytes objects exist
+              (guide §4.1/§4.2: ship only the bytes the function
+              needs, compute on whole batches). ok/width/height are
+              equivalent to functions/png.read_header case for case
+              (proved in test_sources.py: the property test feeds
+              both paths the same corpus).
+      "stub": dims are a pure function of the payload LENGTH, so
+              octet_length(blob) is computed JVM-side and one long
+              per row crosses.
+      "pil":  a real pixel decoder needs the full payload; unchanged
+              full-blob mapInPandas.
     """
     import pandas as pd
 
@@ -187,9 +205,10 @@ def decode_images(df: DataFrame, codec: str = "stub") -> DataFrame:
     def run_stub(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             # NULL blobs degrade per-row (ok=false) like the png/pil
-            # kernels — len(None) would kill the whole Arrow batch
-            ok = pdf["blob"].notna()
-            n = pdf["blob"].map(lambda b: 0 if b is None else len(b))
+            # kernels; octet_length(NULL) arrives as pandas NA
+            n_raw = pdf["__nb"]
+            ok = n_raw.notna()
+            n = n_raw.fillna(0).astype("int64")
             w, h = _stub_dims(n)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
@@ -198,27 +217,70 @@ def decode_images(df: DataFrame, codec: str = "stub") -> DataFrame:
                 "ok": ok,
             })
 
-    def run_png(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        from data_warehouse_spark.functions.png import PngError, read_header
+    def run_png(batches):
+        # Vectorized IHDR parse over 33-byte prefixes (mapInArrow).
+        # Case-for-case equivalent to functions/png.read_header over
+        # the FULL payload: every condition read_header checks before
+        # returning involves only bytes [0, 33) plus the requirement
+        # len >= 33 (signature 8 B, chunk length+tag 8 B, IHDR body
+        # 13 B, and _iter_chunks' pos+12+length <= n structural check
+        # with length pinned to 13 — CRC values are never verified).
+        import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            ws, hs, oks = [], [], []
-            for blob in pdf["blob"]:
-                try:
-                    w, h, _depth, _color = read_header(blob)
-                    ws.append(w)
-                    hs.append(h)
-                    oks.append(True)
-                except PngError:
-                    ws.append(None)
-                    hs.append(None)
-                    oks.append(False)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "width": pd.array(ws, dtype="Int32"),
-                "height": pd.array(hs, dtype="Int32"),
-                "ok": oks,
-            })
+        sig = np.frombuffer(b"\x89PNG\r\n\x1a\n", np.uint8)
+        tag = np.frombuffer(b"IHDR", np.uint8)
+        for batch in batches:
+            ids = batch.column(0)
+            arr = batch.column(1)
+            n = len(arr)
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.nulls(0, pa.int32()), pa.nulls(0, pa.int32()),
+                     pa.array([], pa.bool_())],
+                    ["doc_id", "width", "height", "ok"])
+                continue
+            if arr.null_count:
+                valid = np.invert(arr.is_null().to_numpy(
+                    zero_copy_only=False))
+            else:
+                valid = np.ones(n, bool)
+            owidth = np.int64 if pa.types.is_large_binary(arr.type) \
+                else np.int32
+            offs = np.frombuffer(arr.buffers()[1], dtype=owidth)[
+                arr.offset:arr.offset + n + 1].astype(np.int64)
+            dbuf = arr.buffers()[2]
+            data = (np.frombuffer(dbuf, np.uint8)
+                    if dbuf is not None else np.zeros(0, np.uint8))
+            lens = np.diff(offs)
+            # fixed-offset gather, padded so short rows index safely
+            # (they are masked out by lens >= 33 below)
+            d = np.concatenate([data, np.zeros(33, np.uint8)])
+            win = d[np.minimum(offs[:-1, None] + np.arange(33),
+                               len(d) - 1)]
+            w = ((win[:, 16].astype(np.int64) << 24)
+                 | (win[:, 17].astype(np.int64) << 16)
+                 | (win[:, 18].astype(np.int64) << 8)
+                 | win[:, 19])
+            h = ((win[:, 20].astype(np.int64) << 24)
+                 | (win[:, 21].astype(np.int64) << 16)
+                 | (win[:, 22].astype(np.int64) << 8)
+                 | win[:, 23])
+            ok = (valid & (lens >= 33)
+                  & (win[:, :8] == sig).all(axis=1)          # signature
+                  & (win[:, 8] == 0) & (win[:, 9] == 0)      # IHDR len
+                  & (win[:, 10] == 0) & (win[:, 11] == 13)   #   == 13
+                  & (win[:, 12:16] == tag).all(axis=1)       # IHDR tag
+                  & (w != 0) & (h != 0)                      # zero dim
+                  & (win[:, 26] == 0) & (win[:, 27] == 0)    # comp/filt
+                  & (win[:, 28] == 0))                       # interlace
+            mask = np.invert(ok)
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(np.where(ok, w, 0), mask=mask).cast(pa.int32()),
+                 pa.array(np.where(ok, h, 0), mask=mask).cast(pa.int32()),
+                 pa.array(ok)],
+                ["doc_id", "width", "height", "ok"])
 
     def run_pil(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
@@ -244,8 +306,16 @@ def decode_images(df: DataFrame, codec: str = "stub") -> DataFrame:
                 "ok": oks,
             })
 
-    run = {"pil": run_pil, "png": run_png, "stub": run_stub}[codec]
-    return df.mapInPandas(run, schema="doc_id long, width int, height int, ok boolean")
+    schema = "doc_id long, width int, height int, ok boolean"
+    if codec == "png":
+        hdr = df.select(F.col("doc_id"),
+                        F.substring(F.col("blob"), 1, 33).alias("blob"))
+        return hdr.mapInArrow(run_png, schema=schema)
+    if codec == "stub":
+        meta = df.select(F.col("doc_id"),
+                         F.octet_length(F.col("blob")).alias("__nb"))
+        return meta.mapInPandas(run_stub, schema=schema)
+    return df.mapInPandas(run_pil, schema=schema)
 
 
 def resize_plan(decoded: DataFrame, max_side: int = 512) -> DataFrame:

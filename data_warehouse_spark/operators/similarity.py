@@ -608,7 +608,14 @@ def cosine_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
     cand_ids = (candidates.select(F.col("id_a").alias(id_col))
                 .unionByName(candidates.select(F.col("id_b").alias(id_col)))
                 .distinct())
-    sided = (df.join(cand_ids, on=id_col, how="left_semi")
+    # broadcast the candidate-id tail (r16, guide §3.2): cand_ids
+    # derives from the checkpointed candidates (ExistingRDD, no size
+    # stats), so the planner otherwise sort-merges — exchanging the
+    # whole embeddings table on id just to keep the tail's rows. The
+    # bound is the same tail-smallness the checkpoint relies on, and
+    # strictly fewer bytes than the (id, vec) sides the verify join
+    # below already broadcasts.
+    sided = (df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
              .select(F.col(id_col), F.col(vec_col),
                      _norm(vec_col).alias("nrm")))
     a = sided.select(F.col(id_col).alias("id_a"),

@@ -24,7 +24,9 @@ from data_warehouse_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from data_warehouse_spark.queries.registry import register
-from data_warehouse_spark.session import ARROW_BATCH_BLOB, set_arrow_batch
+from data_warehouse_spark.session import (
+    ARROW_BATCH_BLOB, ARROW_BATCH_DEFAULT, set_arrow_batch,
+)
 
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
 
@@ -1223,7 +1225,12 @@ FROM decoded
     tags=("ext", "multimodal"),
 )
 def mm2_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    set_arrow_batch(spark, ARROW_BATCH_BLOB)  # opaque payload rows
+    # default Arrow tier, NOT the blob tier (r16): decode_images'
+    # png path projects payloads to 33-byte header prefixes JVM-side,
+    # so the rows crossing the boundary are fixed ~41 B — the 1k-row
+    # blob tier would cost 64x the per-batch Python overhead for no
+    # memory benefit
+    set_arrow_batch(spark, ARROW_BATCH_DEFAULT)
     from data_warehouse_spark.operators.multimodal import (
         decode_images, png_blob_table, resize_plan,
     )

@@ -81,13 +81,15 @@ _QUERY_MODULES = [
 #       the whole x2 plan at 256x, .r16/x2_decomp.py — and these
 #       three route through it transitively; x2/x2f, also flagged,
 #       were already in (c)).
-#   (c) r13-cohort backfill, stale-first per tools/rotation.py: 25 of
-#       the 47 r13-dated rows.
-# 15 + 10 + 25 = 50. The 22 r13 rows displaced by the budget (lead
+#   (c) r13-cohort backfill, stale-first per tools/rotation.py: 24 of
+#       the 47 r13-dated rows (e3_enriched_trips slid to the r17
+#       window when the optimization phase's mm2 change claimed its
+#       (b) slot — the standing changed-query-first rule).
+# 15 + 11 + 24 = 50. The 23 r13 rows displaced by the budget (lead
 # the r17 window per the standing rule) are expression/agg/set
 # battery classes with per-round pytest coverage (p5, p6, a1, a3,
 # a8, a9, a11, o1, o2_topk, o2_topk_per_group, set1-set4, f2, f3,
-# f8, f9, f10, f11) plus e2/e2b/p3 — regenerate the authoritative
+# f8, f9, f10, f11) plus e2/e2b/p3/e3 — regenerate the authoritative
 # list with tools/rotation.py after the round lands.
 DRIVER_WINDOW = [
     # (a) the 15 r12-dated rows — re-enter first per the standing rule
@@ -96,11 +98,14 @@ DRIVER_WINDOW = [
     "a4_distinct", "a5_rollup", "a6_stats", "a10_unpivot",
     "j7_cross_join", "j8_two_source_merge", "w2_lead_first_last",
     "st7_foreach_upsert", "st12_stream_incremental_dedup",
-    # (b) round-16 code changes / additions
+    # (b) round-16 code changes / additions (incl. the optimization
+    # phase: minhash_lsh_pairs broadcast semi -> x2/x2c/x8/x12/x2f,
+    # upsert new_unique -> u1/e4/st7, decode_images prefix+mapInArrow
+    # -> mm2)
     "u9c_version_expiry", "u5b_erase_versions", "x3i_ivf_drift",
     "u9_time_travel", "u9b_snapshot_diff", "e4_daily_run",
     "x3h_ivf_incremental", "x2c_ngram_jaccard", "x8_dup_components",
-    "x12_dedup_corpus",
+    "x12_dedup_corpus", "mm2_image_resize",
     # (c) r13-cohort backfill (stale-first; 28 of 47)
     "u1_upsert", "s2_rest_json_source", "s3_parallel_fetch",
     "s4_csv_roundtrip", "s5_append_sink", "a12_sketch_rollup",
@@ -110,7 +115,6 @@ DRIVER_WINDOW = [
     "x11_pii_redaction", "x20_chunk_overlap", "x2d_cosine_lsh",
     "x17_semdedup", "x17b_semdedup_sparse", "w5_sessionize",
     "e1_trips", "e1c_trips_localtime", "e1b_bucketed_trips",
-    "e3_enriched_trips",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
 # Queries added or code-changed DURING round 16 must be appended to

@@ -58,7 +58,13 @@ def u1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey",
                 (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
                 F.lit("v2").alias("version"))
-    merged = upsert(old, new, keys=["o_orderkey"])
+    # new derives from orders' PK — o_orderkey is unique at every SF
+    # (COUNT == COUNT DISTINCT on all three fixtures, and the oracle's
+    # NOT IN subquery likewise assumes key semantics) — so the
+    # batch-dedup pass is skipped: drops the partial+final
+    # SortAggregate + its exchange from the plan (r16,
+    # plans/r16/u1_upsert_{before,after}.txt)
+    merged = upsert(old, new, keys=["o_orderkey"], new_unique=True)
     return merged.select("o_orderkey", "o_custkey",
                          F.round("o_totalprice", 6).alias("o_totalprice"), "version")
 
