@@ -85,12 +85,125 @@ def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
              rng.randrange(0, _MINHASH_PRIME)) for _ in range(num_hashes)]
 
 
+def _minhash_signatures_arrow(df: DataFrame, text_col: str, id_col: str,
+                              num_hashes: int, shingle_n: int) -> DataFrame:
+    """Arrow-kernel form of minhash_signatures (xxhash64 family only):
+    one mapInArrow pass computes shingles -> hashes -> the num_hashes
+    mins per document, value-identical to the expression form.
+
+    Motivation (r16 optimization round, .r16/sig_split.py): the
+    expression form's cost is NOT the hash — it is the interpreted
+    higher-order-function lambdas building shingle strings, the
+    Generate row machinery, and 32 aggregate-buffer updates per
+    exploded shingle (~half the stage each at sf0.1). The kernel does
+    the same work as: a per-doc Python tokenize (cheap — one re.split
+    per DOCUMENT), one vectorized XXH64 over all shingle bytes
+    (functions/xxh64_np.py, bit-equal to F.xxhash64 — pinned by test),
+    and a numpy (shingles x num_hashes) mod-mul + segmented min
+    (exact int64; operands < 2^62 by the 31-bit hash domain).
+
+    Exactness argument, surface by surface (every one pinned by the
+    JVM-vs-kernel equality property test in tests/test_operators.py):
+      - lower/trim run in the JVM BEFORE the boundary (identical by
+        construction; Python str.lower is NOT used — it can diverge
+        from UTF8String.toLowerCase on exotic codepoints);
+      - Java's \\s is the ASCII class [ \\t\\n\\x0B\\f\\r] and Spark's
+        split keeps leading/trailing empty tokens (limit -1); the
+        kernel uses exactly that class with re.split, which has the
+        same empty-token behavior;
+      - concat_ws(" ") over non-null strings == " ".join;
+      - XXH64 seed 42 over UTF-8 bytes == xxh64_bytes (spec impl);
+      - (a*h + b) % p in int64 is exact integer math in both engines.
+
+    Docs with zero shingles emit no row, like the explode form.
+    """
+    import numpy as np
+
+    from data_warehouse_spark.functions.xxh64_np import xxh64_bytes
+
+    coeffs = _minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    prime = np.int64(_MINHASH_PRIME)
+    n_gram = shingle_n
+    id_type = dict(df.dtypes)[id_col]
+
+    def run(batches):
+        import re
+
+        import pyarrow as pa
+
+        sep = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, ASCII-only
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            keep: list[int] = []
+            counts: list[int] = []
+            parts: list[bytes] = []
+            for i, s in enumerate(texts):
+                if s is None:
+                    continue
+                toks = sep.split(s)
+                m = len(toks) - n_gram + 1
+                if m <= 0:
+                    continue
+                keep.append(i)
+                counts.append(m)
+                for j in range(m):
+                    parts.append(" ".join(toks[j:j + n_gram]).encode())
+            if not keep:
+                yield pa.RecordBatch.from_arrays(
+                    [ids.take(pa.array([], pa.int32())),
+                     pa.array([], pa.list_(pa.int64()))],
+                    [id_col, "signature"])
+                continue
+            lens = np.fromiter((len(p) for p in parts), np.int64,
+                               count=len(parts))
+            offs = np.zeros(len(parts) + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            data = np.frombuffer(b"".join(parts), np.uint8)
+            h = (xxh64_bytes(data, offs)
+                 & np.uint64(0x7FFFFFFF)).astype(np.int64)
+            # (shingles x num_hashes) exact int64: h < 2^31, a < p-1,
+            # so h*a + b < 2^62 — no overflow, identical to the ANSI
+            # long arithmetic of the expression form
+            vals = (h[:, None] * A[None, :] + B[None, :]) % prime
+            starts = np.zeros(len(keep), np.int64)
+            np.cumsum(np.asarray(counts[:-1], np.int64), out=starts[1:])
+            sig = np.minimum.reduceat(vals, starts, axis=0)
+            n_docs = len(keep)
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n_docs + 1) * num_hashes,
+                                   num_hashes, dtype=np.int32)),
+                pa.array(sig.ravel()))
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(keep, pa.int32())), sig_arr],
+                [id_col, "signature"])
+
+    src = df.select(
+        F.col(id_col),
+        F.lower(F.trim(F.col(text_col))).alias("__txt"))
+    return src.mapInArrow(
+        run, schema=f"{id_col} {id_type}, signature array<bigint>")
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_hashes: int = 32, shingle_n: int = 3,
-                       hash_family: str = "xxhash64") -> DataFrame:
+                       hash_family: str = "xxhash64",
+                       impl: str = "auto") -> DataFrame:
     """MinHash signature per document: h_i = min over shingles of
     (a_i * hash(shingle) + b_i) mod p. One row per doc with an
     array<long> signature.
+
+    ``impl`` picks the physical form (r16 optimization round):
+    "auto" routes the xxhash64 family through the Arrow kernel
+    (_minhash_signatures_arrow — value-identical, ~2x the stage
+    locally; the expression form's cost is interpreted shingle
+    lambdas + Generate rows + 32 agg-buffer updates per shingle, not
+    the hash), and the md5 family through the expression form (its
+    reason to exist is the bit-for-bit SQL oracle replay, so its
+    plan IS the spec). "expr" forces the expression form for either
+    family.
 
     ``hash_family`` picks the per-shingle hash (the x5d/x2b
     convention): "xxhash64" (default) is the fast JVM production
@@ -121,6 +234,11 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     """
     if hash_family not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hash_family: {hash_family!r}")
+    if impl not in ("auto", "expr"):
+        raise ValueError(f"unknown impl: {impl!r}")
+    if impl == "auto" and hash_family == "xxhash64":
+        return _minhash_signatures_arrow(spread_for_compute(df), text_col,
+                                         id_col, num_hashes, shingle_n)
     if hash_family == "md5":
         from data_warehouse_spark.functions.text import md5_60
 

@@ -1274,3 +1274,46 @@ def test_minhash_verify_paths_identical(spark, sf_dir):
     import pytest
     with pytest.raises(ValueError, match="verify"):
         minhash_lsh_pairs(docs, "text", "doc_id", verify="bogus")
+
+
+def test_minhash_arrow_kernel_matches_expression_form(spark, sf_dir):
+    """The r16 Arrow signature kernel (impl='auto' for the xxhash64
+    family) must be BIT-IDENTICAL to the expression form — same rows,
+    same 32-long signatures — on the live fixture corpus AND on an
+    adversarial corpus covering every tokenizer edge the kernel
+    replicates: Java-\\s separators (ASCII-only — unicode whitespace
+    must NOT split), leading/trailing separators (empty tokens kept,
+    Spark split limit -1), sub-n-token and null/empty docs (no row),
+    unicode lowering (done JVM-side, never in Python), and >=32-byte
+    shingles (the XXH64 stripe path)."""
+    from data_warehouse_spark.operators.dedup import minhash_signatures
+
+    adversarial = [
+        (1, "plain ascii words here"),
+        (2, "  leading and  trailing  "),
+        (3, "tabs\tand\nnewlines\x0bvt\x0cff\rcr mixed"),
+        (4, ""),
+        (5, None),
+        (6, "one two"),
+        (7, "ünïcode wörds ärę kept Σπάρκ İstanbul lowered"),
+        (8, "nbsp is not a Java-s separator so these stay"),
+        (9, "UPPER Case MiXeD lowering"),
+        (10, "supercalifragilistic expialidocious antidisestablishment"
+             " floccinaucinihilipilification words"),   # >=32-B shingles
+        (11, "word " * 200),
+        (12, "\t\t\t"),
+        (13, "a  b   c"),
+    ]
+
+    def sigs(df, impl):
+        out = minhash_signatures(df, "text", "doc_id", 32, 3, impl=impl)
+        return {r.doc_id: list(r.signature) for r in out.collect()}
+
+    adf = spark.createDataFrame(adversarial, "doc_id long, text string")
+    corp = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for df in (adf, corp):
+        a = sigs(df, "expr")
+        b = sigs(df, "auto")
+        assert a == b
+    # the adversarial set must actually exercise the no-row cases
+    assert set(sigs(adf, "auto")) == {1, 2, 3, 7, 8, 9, 10, 11, 13}
