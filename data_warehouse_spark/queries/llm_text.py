@@ -1233,16 +1233,21 @@ FROM decoded
     tags=("ext", "multimodal"),
 )
 def mm2_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # default Arrow tier, NOT the blob tier (r16): decode_images'
-    # png path projects payloads to 33-byte header prefixes JVM-side,
-    # so the rows crossing the boundary are fixed ~41 B — the 1k-row
-    # blob tier would cost 64x the per-batch Python overhead for no
-    # memory benefit
-    set_arrow_batch(spark, ARROW_BATCH_DEFAULT)
     from data_warehouse_spark.operators.multimodal import (
         decode_images, png_blob_table, resize_plan,
     )
+    # the one-off payload-table BUILD (attach_png_blob's encode kernel,
+    # first call per sf_dir) ships real KB-scale blobs and must stay
+    # at the blob tier; it executes eagerly inside png_blob_table, so
+    # pin the tier around that call
+    set_arrow_batch(spark, ARROW_BATCH_BLOB)
     blobs = png_blob_table(spark, sf_dir).select("doc_id", "blob")
+    # …but the QUERY itself crosses the boundary only with 33-byte
+    # header prefixes (decode_images' png path projects them
+    # JVM-side), so the timed pipeline runs at the default tier —
+    # the 1k-row blob tier would cost 64x the per-batch Python
+    # overhead for no memory benefit (r16)
+    set_arrow_batch(spark, ARROW_BATCH_DEFAULT)
     decoded = decode_images(blobs, codec="png")
     # no presentation sort: a global orderBy would sample its child and
     # run the decode stage twice (see sessions._present_sorted); the
