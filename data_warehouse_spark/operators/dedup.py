@@ -96,11 +96,23 @@ def _minhash_signatures_arrow(df: DataFrame, text_col: str, id_col: str,
     higher-order-function lambdas building shingle strings, the
     Generate row machinery, and 32 aggregate-buffer updates per
     exploded shingle (~half the stage each at sf0.1). The kernel does
-    the same work as: a per-doc Python tokenize (cheap — one re.split
-    per DOCUMENT), one vectorized XXH64 over all shingle bytes
-    (functions/xxh64_np.py, bit-equal to F.xxhash64 — pinned by test),
-    and a numpy (shingles x num_hashes) mod-mul + segmented min
-    (exact int64; operands < 2^62 by the 31-bit hash domain).
+    the same work with NO per-row Python objects (guide §4.2 — hand
+    whole batches to vectorized native code): tokenization is one
+    Arrow ``split_pattern_regex`` per batch, shingle strings are built
+    by three vectorized token gathers + one
+    ``binary_join_element_wise`` (all C++), XXH64 runs vectorized over
+    the shingle StringArray's data buffer (functions/xxh64_np.py,
+    bit-equal to F.xxhash64 — pinned by test), and the
+    (shingles x num_hashes) mod-mul + segmented min is exact int64
+    (operands < 2^62 by the 31-bit hash domain), chunked by doc
+    slices over one reused buffer. A first kernel revision looped
+    ``" ".join(toks[j:j+n]).encode()`` per shingle in Python and
+    built the full mod-mul matrix per batch; the vectorized+chunked
+    build measures 1.9x faster on the kernel body at the sf0.1
+    corpus (5k docs) and 5.1x at 20k docs, where the monolithic
+    matrix's fresh-page allocation stalls dominate
+    (.r16/shingle_vec_proto.py + OPTIMIZATION_r16.md, output
+    identical by assertion on every corpus tried).
 
     Exactness argument, surface by surface (every one pinned by the
     JVM-vs-kernel equality property test in tests/test_operators.py):
@@ -108,14 +120,22 @@ def _minhash_signatures_arrow(df: DataFrame, text_col: str, id_col: str,
         construction; Python str.lower is NOT used — it can diverge
         from UTF8String.toLowerCase on exotic codepoints);
       - Java's \\s is the ASCII class [ \\t\\n\\x0B\\f\\r] and Spark's
-        split keeps leading/trailing empty tokens (limit -1); the
-        kernel uses exactly that class with re.split, which has the
-        same empty-token behavior;
-      - concat_ws(" ") over non-null strings == " ".join;
+        split keeps leading/trailing empty tokens (limit -1); Arrow's
+        ``split_pattern_regex`` (RE2) has the same empty-token
+        behavior — asserted identical to re.split on the adversarial
+        corpus in .r16/shingle_vec_proto.py AND via the property test
+        (the expression form is the reference);
+      - binary_join_element_wise(" ") over non-null UTF-8 strings
+        concatenates the same bytes as concat_ws(" ");
       - XXH64 seed 42 over UTF-8 bytes == xxh64_bytes (spec impl);
       - (a*h + b) % p in int64 is exact integer math in both engines.
 
-    Docs with zero shingles emit no row, like the explode form.
+    Docs with zero shingles emit no row, like the explode form. A
+    batch whose total shingle bytes would overflow the int32 string
+    offsets (> 2 GiB) fails loudly in Arrow ("offset overflow") —
+    unreachable under the 64k-row default tier for any
+    length-bounded corpus (x15/x18/x20 pipelines bound docs by
+    construction).
     """
     import numpy as np
 
@@ -129,55 +149,87 @@ def _minhash_signatures_arrow(df: DataFrame, text_col: str, id_col: str,
     id_type = dict(df.dtypes)[id_col]
 
     def run(batches):
-        import re
-
         import pyarrow as pa
+        import pyarrow.compute as pc
 
-        sep = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, ASCII-only
         for batch in batches:
             ids = batch.column(0)
-            texts = batch.column(1).to_pylist()
-            keep: list[int] = []
-            counts: list[int] = []
-            parts: list[bytes] = []
-            for i, s in enumerate(texts):
-                if s is None:
-                    continue
-                toks = sep.split(s)
-                m = len(toks) - n_gram + 1
-                if m <= 0:
-                    continue
-                keep.append(i)
-                counts.append(m)
-                for j in range(m):
-                    parts.append(" ".join(toks[j:j + n_gram]).encode())
-            if not keep:
+            # Java \s (ASCII class), limit -1 empty-token semantics
+            toks = pc.split_pattern_regex(
+                batch.column(1), pattern="[ \t\n\x0b\f\r]+")
+            tok_off = (toks.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+            n_shingles = np.diff(tok_off) - (n_gram - 1)
+            np.clip(n_shingles, 0, None, out=n_shingles)
+            if toks.null_count:  # null text -> no shingles
+                n_shingles *= ~np.asarray(toks.is_null())
+            keep = np.flatnonzero(n_shingles > 0)
+            if keep.size == 0:
                 yield pa.RecordBatch.from_arrays(
                     [ids.take(pa.array([], pa.int32())),
                      pa.array([], pa.list_(pa.int64()))],
                     [id_col, "signature"])
                 continue
-            lens = np.fromiter((len(p) for p in parts), np.int64,
-                               count=len(parts))
-            offs = np.zeros(len(parts) + 1, np.int64)
-            np.cumsum(lens, out=offs[1:])
-            data = np.frombuffer(b"".join(parts), np.uint8)
+            s_kept = n_shingles[keep]
+            # doc d's shingles occupy output rows
+            # [starts[d], starts[d] + s_kept[d])
+            starts = np.zeros(keep.size, np.int64)
+            np.cumsum(s_kept[:-1], out=starts[1:])
+            total = int(s_kept.sum())
+            # flat-token index of each output shingle's first token:
+            # per-doc token offset + within-doc shingle position
+            j = (np.arange(total, dtype=np.int64)
+                 - np.repeat(starts, s_kept))
+            idx0 = np.repeat(tok_off[keep], s_kept) + j
+            flat = toks.values
+            sh = pc.binary_join_element_wise(
+                *(pc.take(flat, pa.array(idx0 + i, pa.int64()))
+                  for i in range(n_gram)), " ")
+            # zero-copy (data, offsets) view of the shingle strings
+            offs = np.frombuffer(sh.buffers()[1], np.int32,
+                                 count=len(sh) + 1,
+                                 offset=sh.offset * 4).astype(np.int64)
+            data = np.frombuffer(sh.buffers()[2], np.uint8)
             h = (xxh64_bytes(data, offs)
                  & np.uint64(0x7FFFFFFF)).astype(np.int64)
             # (shingles x num_hashes) exact int64: h < 2^31, a < p-1,
             # so h*a + b < 2^62 — no overflow, identical to the ANSI
-            # long arithmetic of the expression form
-            vals = (h[:, None] * A[None, :] + B[None, :]) % prime
-            starts = np.zeros(len(keep), np.int64)
-            np.cumsum(np.asarray(counts[:-1], np.int64), out=starts[1:])
-            sig = np.minimum.reduceat(vals, starts, axis=0)
-            n_docs = len(keep)
+            # long arithmetic of the expression form. Chunked by doc
+            # slices of ~64k shingles with ONE reused buffer and
+            # in-place ops: the monolithic (total x num_hashes)
+            # matrix is ~1 GB of fresh demand-zeroed allocation per
+            # 64k-row batch — measured multi-second page-fault stalls
+            # at >=20k-doc batches (OPTIMIZATION_r16.md) — while the
+            # chunked form bounds the temporary at ~16 MB per task
+            # regardless of batch size, with bit-identical
+            # per-element math (elementwise ops; chunk boundaries
+            # align with doc starts so every reduceat segment is
+            # intact).
+            n_docs = keep.size
+            chunk = 1 << 16
+            sig = np.empty((n_docs, num_hashes), np.int64)
+            buf = np.empty(
+                (min(total, chunk + int(s_kept.max())), num_hashes),
+                np.int64)
+            d0 = 0
+            while d0 < n_docs:
+                d1 = max(int(np.searchsorted(
+                    starts, starts[d0] + chunk, side="left")), d0 + 1)
+                lo = int(starts[d0])
+                hi = int(starts[d1]) if d1 < n_docs else total
+                v = buf[:hi - lo]
+                np.multiply(h[lo:hi, None], A[None, :], out=v)
+                v += B[None, :]
+                v %= prime
+                np.minimum.reduceat(v, starts[d0:d1] - lo, axis=0,
+                                    out=sig[d0:d1])
+                d0 = d1
             sig_arr = pa.ListArray.from_arrays(
                 pa.array(np.arange(0, (n_docs + 1) * num_hashes,
                                    num_hashes, dtype=np.int32)),
                 pa.array(sig.ravel()))
             yield pa.RecordBatch.from_arrays(
-                [ids.take(pa.array(keep, pa.int32())), sig_arr],
+                [ids.take(pa.array(keep, pa.int64())), sig_arr],
                 [id_col, "signature"])
 
     src = df.select(
@@ -476,12 +528,15 @@ def minhash_lsh_incremental(corpus: DataFrame, batch: DataFrame,
     expression is cheaper to keep in sync than the re-verification
     of four green queries (window-budget trade, documented here).
 
-    Note (r16): minhash_lsh_pairs' exact verify moved to an
-    array_intersect-per-pair shape (-18% at 256x). The same rewrite
-    applies to THIS verify (bsh/csh as array rows), but the verify
-    here is batch-sized, not corpus-sized, so the absolute win is
-    small; deferred under the same window-budget trade — take it the
-    next time this function changes for a functional reason.
+    The exact verify uses minhash_lsh_pairs' array_intersect-per-pair
+    shape (r16): each candidate doc's DISTINCT shingle set rides as
+    ONE array row through the pair joins — |pairs| rows through
+    join+filter instead of |pairs| x |shingles| rows through
+    join+groupBy, and the two per-side size aggregates disappear.
+    Value-identical to the exploded form (a zero-shingle doc can
+    never be a candidate — no signature, no bands — and every
+    candidate pair's jaccard is the same arithmetic either way);
+    pinned by the x2g oracle + the self-dedup property test.
     """
     if num_hashes % bands:
         raise ValueError(
@@ -519,8 +574,8 @@ def minhash_lsh_incremental(corpus: DataFrame, batch: DataFrame,
                   # lost executor re-runs the (cheap) query.
                   .localCheckpoint(eager=False))
 
-    def side_shingles(src: DataFrame, ids: DataFrame,
-                      out_id: str) -> DataFrame:
+    def side_sets(src: DataFrame, ids: DataFrame, out_id: str,
+                  set_col: str) -> DataFrame:
         # broadcast the candidate-id set (r16, guide §3.2): it derives
         # from the checkpointed tail (ExistingRDD, no stats), so the
         # planner otherwise exchanges the whole src side — corpus text
@@ -531,24 +586,16 @@ def minhash_lsh_incremental(corpus: DataFrame, batch: DataFrame,
             on=id_col, how="left_semi")
         return in_pairs.select(
             F.col(id_col).alias(out_id),
-            F.explode(F.array_distinct(shingles(text_col, shingle_n)))
-            .alias("shingle"))
+            F.array_distinct(shingles(text_col, shingle_n))
+            .alias(set_col))
 
-    bsh = side_shingles(batch, candidates.select("__bid"), "__bid")
-    csh = side_shingles(corpus, candidates.select("__cid"), "__cid")
-    bsz = bsh.groupBy("__bid").agg(F.count(F.lit(1)).alias("n_b"))
-    csz = csh.groupBy("__cid").agg(F.count(F.lit(1)).alias("n_c"))
-    # c-side joins on (__cid, shingle) so the hash join emits only the
-    # intersection (the minhash_lsh_pairs discipline — id-only would
-    # cross-product each pair's shingle lists before filtering)
-    inter = (candidates
-             .join(bsh, on="__bid")
-             .join(csh, on=["__cid", "shingle"])
-             .groupBy("__bid", "__cid")
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    jac = (inter.join(bsz, on="__bid").join(csz, on="__cid")
-           .withColumn("__j", F.col("n_inter")
-                       / (F.col("n_b") + F.col("n_c") - F.col("n_inter")))
+    bset = side_sets(batch, candidates.select("__bid"), "__bid", "sh_b")
+    cset = side_sets(corpus, candidates.select("__cid"), "__cid", "sh_c")
+    paired = candidates.join(bset, on="__bid").join(cset, on="__cid")
+    n_inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    jac = (paired
+           .withColumn("__j", n_inter / (F.size("sh_b") + F.size("sh_c")
+                                         - n_inter))
            .filter(F.col("__j") >= jaccard_threshold))
     # winner per batch doc = LEXICOGRAPHIC struct min: corpus ids are
     # distinct within a group, so this is min(__cid) carrying its own
@@ -643,29 +690,27 @@ def minhash_probe_index(index: DataFrame, batch: DataFrame,
 
     ctext = fetch_texts(candidates.select(
         F.col("__cid").alias(id_col)).distinct())
-    csh = ctext.select(
-        F.col(id_col).alias("__cid"),
-        F.explode(F.array_distinct(shingles(text_col, shingle_n)))
-        .alias("shingle"))
+    # array-form exact verify (r16, same shape as minhash_lsh_pairs /
+    # minhash_lsh_incremental): one distinct-shingle-set array row per
+    # candidate doc, array_intersect per pair — no per-shingle rows,
+    # no per-side size aggregates
+    cset = ctext.select(F.col(id_col).alias("__cid"),
+                        F.array_distinct(shingles(text_col, shingle_n))
+                        .alias("sh_c"))
     # broadcast the candidate-id tail so the batch side is filtered
     # above its scan instead of exchanged (guide §3.2; same bound as
     # the checkpoint above)
-    bsh = (batch.join(F.broadcast(candidates.select("__bid")
-                      .withColumnRenamed("__bid", id_col).distinct()),
-                      on=id_col, how="left_semi")
-           .select(F.col(id_col).alias("__bid"),
-                   F.explode(F.array_distinct(shingles(text_col, shingle_n)))
-                   .alias("shingle")))
-    bsz = bsh.groupBy("__bid").agg(F.count(F.lit(1)).alias("n_b"))
-    csz = csh.groupBy("__cid").agg(F.count(F.lit(1)).alias("n_c"))
-    inter = (candidates
-             .join(bsh, on="__bid")
-             .join(csh, on=["__cid", "shingle"])
-             .groupBy("__bid", "__cid")
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    jac = (inter.join(bsz, on="__bid").join(csz, on="__cid")
-           .withColumn("__j", F.col("n_inter")
-                       / (F.col("n_b") + F.col("n_c") - F.col("n_inter")))
+    bset = (batch.join(F.broadcast(candidates.select("__bid")
+                       .withColumnRenamed("__bid", id_col).distinct()),
+                       on=id_col, how="left_semi")
+            .select(F.col(id_col).alias("__bid"),
+                    F.array_distinct(shingles(text_col, shingle_n))
+                    .alias("sh_b")))
+    paired = candidates.join(bset, on="__bid").join(cset, on="__cid")
+    n_inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    jac = (paired
+           .withColumn("__j", n_inter / (F.size("sh_b") + F.size("sh_c")
+                                         - n_inter))
            .filter(F.col("__j") >= jaccard_threshold))
     best = (jac.groupBy("__bid")
             .agg(F.min(F.struct(F.col("__cid"), F.col("__j"))).alias("m"))
