@@ -22,6 +22,36 @@ from data_warehouse_spark.session import (  # noqa: E402
     ARROW_BATCH_DEFAULT, get_spark, set_arrow_batch,
 )
 
+# Floor-free lane (r17, VERDICT r16 ask #1). Every sf0.1 fixture table
+# is ONE parquet file with ONE row group, so every scan is one task and
+# ~10 of the 14 headline cells sit at the local-mode scheduling floor
+# (~0.3-0.5 s): the headline can neither show a parallelism win nor
+# catch a parallelism regression, and the driver's low-core re-run
+# measures scheduling overhead, not scaling. The fixtures are driver-
+# owned and read-only (TESTDATA.md), so instead of regenerating them
+# this lane ADDS bench entries (the contract allows adding, never
+# removing/renaming): the four most data-heavy headline queries re-run
+# UNMODIFIED over a deterministic FF_MULT-times-amplified, 32-file copy
+# of their input tables, built fresh from $SPARK_GRAFT_SF_DIR by every
+# bench invocation (tools/floorfree.build_amplified — the same salted
+# amplifier the FLOORFREE.json lanes use; nothing persists across
+# invocations, so every run still computes from the parquet inputs).
+# The build runs untimed before the measured passes, like the warm-up;
+# the ff entries are timed with the same noop-sink methodology as
+# every other entry, but as their OWN fixed best-of-FF_RUNS block
+# AFTER the headline loop converges: a 64x cell runs 1.5-6.5 s, so
+# scheduler noise is proportionally tiny and adaptive sampling is
+# unnecessary — and inside the adaptive loop the big cells dominated
+# the convergence total and pushed every invocation to max_runs
+# (measured 21 min; the split form runs ~6). The headline `value`
+# stays the sum of the ORIGINAL 14 queries only, so it remains
+# comparable round over round; the ff entries ride in `queries`
+# beside them.
+FF_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_FF_MULT", "64"))
+FF_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_FF_RUNS", "3"))
+FF_QUERIES = ["w5_sessionize", "e1_trips", "x2_minhash_lsh", "x7_tfidf"]
+FF_TABLES = ["events", "documents"]  # the tables those four read
+
 # Headline set: one representative per operator family. Parity covers
 # exhaustiveness; bench covers speed.
 HEADLINE = [
@@ -117,6 +147,35 @@ def main() -> None:
         except Exception:
             pass
 
+    # Floor-free lane setup (see FF_MULT above): amplified input built
+    # fresh per invocation in a private tempdir, removed at exit. The
+    # build + one warm pass per ff query are untimed, like the warm-up.
+    ff_root = None
+    ff_lane: list[tuple[str, str, str]] = []  # (entry, query, data dir)
+    if FF_MULT > 0:
+        import shutil
+        import tempfile
+
+        from tools.floorfree import build_amplified, build_perm_documents
+        ff_root = tempfile.mkdtemp(prefix="bench_ff_")
+        # events: the salted amplifier (users/sessions scale linearly,
+        # no pair structure). documents: the PERMUTATION amplifier —
+        # the salted one leaves every original's copies a near-dup
+        # clique, which would grow x2's verify volume quadratically in
+        # FF_MULT (a different workload, not a scaling lane).
+        ff_dir = build_amplified(spark, sf_dir, ff_root, FF_MULT,
+                                 tables=[t for t in FF_TABLES
+                                         if t != "documents"])
+        if "documents" in FF_TABLES:
+            build_perm_documents(spark, sf_dir, ff_dir, FF_MULT)
+        for name in FF_QUERIES:
+            if name in specs:
+                ff_lane.append((f"ff{FF_MULT}_{name}", name, ff_dir))
+        for _, name, d in ff_lane:
+            set_arrow_batch(spark, ARROW_BATCH_DEFAULT)
+            specs[name].fn(spark, d) \
+                .write.format("noop").mode("overwrite").save()
+
     # Best-of-N per query, ADAPTIVE N (r14 verdict ask #1): the box
     # shares hardware and single-shot timings swing 2-4x with neighbor
     # load; r12 and r14 both recorded load-inflated headline artifacts
@@ -178,8 +237,22 @@ def main() -> None:
             if flat_streak >= 2:
                 break  # converged: two consecutive <1% passes
         prev_best = best
-    total = round(sum(timings.values()), 3)
+    # Floor-free block: fixed best-of-FF_RUNS, after the adaptive loop
+    # (see the FF_MULT comment for why it is not inside it)
+    for _ in range(FF_RUNS):
+        for entry, name, d in ff_lane:
+            set_arrow_batch(spark, ARROW_BATCH_DEFAULT)
+            t0 = time.time()
+            specs[name].fn(spark, d) \
+                .write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[entry] = min(timings.get(entry, dt), dt)
+    # `value` stays the sum of the ORIGINAL headline entries only — the
+    # ff lane rides in `queries` without moving the cross-round metric
+    total = round(sum(timings[n] for n in names), 3)
     anchor_total = round(sum(anchors.values()), 3)
+    if ff_root is not None:
+        shutil.rmtree(ff_root, ignore_errors=True)
 
     print(json.dumps({
         "metric": "headline_queries_total",

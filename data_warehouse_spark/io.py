@@ -141,6 +141,26 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     return df
 
 
+def bcast_id_cap() -> int:
+    """Max candidate-id rows the LSH verify prefilters may BROADCAST
+    (r17, VERDICT r16 ask #3). The tail-smallness argument behind the
+    r16 broadcast hints is sound for real corpora, but at adversarial
+    duplication rates the candidate tail is O(corpus) and an
+    unconditional hint converts a slow-but-finishing shuffle semi-join
+    into a hard failure (the 8 GB / 512M-row broadcast-relation cap,
+    or an executor OOM holding the built hash relation). Sites gate
+    the hint on a cheap count of the already-checkpointed candidate
+    set and fall back to the unhinted semi-join above the cap.
+
+    Default 10M id rows ~ a few hundred MB of built hash relation
+    (long keys) — guide §3.1's comfortable broadcast territory, two
+    orders of magnitude under the hard cap. Env-overridable so tests
+    exercise the fallback path and clusters with bigger executors can
+    raise it; read per call, not at import, so a test override works
+    on a live session."""
+    return int(os.environ.get("SPARK_GRAFT_BCAST_ID_CAP", "10000000"))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -22,7 +22,7 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_warehouse_spark.io import spread_for_compute
+from data_warehouse_spark.io import bcast_id_cap, spread_for_compute
 
 # Largest hash-group df the grouped-pairs branch of shared_spans may
 # collect into one aggregation buffer (~20 B/entry -> ~80 KB). Caps
@@ -165,8 +165,10 @@ def _minhash_signatures_arrow(df: DataFrame, text_col: str, id_col: str,
                 n_shingles *= ~np.asarray(toks.is_null())
             keep = np.flatnonzero(n_shingles > 0)
             if keep.size == 0:
+                # int64 indices to match the non-empty path's
+                # np.flatnonzero-derived take (ADVICE r16 consistency)
                 yield pa.RecordBatch.from_arrays(
-                    [ids.take(pa.array([], pa.int32())),
+                    [ids.take(pa.array([], pa.int64())),
                      pa.array([], pa.list_(pa.int64()))],
                     [id_col, "signature"])
                 continue
@@ -360,6 +362,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     if verify not in ("array", "explode"):
         raise ValueError(f"verify must be 'array' or 'explode', "
                          f"got {verify!r}")
+    if not jaccard_threshold > 0:
+        # r17 (ADVICE r16): the array verify keeps zero-intersection
+        # candidate pairs until the threshold filter, while the explode
+        # verify's inner join on shingle drops them structurally — at
+        # threshold <= 0 the two shapes would diverge. No caller wants
+        # "every banding collision is a dup" anyway; fail loudly.
+        raise ValueError(
+            f"jaccard_threshold must be > 0, got {jaccard_threshold!r}")
     if num_hashes % bands:
         raise ValueError(
             f"num_hashes={num_hashes} not divisible by bands={bands}: "
@@ -433,11 +443,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # ids — the same tail-smallness the localCheckpoint above already
     # relies on, and strictly fewer bytes than the (id, shingle-set)
     # sides the verify join below has ALWAYS broadcast.
+    #
+    # The hint is SIZE-GATED (r17, VERDICT r16 ask #3): at adversarial
+    # dup rates the tail is O(corpus) and the hint would hard-fail at
+    # the broadcast cap; the count scans only the (materialized)
+    # checkpoint, and above the cap the pre-r16 shuffle semi-join is
+    # kept — slower, never fatal. io.bcast_id_cap documents the bound.
     extra = ["block"] if block_col is not None else []
     cand_ids = (candidates.select(F.col("id_a").alias(id_col))
                 .unionByName(candidates.select(F.col("id_b").alias(id_col)))
                 .distinct())
-    in_pairs = df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+    if 2 * candidates.count() <= bcast_id_cap():
+        cand_ids = F.broadcast(cand_ids)
+    in_pairs = df.join(cand_ids, on=id_col, how="left_semi")
     if verify == "array":
         # NOT checkpointed: the shingle-set subtree does run once per
         # pair side (self-join dedup re-aliases the branch; no
@@ -538,6 +556,11 @@ def minhash_lsh_incremental(corpus: DataFrame, batch: DataFrame,
     candidate pair's jaccard is the same arithmetic either way);
     pinned by the x2g oracle + the self-dedup property test.
     """
+    if not jaccard_threshold > 0:
+        # ADVICE r16: the array verify would emit zero-intersection
+        # pairs at threshold <= 0 that the exploded form never did
+        raise ValueError(
+            f"jaccard_threshold must be > 0, got {jaccard_threshold!r}")
     if num_hashes % bands:
         raise ValueError(
             f"num_hashes={num_hashes} not divisible by bands={bands}: "
@@ -573,6 +596,10 @@ def minhash_lsh_incremental(corpus: DataFrame, batch: DataFrame,
                   # minhash_lsh_pairs: blocks are executor-local, a
                   # lost executor re-runs the (cheap) query.
                   .localCheckpoint(eager=False))
+    # size-gate for the two side broadcasts below (r17, VERDICT r16
+    # ask #3 — io.bcast_id_cap documents the bound); per-side distinct
+    # ids <= |pairs|, and the count scans only the checkpointed tail
+    hint_ids = candidates.count() <= bcast_id_cap()
 
     def side_sets(src: DataFrame, ids: DataFrame, out_id: str,
                   set_col: str) -> DataFrame:
@@ -580,9 +607,11 @@ def minhash_lsh_incremental(corpus: DataFrame, batch: DataFrame,
         # from the checkpointed tail (ExistingRDD, no stats), so the
         # planner otherwise exchanges the whole src side — corpus text
         # included — just to keep the tail's docs. Same tail-smallness
-        # bound the checkpoint above already relies on.
+        # bound the checkpoint above already relies on; above the cap
+        # the unhinted shuffle semi is kept (slower, never fatal).
+        ids = ids.withColumnRenamed(out_id, id_col).distinct()
         in_pairs = src.join(
-            F.broadcast(ids.withColumnRenamed(out_id, id_col).distinct()),
+            F.broadcast(ids) if hint_ids else ids,
             on=id_col, how="left_semi")
         return in_pairs.select(
             F.col(id_col).alias(out_id),
@@ -682,10 +711,18 @@ def minhash_probe_index(index: DataFrame, batch: DataFrame,
     minhash_lsh_incremental row-for-row (asserted in tests).
 
     Returns one row per batch doc: (id, dup_of, jaccard, is_dup)."""
+    if not jaccard_threshold > 0:
+        # ADVICE r16: the array verify would emit zero-intersection
+        # pairs at threshold <= 0 that the exploded form never did
+        raise ValueError(
+            f"jaccard_threshold must be > 0, got {jaccard_threshold!r}")
     candidates = (probe_candidates(index, batch, text_col, id_col,
                                    num_hashes, bands, shingle_n)
                   # three consumers (two shingle sides + verify spine)
                   .localCheckpoint(eager=False))
+    # size-gate for the batch-side broadcast below (r17, VERDICT r16
+    # ask #3 — io.bcast_id_cap documents the bound)
+    hint_ids = candidates.count() <= bcast_id_cap()
     batch = spread_for_compute(batch)
 
     ctext = fetch_texts(candidates.select(
@@ -699,9 +736,10 @@ def minhash_probe_index(index: DataFrame, batch: DataFrame,
                         .alias("sh_c"))
     # broadcast the candidate-id tail so the batch side is filtered
     # above its scan instead of exchanged (guide §3.2; same bound as
-    # the checkpoint above)
-    bset = (batch.join(F.broadcast(candidates.select("__bid")
-                       .withColumnRenamed("__bid", id_col).distinct()),
+    # the checkpoint above, size-gated per io.bcast_id_cap)
+    bids = candidates.select("__bid") \
+        .withColumnRenamed("__bid", id_col).distinct()
+    bset = (batch.join(F.broadcast(bids) if hint_ids else bids,
                        on=id_col, how="left_semi")
             .select(F.col(id_col).alias("__bid"),
                     F.array_distinct(shingles(text_col, shingle_n))

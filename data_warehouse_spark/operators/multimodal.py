@@ -126,7 +126,17 @@ def png_blob_table(spark, sf_dir: str,
     guard): a shared fixed path let two concurrent sessions overwrite
     each other mid-scan, and a path-only key served stale blobs after
     an in-place fixture regeneration — a persistent false FAIL against
-    the oracle recomputed over the new documents."""
+    the oracle recomputed over the new documents.
+
+    The landed table carries `hdr` — the payload's first 33 bytes —
+    as its OWN column next to the full blob (r17, guide §6: layout
+    decides what readers can skip). decode_images' png path only ever
+    inspects bytes [0, 33), so a header-only consumer (mm2's decode ->
+    resize plan) scans 33 B/row instead of the KB-scale payloads: the
+    parquet scan's ReadSchema drops `blob` entirely. Storing codec
+    metadata beside an opaque payload at ingest is the standard media-
+    table layout; the bytes are identical to substring(blob, 1, 33)
+    computed at read time, so results are unchanged by construction."""
     import hashlib
     import os
 
@@ -140,6 +150,7 @@ def png_blob_table(spark, sf_dir: str,
     path = f"{base}/{digest}/png_blobs.parquet"
     if not os.path.exists(f"{path}/_SUCCESS"):
         attach_png_blob(load_table(spark, sf_dir, "documents")) \
+            .withColumn("hdr", F.substring(F.col("blob"), 1, 33)) \
             .write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -160,7 +171,9 @@ def _pil_available() -> bool:
         return False
 
 
-def decode_images(df: DataFrame, codec: str = "stub") -> DataFrame:
+def decode_images(df: DataFrame, codec: str = "stub",
+                  hdr_col: str | None = None,
+                  n_bytes_col: str | None = None) -> DataFrame:
     """Decode stage: blob -> (width, height, ok). Arrow-batched; one
     task decodes one batch; malformed payloads yield ok=false rows
     instead of failing the task (per-unit error isolation, the
@@ -192,6 +205,15 @@ def decode_images(df: DataFrame, codec: str = "stub") -> DataFrame:
               per row crosses.
       "pil":  a real pixel decoder needs the full payload; unchanged
               full-blob mapInPandas.
+
+    `hdr_col` / `n_bytes_col` (r17, guide §6): when the source TABLE
+    already lands the 33-byte header prefix (png_blob_table's `hdr`)
+    or the payload length (attach_blob's `n_bytes`) as its own
+    column, naming it here lets the parquet scan prune `blob` from
+    ReadSchema entirely — the substring/octet_length projections
+    above are computed post-scan, so without these the scan still
+    reads every payload byte off storage. Values are identical by
+    construction (the ingest write computes the same expression).
     """
     import pandas as pd
 
@@ -308,12 +330,16 @@ def decode_images(df: DataFrame, codec: str = "stub") -> DataFrame:
 
     schema = "doc_id long, width int, height int, ok boolean"
     if codec == "png":
+        # substring over an already-33-byte hdr column is an identity
+        # (and a guard if a wider prefix was ever landed)
         hdr = df.select(F.col("doc_id"),
-                        F.substring(F.col("blob"), 1, 33).alias("blob"))
+                        F.substring(F.col(hdr_col or "blob"), 1, 33)
+                        .alias("blob"))
         return hdr.mapInArrow(run_png, schema=schema)
     if codec == "stub":
-        meta = df.select(F.col("doc_id"),
-                         F.octet_length(F.col("blob")).alias("__nb"))
+        nb = (F.col(n_bytes_col) if n_bytes_col
+              else F.octet_length(F.col("blob")))
+        meta = df.select(F.col("doc_id"), nb.alias("__nb"))
         return meta.mapInPandas(run_stub, schema=schema)
     return df.mapInPandas(run_pil, schema=schema)
 

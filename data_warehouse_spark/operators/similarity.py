@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_warehouse_spark.io import spread_for_compute
+from data_warehouse_spark.io import bcast_id_cap, spread_for_compute
 
 # cosine_topk auto-kernel threshold on the optimizer's size estimate of
 # the input scan: below it the single-parse HOF expression wins (no
@@ -614,8 +614,13 @@ def cosine_lsh_pairs(df: DataFrame, vec_col: str, id_col: str,
     # whole embeddings table on id just to keep the tail's rows. The
     # bound is the same tail-smallness the checkpoint relies on, and
     # strictly fewer bytes than the (id, vec) sides the verify join
-    # below already broadcasts.
-    sided = (df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+    # below already broadcasts. Size-gated (r17, VERDICT r16 ask #3 —
+    # io.bcast_id_cap documents the bound): above the cap the hint is
+    # dropped and the planner keeps the shuffle semi (slower, never
+    # fatal at adversarial collision rates).
+    if 2 * candidates.count() <= bcast_id_cap():
+        cand_ids = F.broadcast(cand_ids)
+    sided = (df.join(cand_ids, on=id_col, how="left_semi")
              .select(F.col(id_col), F.col(vec_col),
                      _norm(vec_col).alias("nrm")))
     a = sided.select(F.col(id_col).alias("id_a"),

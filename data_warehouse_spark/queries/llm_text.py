@@ -1241,14 +1241,16 @@ def mm2_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at the blob tier; it executes eagerly inside png_blob_table, so
     # pin the tier around that call
     set_arrow_batch(spark, ARROW_BATCH_BLOB)
-    blobs = png_blob_table(spark, sf_dir).select("doc_id", "blob")
-    # …but the QUERY itself crosses the boundary only with 33-byte
-    # header prefixes (decode_images' png path projects them
-    # JVM-side), so the timed pipeline runs at the default tier —
-    # the 1k-row blob tier would cost 64x the per-batch Python
-    # overhead for no memory benefit (r16)
+    # …but the QUERY itself reads only the 33-byte `hdr` column the
+    # ingest write landed next to the payload (r17, guide §6): the
+    # parquet scan's ReadSchema drops `blob` entirely — previously the
+    # scan read every payload byte just to substring 33 of them — and
+    # the pipeline runs at the default Arrow tier (the 1k-row blob
+    # tier would cost 64x the per-batch Python overhead for no memory
+    # benefit, r16)
+    hdrs = png_blob_table(spark, sf_dir).select("doc_id", "hdr")
     set_arrow_batch(spark, ARROW_BATCH_DEFAULT)
-    decoded = decode_images(blobs, codec="png")
+    decoded = decode_images(hdrs, codec="png", hdr_col="hdr")
     # no presentation sort: a global orderBy would sample its child and
     # run the decode stage twice (see sessions._present_sorted); the
     # correctness gate compares order-insensitively

@@ -106,6 +106,13 @@ DRIVER_WINDOW = [
     "u9_time_travel", "u9b_snapshot_diff", "e4_daily_run",
     "x3h_ivf_incremental", "x2c_ngram_jaccard", "x8_dup_components",
     "x12_dedup_corpus", "mm2_image_resize",
+    # (b') round-17 code changes (scd2_apply stats-gated full-outer
+    # split -> u4; the r17 broadcast size-gates / mm2 hdr pruning
+    # touch only queries already windowed above or in (c) below —
+    # machine-checked by tests/test_window_integrity.py). u4 claimed
+    # the slot of e1b_bucketed_trips (r16-green, newest (c) row),
+    # which leads the next window per the standing displaced rule.
+    "u4_scd2_dimension",
     # (c) r13-cohort backfill (stale-first; 28 of 47)
     "u1_upsert", "s2_rest_json_source", "s3_parallel_fetch",
     "s4_csv_roundtrip", "s5_append_sink", "a12_sketch_rollup",
@@ -114,7 +121,7 @@ DRIVER_WINDOW = [
     "x13_decontaminate", "x15_sequence_packing", "x2f_minhash_sparse",
     "x11_pii_redaction", "x20_chunk_overlap", "x2d_cosine_lsh",
     "x17_semdedup", "x17b_semdedup_sparse", "w5_sessionize",
-    "e1_trips", "e1c_trips_localtime", "e1b_bucketed_trips",
+    "e1_trips", "e1c_trips_localtime",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
 # Queries added or code-changed DURING round 16 must be appended to

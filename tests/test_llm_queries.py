@@ -9,6 +9,8 @@ from __future__ import annotations
 import hashlib
 import re
 
+import pytest
+
 from data_warehouse_spark.io import load_table
 from data_warehouse_spark.queries.registry import load_all
 
@@ -1226,6 +1228,7 @@ def test_ivf_pq_topk_prebuilt_index_contract(spark, sf_dir):
         ivf_pq_topk(emb, "embedding", "vec_id", qv[:32], index=idx)
 
 
+@pytest.mark.slow  # r17: heavyweight lane, out of the default driver gate (pytest.ini)
 def test_pq_codebook_train_improves_distortion_and_recall(spark, sf_dir):
     """r13 verdict ask #5: the Lloyd-refined codebook must not
     increase quantization distortion over its own seed (the
@@ -1691,6 +1694,7 @@ def test_extend_ivf_index_check_ids_rejects_overlap(spark, sf_dir):
         extend_ivf_index(idx, replay, check_ids=True)
 
 
+@pytest.mark.slow  # r17: heavyweight lane, out of the default driver gate (pytest.ini)
 def test_rebuild_if_drifted_closes_the_loop(spark, sf_dir):
     """monitor -> rebuild: near-duplicate drift (batch vectors pulled
     90% toward the query vector — realistic ingest shift, NOT exact

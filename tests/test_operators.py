@@ -67,6 +67,94 @@ def test_minhash_finds_planted_near_dup(spark, sf_dir):
         assert p.jaccard >= 0.5
 
 
+def test_lsh_broadcast_gate_falls_back_above_cap(spark, sf_dir, monkeypatch):
+    """r17 (VERDICT r16 ask #3): the candidate-tail broadcast hints are
+    size-gated. At an adversarial dup rate the tail is O(corpus) and
+    the r16 unconditional hint would hard-fail at the 8 GB / 512M-row
+    broadcast cap; above the (env-overridable) cap the prefilter must
+    fall back to the unhinted shuffle semi-join with row-identical
+    output. The corpus below is fully duplicated (every doc has a
+    near-dup), modeling the adversarial rate; the cap is forced to 0
+    so the fixture-sized tail takes the fallback path.
+
+    The plan assertion targets exactly what the gate controls: the
+    RESOLVED BROADCAST HINT on the prefilter semi-join (printed as
+    `strategy=broadcast` in the optimized logical plan). The physical
+    join strategy is deliberately NOT asserted — at fixture scale the
+    limit gives the planner real stats and it may broadcast on its own
+    (stats-backed, under autoBroadcastJoinThreshold — the safe kind),
+    and after execution AQE can re-plan from runtime stats; at the
+    production scale the gate protects, the tail is an ExistingRDD
+    with no stats and the unhinted plan is the pre-r16 SMJ semi (the
+    shape in plans/r16 x2_minhash_lsh_before.txt)."""
+
+    docs = load_table(spark, sf_dir, "documents").limit(40) \
+        .select("doc_id", "text")
+    planted = docs.select((F.col("doc_id") + 9000).alias("doc_id"),
+                          F.concat("text", F.lit(" t")).alias("text"))
+    corpus = docs.unionByName(planted)
+
+    def run():
+        df = minhash_lsh_pairs(corpus, "text", "doc_id",
+                               jaccard_threshold=0.5)
+        hints = df._jdf.queryExecution().optimizedPlan() \
+            .toString().count("strategy=broadcast")
+        rows = sorted((r.id_a, r.id_b, r.jaccard) for r in df.collect())
+        return rows, hints
+
+    hinted_rows, hints = run()
+    assert hints > 0                           # normal-corpus hint intact
+    assert len(hinted_rows) >= 40              # the dup rate really is ~100%
+    monkeypatch.setenv("SPARK_GRAFT_BCAST_ID_CAP", "0")
+    fallback_rows, fallback_hints = run()
+    assert fallback_rows == hinted_rows
+    assert fallback_hints == 0                 # above the cap: no hint
+
+
+def test_lsh_broadcast_gate_incremental_and_cosine(spark, sf_dir, monkeypatch):
+    """Same gate on the other three sites (x2g incremental, probe,
+    cosine LSH): cap 0 must flip them to the fallback with identical
+    rows."""
+    from data_warehouse_spark.operators.dedup import minhash_lsh_incremental
+    from data_warehouse_spark.operators.similarity import cosine_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").limit(30) \
+        .select("doc_id", "text")
+    batch = docs.select((F.col("doc_id") + 9000).alias("doc_id"),
+                        F.concat("text", F.lit(" t")).alias("text"))
+    vecs = load_table(spark, sf_dir, "embeddings").limit(50)
+
+    def run_all():
+        inc = sorted(map(tuple, minhash_lsh_incremental(
+            docs, batch, "text", "doc_id").collect()))
+        cos = sorted(map(tuple, cosine_lsh_pairs(
+            vecs, "embedding", "vec_id", threshold=0.8).collect()))
+        return inc, cos
+
+    before = run_all()
+    monkeypatch.setenv("SPARK_GRAFT_BCAST_ID_CAP", "0")
+    assert run_all() == before
+
+
+def test_lsh_jaccard_threshold_must_be_positive(spark, sf_dir):
+    """ADVICE r16: the array-form verify keeps zero-intersection pairs
+    until the threshold filter, so threshold <= 0 would diverge from
+    the exploded form — every entry point refuses it loudly."""
+    from data_warehouse_spark.operators.dedup import (
+        minhash_lsh_incremental, minhash_probe_index,
+    )
+    docs = load_table(spark, sf_dir, "documents").limit(5) \
+        .select("doc_id", "text")
+    with pytest.raises(ValueError, match="jaccard_threshold"):
+        minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.0)
+    with pytest.raises(ValueError, match="jaccard_threshold"):
+        minhash_lsh_incremental(docs, docs, "text", "doc_id",
+                                jaccard_threshold=-0.5)
+    with pytest.raises(ValueError, match="jaccard_threshold"):
+        minhash_probe_index(docs, docs, lambda ids: docs, "text",
+                            "doc_id", jaccard_threshold=0.0)
+
+
 def test_minhash_band_divisibility_fails_loudly(spark, sf_dir):
     """ADVICE r12 item #2: num_hashes not divisible by bands used to
     silently drop trailing signature rows from every band (recall
@@ -137,6 +225,7 @@ def test_minhash_probe_index_matches_inline_form(spark, sf_dir):
     assert any(r[3] for r in probed)  # some dup actually found
 
 
+@pytest.mark.slow  # r17: heavyweight lane, out of the default driver gate (pytest.ini)
 def test_x16_shared_spans_planted_exact_bounds(spark):
     """X16 (round-9): a planted 64-char span shared verbatim by two
     otherwise-disjoint documents must come back as exactly ONE maximal

@@ -7,6 +7,8 @@ from __future__ import annotations
 import math
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_warehouse_spark.functions.geo import haversine_km
@@ -781,6 +783,7 @@ def test_chain_lane_components_closed_form(spark):
     assert Ls == sorted(set(Ls)) and Ls[-1] == 23
 
 
+@pytest.mark.slow  # r17: heavyweight lane, out of the default driver gate (pytest.ini)
 def test_stars_cc_matches_minlabel_on_random_and_chain_graphs(spark):
     """connected_components_stars (alternating large/small-star) must
     produce exactly min-label propagation's output on random sparse
@@ -816,6 +819,7 @@ def test_stars_cc_matches_minlabel_on_random_and_chain_graphs(spark):
         assert stars == label, f"case {k}"
 
 
+@pytest.mark.slow  # r17: heavyweight lane, out of the default driver gate (pytest.ini)
 def test_auto_cc_matches_minlabel_on_all_regimes(spark):
     """connected_components_auto must equal min-label's output on every
     graph shape, whichever path it takes internally: cliques converge

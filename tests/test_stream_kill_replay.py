@@ -176,6 +176,7 @@ def _stage_source(spark, sf_dir, out):
     return out
 
 
+@pytest.mark.slow  # r17: heavyweight lane, out of the default driver gate (pytest.ini)
 @pytest.mark.parametrize("sink", ["merge", "append"])
 def test_sigkill_mid_batch_then_checkpoint_replay(spark, sf_dir,
                                                   tmp_path, sink):

@@ -6,6 +6,8 @@ from __future__ import annotations
 import shutil
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_warehouse_spark.io import load_table
@@ -155,6 +157,7 @@ def test_st5_watermark_drops_late_file(spark, sf_dir):
         assert batch.get(k) == n, (k, n, batch.get(k))
 
 
+@pytest.mark.slow  # r17: heavyweight lane, out of the default driver gate (pytest.ini)
 def test_custom_stateful_running_stats(spark, sf_dir):
     """applyInPandasWithState: the per-user running profile must match
     the batch aggregate after one availableNow pass, and a second run

@@ -507,6 +507,38 @@ def build_amplified(spark, src: str, out: str, n: int,
     return amp_dir
 
 
+def build_perm_documents(spark, src: str, amp_dir: str, n: int) -> None:
+    """Permutation-amplified documents into {amp_dir}/documents.parquet
+    (the r16 .r16/x2_decomp.py recipe, promoted here for the bench's
+    floor-free lane): copy c rewrites the text through its own
+    permutation of a 10-letter alphabet (`translate`), so copies of one
+    document are NOT near-duplicates of each other and pair-based
+    operators (x2's LSH banding + verify) scale LINEARLY with the
+    multiplier. The salted `copytok` amplifier above is right for the
+    oracle-replayed lanes (which exclude x2 for exactly this reason)
+    but leaves every original's n copies a >0.9-Jaccard clique —
+    quadratic verify volume, a different workload, not a scaling lane.
+    Deterministic: fixed alphabet, itertools permutation order, fixed
+    id offset; 32 output files so the scan parallelizes."""
+    import itertools
+    alpha = "etaoinshrd"
+    perms = []
+    for p in itertools.permutations(alpha):
+        perms.append("".join(p))
+        if len(perms) == n:
+            break
+    docs = load_table(spark, src, "documents").select("doc_id", "text")
+    parts = [docs.select(
+        (F.col("doc_id") + 10_000_000 * c).alias("doc_id"),
+        F.translate("text", alpha, p).alias("text"))
+        for c, p in enumerate(perms)]
+    amp = parts[0]
+    for p in parts[1:]:
+        amp = amp.unionByName(p)
+    amp.repartition(32).write.mode("overwrite") \
+        .parquet(f"{amp_dir}/documents.parquet")
+
+
 def _teardown_jvm(spark) -> None:
     """Fully stop the resident Spark JVM (not just the session) so the
     --duck-subproc DuckDB leg is timed on a QUIET box. A stopped

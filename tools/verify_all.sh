@@ -12,8 +12,10 @@ cd "$(dirname "$0")/.."
 echo "== [0/4] generated docs in sync =="
 python tools/operators_md.py --check
 
-echo "== [1/4] pytest =="
-python -m pytest tests/ -q
+echo "== [1/4] pytest (FULL suite, incl. slow lanes) =="
+# pytest.ini deselects `slow` for the driver-budgeted default gate
+# (r17); the local gate runs everything.
+python -m pytest tests/ -q -m "slow or not slow"
 
 echo "== [2/4] driver contract (plain session) =="
 python - <<'EOF'
