@@ -49,7 +49,8 @@ from data_warehouse_spark.session import (  # noqa: E402
 # beside them.
 FF_MULT = int(os.environ.get("SPARK_GRAFT_BENCH_FF_MULT", "64"))
 FF_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_FF_RUNS", "3"))
-FF_QUERIES = ["w5_sessionize", "e1_trips", "x2_minhash_lsh", "x7_tfidf"]
+FF_QUERIES = ["w5_sessionize", "e1_trips", "x2_minhash_lsh", "x7_tfidf",
+              "st4_session_window"]  # r17: lag-chain rewrite, visible here
 FF_TABLES = ["events", "documents"]  # the tables those four read
 
 # Headline set: one representative per operator family. Parity covers

@@ -56,77 +56,55 @@ _QUERY_MODULES = [
 # This list IS the round's window, in order; load_all() puts these names
 # first and everything else after, in registration order.
 #
-# Round-16 rotation (standing stale-first rule + VERDICT.md round-15
-# ask #3). The cohort lists are now GENERATED, not hand-written:
-# `python tools/rotation.py` derives each query's last-green round
-# from the CORRECTNESS_r*.json archive and prints the stale-first
-# order plus the displaced list (the r15 hand-written displaced list
-# missed w2_lead_first_last — r15 "what's wrong" #1).
-#   (a) the 15 r12-dated rows displaced by the r15 budget re-enter
-#       FIRST (incl. w2_lead_first_last): after this round no archive
-#       row is older than r13.
-#   (b) round-16 code changes / additions, per the fingerprint
-#       machine-check (tests/test_window_integrity.py): u9c (NEW:
-#       snapshot retention expire_versions + gc_orphans, r15 ask #1),
-#       u5b (NEW: erase_keys_all_versions — erasure composed with
-#       time travel, r15 ask #2), x3i (NEW: IVF drift monitor
-#       ivf_cell_stats, r15 ask #5), u9/u9b/e4 (read_snapshot now
-#       applies the manifest schema so an all-rows-erased version
-#       reads back as a typed empty frame; e4's composition touches
-#       the snapshot closure), x3h (extend_ivf_index gained the
-#       check_ids id-disjointness guard, r15 ADVICE #2), and
-#       x2c/x8/x12 (minhash_lsh_pairs' exact verify gained the
-#       "array" path — array_intersect per candidate pair instead of
-#       the per-shingle row explosion through join+groupBy; -18% on
-#       the whole x2 plan at 256x, .r16/x2_decomp.py — and these
-#       three route through it transitively; x2/x2f, also flagged,
-#       were already in (c)).
-#   (c) r13-cohort backfill, stale-first per tools/rotation.py: 24 of
-#       the 47 r13-dated rows (e3_enriched_trips slid to the r17
-#       window when the optimization phase's mm2 change claimed its
-#       (b) slot — the standing changed-query-first rule).
-# 15 + 11 + 24 = 50. The 23 r13 rows displaced by the budget (lead
-# the r17 window per the standing rule) are expression/agg/set
-# battery classes with per-round pytest coverage (p5, p6, a1, a3,
-# a8, a9, a11, o1, o2_topk, o2_topk_per_group, set1-set4, f2, f3,
-# f8, f9, f10, f11) plus e2/e2b/p3/e3 — regenerate the authoritative
-# list with tools/rotation.py after the round lands.
+# Round-17 rotation (standing stale-first + changed-query-first
+# rules). Cohorts GENERATED, not hand-written: `python
+# tools/rotation.py` derives each query's last-green round from the
+# CORRECTNESS_r*.json archive (post-r16 histogram: r13=22, r14=39,
+# r15=47, r16=50) and prints the stale-first order; the changed set
+# below is the fingerprint diff vs the r16 round boundary
+# (tools/query_fingerprints.py, machine-checked by
+# tests/test_window_integrity.py).
+#   (a) the 22 r13-dated rows — the ENTIRE oldest cohort re-enters
+#       first: after this round no archive row is older than r14.
+#   (b) the 11 round-17 code-changed queries: u4 (scd2_apply
+#       stats-gated full-outer split), st4 (session aggregate through
+#       the lag-chain — identical rows, the native batch
+#       session_window operator measured slower at 64x/256x), w5
+#       (with_session_id gained the gap_closed mode st4 uses; w5's
+#       own rows/plan unchanged), mm2 (hdr-column blob pruning), and
+#       the LSH family x2/x2c/x2d/x2f/x2g/x8/x12 (candidate-tail
+#       broadcast size-gates + jaccard_threshold validation).
+#   (c) r14-cohort backfill, stale-first per tools/rotation.py:
+#       the first 17 of the 39 r14-dated rows in rotation order.
+# 22 + 11 + 17 = 50. The 22 r14 rows displaced by the budget (lead
+# the r18 window per the standing rule) start at mm1_multimodal_stub
+# in the rotation.py stale-first order.
 DRIVER_WINDOW = [
-    # (a) the 15 r12-dated rows — re-enter first per the standing rule
-    "s1_scan_filter", "s7_scan_full", "p1_project",
-    "p2_range_predicate", "p4_null_predicate", "a2_count_by_key",
-    "a4_distinct", "a5_rollup", "a6_stats", "a10_unpivot",
-    "j7_cross_join", "j8_two_source_merge", "w2_lead_first_last",
-    "st7_foreach_upsert", "st12_stream_incremental_dedup",
-    # (b) round-16 code changes / additions (incl. the optimization
-    # phase: minhash_lsh_pairs broadcast semi -> x2/x2c/x8/x12/x2f,
-    # upsert new_unique -> u1/e4/st7, decode_images prefix+mapInArrow
-    # -> mm2)
-    "u9c_version_expiry", "u5b_erase_versions", "x3i_ivf_drift",
-    "u9_time_travel", "u9b_snapshot_diff", "e4_daily_run",
-    "x3h_ivf_incremental", "x2c_ngram_jaccard", "x8_dup_components",
-    "x12_dedup_corpus", "mm2_image_resize",
-    # (b') round-17 code changes (scd2_apply stats-gated full-outer
-    # split -> u4; the r17 broadcast size-gates / mm2 hdr pruning
-    # touch only queries already windowed above or in (c) below —
-    # machine-checked by tests/test_window_integrity.py). u4 claimed
-    # the slot of e1b_bucketed_trips (r16-green, newest (c) row),
-    # which leads the next window per the standing displaced rule.
-    "u4_scd2_dimension",
-    # (c) r13-cohort backfill (stale-first; 28 of 47)
-    "u1_upsert", "s2_rest_json_source", "s3_parallel_fetch",
-    "s4_csv_roundtrip", "s5_append_sink", "a12_sketch_rollup",
-    "s9_jsonl_roundtrip", "s10_orc_roundtrip", "s6_ddl_table",
-    "u5_delete_keys", "x2_minhash_lsh", "x2g_incremental_minhash",
-    "x13_decontaminate", "x15_sequence_packing", "x2f_minhash_sparse",
-    "x11_pii_redaction", "x20_chunk_overlap", "x2d_cosine_lsh",
-    "x17_semdedup", "x17b_semdedup_sparse", "w5_sessionize",
-    "e1_trips", "e1c_trips_localtime",
+    # (a) the 22 r13-dated rows — oldest cohort re-enters first
+    "e3_enriched_trips", "e2_carbon_savings", "e2b_carbon_bucketed",
+    "p3_between_computed", "p5_or_inequality", "p6_having",
+    "a1_q1_pricing_summary", "a3_global_agg", "a11_cube",
+    "o1_global_sort", "set2_union_distinct", "set3_intersect",
+    "set4_except", "a8_approx_agg", "a9_pivot", "o2_topk_per_group",
+    "f2_epoch_diff", "f3_haversine", "f8_strings", "f9_json",
+    "f10_null_handling", "f11_arrays",
+    # (b) round-17 code changes, per the fingerprint machine-check
+    "u4_scd2_dimension", "st4_session_window", "w5_sessionize",
+    "mm2_image_resize", "x2_minhash_lsh", "x2c_ngram_jaccard",
+    "x2d_cosine_lsh", "x2f_minhash_sparse", "x2g_incremental_minhash",
+    "x8_dup_components", "x12_dedup_corpus",
+    # (c) r14-cohort backfill (stale-first; 17 of 39)
+    "dq1_validation_report", "dq1b_validation_sketch", "u6_compaction",
+    "u3_microbatch_write", "udf3_grouped_pandas", "udf4_udtf_words",
+    "j9_spatial_join", "x1_exact_dedup", "x2e_incremental_dedup",
+    "x14_token_budget_sample", "x14b_token_budget_scalable",
+    "x5_text_stats", "x5b_lang_id", "x5c_quality_score",
+    "x6_token_freq", "x7_tfidf", "x10_repetition_filter",
 ]
 # As of round 9 EVERY registry query carries a DuckDB value oracle.
-# Queries added or code-changed DURING round 16 must be appended to
+# Queries added or code-changed DURING round 17 must be appended to
 # (b) — displacing (c) backfill only past 50 — so the "every changed
-# query is windowed" claim stays true against the CORRECTNESS_r16 keys
+# query is windowed" claim stays true against the CORRECTNESS_r17 keys
 # (machine-checked by tests/test_window_integrity.py).
 
 

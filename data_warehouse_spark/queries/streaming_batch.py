@@ -111,21 +111,38 @@ SELECT MIN(ts) AS sess_start,
        {money_sum_sql('value')} AS sum_value
 FROM ids GROUP BY user_id, sid
 """,
-    doc="ST4: session_window batch form (streaming form: "
-        "streaming/jobs.py:session_aggs). Spark closes a session when "
-        "the gap >= the 4h threshold (window end is exclusive), hence "
-        "the >= break in the oracle — vs W5's strict >; both semantics "
-        "are offered. Session end = last event + gap per Spark's "
-        "definition.",
+    doc="ST4: session-window aggregate with session_window SEMANTICS "
+        "(gap >= threshold breaks — window end is exclusive at "
+        "last_event + gap — vs W5's strict >; both semantics are "
+        "offered). r17: computed through the lag-chain "
+        "(with_session_id gap_closed=True) instead of the native "
+        "batch session_window operator — identical rows (the oracle "
+        "IS the lag-chain SQL), but the native form runs "
+        "UpdatingSessionsIterator with a sort on BOTH sides of its "
+        "exchange and shuffles struct-headed partial-session rows, "
+        "which on this data shape (median inter-event gap ~7.5h > the "
+        "4h gap, so partial pre-merge collapses almost nothing) "
+        "measured 10%/20% slower at 64x/256x (OPTIMIZATION_r17.md). "
+        "Dense per-user streams where pre-merge does compress would "
+        "favor the native form; the streaming path (streaming/"
+        "jobs.py:session_aggs) keeps the native operator, where its "
+        "incremental state store is load-bearing.",
     tags=("streaming", "window"),
 )
 def st4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_warehouse_spark.operators.sessionize import with_session_id
+
     ev = load_table(spark, sf_dir, "events")
-    return (ev.groupBy(F.session_window("ts", "4 hours").alias("sess"), "user_id")
-            .agg(F.count(F.lit(1)).alias("n_events"),
+    ids = with_session_id(ev, key="user_id", ts="ts",
+                          gap_seconds=4 * 3600, gap_closed=True,
+                          out_col="__sid")
+    return (ids.groupBy("user_id", "__sid")
+            .agg(F.min("ts").alias("sess_start"),
+                 (F.max("ts") + F.expr("INTERVAL 4 HOURS"))
+                 .alias("sess_end"),
+                 F.count(F.lit(1)).alias("n_events"),
                  money_sum("value").alias("sum_value"))
-            .select(F.col("sess.start").alias("sess_start"),
-                    F.col("sess.end").alias("sess_end"),
+            .select("sess_start", "sess_end",
                     "user_id", "n_events", "sum_value"))
 
 
