@@ -98,29 +98,6 @@ def dedup_by_key(df: DataFrame, keys: list[str]) -> DataFrame:
     return df.dropDuplicates(keys)
 
 
-def _fits_broadcast(df: DataFrame) -> bool:
-    """True when the optimizer's size estimate of `df` fits under the
-    session's autoBroadcastJoinThreshold — the same stats and the same
-    bound the planner itself uses to pick a broadcast build (guide
-    §3.1), read off the optimized logical plan (no job runs). Parquet
-    sources carry real file sizes, so a dimension/update-batch estimate
-    is grounded; relations without stats inherit the conservative
-    defaultSizeInBytes and correctly fail the gate. Threshold <= 0
-    (broadcasting disabled) or any introspection failure -> False, and
-    callers keep their shuffle-join shape: never fatal."""
-    try:
-        # str() first: py4j maps scala BigInt to a plain int for
-        # in-range values but hands back a JavaObject past 2^63 (the
-        # no-stats defaultSizeInBytes sentinel is Long.MaxValue)
-        size = int(str(df._jdf.queryExecution().optimizedPlan()
-                       .stats().sizeInBytes()))
-        thr = int(df.sparkSession._jsparkSession.sessionState()
-                  .conf().autoBroadcastJoinThreshold())
-        return 0 < thr and size <= thr
-    except Exception:
-        return False
-
-
 def scd2_apply(dim: DataFrame, updates: DataFrame, keys: list[str],
                attrs: list[str], eff_ts_col: str = "eff_ts",
                valid_from: str = "valid_from", valid_to: str = "valid_to",
@@ -146,24 +123,25 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, keys: list[str],
     compared attributes every update would be a no-op and the call is
     almost certainly a bug.
 
-    Plan shape (r17, VERDICT r16 ask #7 — guide §3.1): when the
-    optimizer's size estimates say BOTH broadcast builds fit under the
-    session's autoBroadcastJoinThreshold (the key-deduped updates, and
-    the keys-only projection of the current rows), the full-outer join
-    is decomposed into its three broadcast-joinable classes —
-    inner(cur, u) for matched rows, cur ANTI u for untouched current
-    rows, u ANTI cur for plain inserts — because BroadcastHashJoin
-    cannot execute a FULL OUTER join at all: the full-outer form
-    always plans as a SortMergeJoin that exchanges the ENTIRE dimension
-    on its key even when the update batch is a handful of rows. The
-    split re-reads the (column-pruned, parallel) dim scan per branch
-    but moves ZERO dim rows through a shuffle. Row-for-row equivalent:
-    the three classes partition the full-outer output (matched /
-    cur-unmatched / u-unmatched), and a null dimension key behaves
-    identically (== never matches null: full-outer emits the row
-    unmatched, the anti-joins keep it). Above the threshold — or when
-    broadcasting is disabled (threshold <= 0) — the single full-outer
-    SMJ is kept: slower, never fatal, exactly one exchange per side.
+    Plan shape: ONE full-outer join of current rows vs key-deduped
+    updates (hash on the dimension key); every output class projects
+    off that single join, so the exchange is computed once (AQE reuse)
+    and no driver-side state exists. Dimensions are small relative to
+    facts at any scale — the join broadcasts when stats allow.
+
+    r17 measured-and-rejected: a stats-gated decomposition of the
+    full-outer into inner + two anti BROADCAST joins (a full outer can
+    never broadcast) was built, verified row-identical, and REJECTED
+    on interleaved A/Bs (.r17/u4_ab.py, .r17/scd2_smallbatch_ab.py):
+    32% SLOWER at 64x on u4's shape (updates ~31% of the dim — each
+    of the five split branches recomputes the update subtree, costing
+    more than the one dim exchange it saves) and a wash (1.445 vs
+    1.455 s) even on the target big-dim/small-batch shape, where
+    Catalyst already broadcasts the tiny update side of every derived
+    branch and only the kept branch pays one dim exchange. Catalyst's
+    filter pushdown means only ONE branch actually executes the full
+    outer; the other three already simplify to broadcast inner /
+    right-outer joins. Details: OPTIMIZATION_r17.md.
     """
     if not attrs:
         raise ValueError("scd2_apply needs at least one compared "
@@ -194,46 +172,20 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, keys: list[str],
         # unqualified but unambiguous: every u column is __u_-renamed
         c = _qcol(k) == _qcol(f"__u_{k}")
         join_cond = c if join_cond is None else (join_cond & c)
-    dim_cols = [_qcol(c) for c in dim.columns]
+    j = cur.join(u, join_cond, "full_outer")
 
+    matched = F.col("__u_eff").isNotNull() & _qcol(current_col).isNotNull()
+    late = matched & (F.col("__u_eff") < _qcol(valid_from))
     changed = None
     for a in attrs:
         d = ~_qcol(a).eqNullSafe(_qcol(f"__u_{a}"))
         changed = d if changed is None else (changed | d)
+    applies = matched & changed & ~late
+    dim_cols = [_qcol(c) for c in dim.columns]
 
-    # Stats-gated full-outer decomposition (docstring "Plan shape"):
-    # the classes below partition the full-outer's output, and under
-    # the gate each one plans as a BroadcastHashJoin — no dim row
-    # ever crosses a shuffle. Gate = BOTH build sides (the deduped
-    # update batch; the keys-only dim projection) estimate under the
-    # session's autoBroadcastJoinThreshold.
-    if _fits_broadcast(u) and _fits_broadcast(
-            cur.select(*[_qcol(k) for k in keys])):
-        j = cur.join(F.broadcast(u), join_cond, "inner")
-        # inner rows are matched by construction: updates are filtered
-        # eff-non-null above, cur rows are is_current-true
-        late = F.col("__u_eff") < _qcol(valid_from)
-        applies = changed & ~late
-        kept = j.filter(~changed | late).select(*dim_cols).unionByName(
-            cur.join(
-                F.broadcast(u.select(*[_qcol(f"__u_{k}") for k in keys])),
-                join_cond, "left_anti").select(*dim_cols))
-        u_unmatched = u.join(
-            F.broadcast(cur.select(*[_qcol(k) for k in keys])),
-            join_cond, "left_anti")
-    else:
-        j = cur.join(u, join_cond, "full_outer")
-        matched = (F.col("__u_eff").isNotNull()
-                   & _qcol(current_col).isNotNull())
-        late = matched & (F.col("__u_eff") < _qcol(valid_from))
-        applies = matched & changed & ~late
-        # one disjunctive filter, NOT an inner+anti union: splitting
-        # would re-run the full-outer SMJ per class in this branch
-        kept = j.filter((matched & (~changed | late))
-                        | F.col("__u_eff").isNull()) \
-            .select(*dim_cols)
-        u_unmatched = j.filter(F.col("__u_eff").isNotNull()
-                               & _qcol(current_col).isNull())
+    kept = j.filter((matched & (~changed | late))
+                    | F.col("__u_eff").isNull()) \
+        .select(*dim_cols)
     closed = (j.filter(applies)
               .withColumn(valid_to, F.col("__u_eff"))
               .withColumn(current_col, F.lit(False))
@@ -246,7 +198,8 @@ def scd2_apply(dim: DataFrame, updates: DataFrame, keys: list[str],
                            .alias(valid_to),
                            F.lit(True).alias(current_col))
                    .select(*dim_cols))
-    inserted = (u_unmatched
+    inserted = (j.filter(F.col("__u_eff").isNotNull()
+                         & _qcol(current_col).isNull())
                 .select(*[_qcol(f"__u_{k}").alias(k) for k in keys],
                         *[_qcol(f"__u_{a}").alias(a) for a in attrs],
                         F.col("__u_eff").alias(valid_from),

@@ -66,14 +66,17 @@ _QUERY_MODULES = [
 # tests/test_window_integrity.py).
 #   (a) the 22 r13-dated rows — the ENTIRE oldest cohort re-enters
 #       first: after this round no archive row is older than r14.
-#   (b) the 11 round-17 code-changed queries: u4 (scd2_apply
-#       stats-gated full-outer split), st4 (session aggregate through
-#       the lag-chain — identical rows, the native batch
-#       session_window operator measured slower at 64x/256x), w5
-#       (with_session_id gained the gap_closed mode st4 uses; w5's
+#   (b) the 10 round-17 code-changed queries, plus u4: st4 (session
+#       aggregate through the lag-chain — identical rows, the native
+#       batch session_window operator measured slower at 64x/256x),
+#       w5 (with_session_id gained the gap_closed mode st4 uses; w5's
 #       own rows/plan unchanged), mm2 (hdr-column blob pruning), and
 #       the LSH family x2/x2c/x2d/x2f/x2g/x8/x12 (candidate-tail
-#       broadcast size-gates + jaccard_threshold validation).
+#       broadcast size-gates + jaccard_threshold validation). u4 is
+#       windowed although its final fingerprint matches the boundary:
+#       scd2_apply was rewritten, measured, and REVERTED mid-round
+#       (the split lost its A/Bs — OPTIMIZATION_r17.md #3), and the
+#       churned operator earns driver re-verification.
 #   (c) r14-cohort backfill, stale-first per tools/rotation.py:
 #       the first 17 of the 39 r14-dated rows in rotation order.
 # 22 + 11 + 17 = 50. The 22 r14 rows displaced by the budget (lead

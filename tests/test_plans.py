@@ -585,36 +585,3 @@ def test_mm4_default_path_is_pure_codegen(spark):
         assert marker not in plan, marker
     assert uses_take_ordered(df)
 
-
-def test_u4_scd2_split_is_all_broadcast_and_smj_fallback_pinned(spark):
-    """r17 (VERDICT r16 ask #7): scd2_apply decomposes its full-outer
-    join into inner + two anti BROADCAST joins when the optimizer's
-    size stats say both build sides (deduped updates; keys-only dim
-    projection) fit under autoBroadcastJoinThreshold — a full-outer
-    can never broadcast, so the old shape exchanged the ENTIRE
-    dimension even for a handful of updates. With the fixture dim the
-    gate fires: no SortMergeJoin anywhere, the anti classes are
-    BroadcastHashJoin LeftAnti, and no Exchange partitions on the
-    dim's key from the dim side (the only hash exchanges left belong
-    to the update batch's dedup window). With broadcasting disabled
-    (threshold -1, read per call) the single full-outer SMJ falls
-    back — slower, never fatal — and rows are identical."""
-    df = q(spark, "u4_scd2_dimension")
-    plan = executed_plan(df)
-    assert "SortMergeJoin" not in plan
-    # join type prints after the key lists in the plain plan string
-    anti = [ln for ln in plan.splitlines()
-            if "BroadcastHashJoin" in ln and "LeftAnti" in ln]
-    assert len(anti) == 2, plan
-    rows_split = sorted(map(tuple, df.collect()))
-
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        df2 = q(spark, "u4_scd2_dimension")
-        plan2 = executed_plan(df2)
-        assert any("SortMergeJoin" in ln and "FullOuter" in ln
-                   for ln in plan2.splitlines()), plan2
-        assert sorted(map(tuple, df2.collect())) == rows_split
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
