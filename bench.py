@@ -30,7 +30,7 @@ from data_warehouse_spark.session import (  # noqa: E402
 # measures scheduling overhead, not scaling. The fixtures are driver-
 # owned and read-only (TESTDATA.md), so instead of regenerating them
 # this lane ADDS bench entries (the contract allows adding, never
-# removing/renaming): the four most data-heavy headline queries re-run
+# removing/renaming): the most data-heavy headline queries re-run
 # UNMODIFIED over a deterministic FF_MULT-times-amplified, 32-file copy
 # of their input tables, built fresh from $SPARK_GRAFT_SF_DIR by every
 # bench invocation (tools/floorfree.build_amplified — the same salted
